@@ -1,0 +1,444 @@
+"""Turtle (and N3-subset) parser + serializer, from scratch.
+
+Parser: a recursive-descent implementation of the Turtle grammar
+covering the constructs the reference corpus and typical LOD data use:
+@prefix/@base (+ SPARQL-style PREFIX/BASE), prefixed names, 'a',
+predicate lists (';'), object lists (','), anonymous/labelled blank
+nodes, RDF collections, all four string quote forms, numeric/boolean
+shorthand literals, ^^datatypes and @lang tags, comments.
+
+Serializer: byte-compatible with the reference goldens
+(/root/reference/tests/test_persistence_systems_generic_methods.py:20-31,
+ tests/test_convert.py:43-61): sorted @prefix header for *used*
+namespaces, blank line, subject blocks with 'a' first then predicates
+sorted by IRI, objects sorted, 4-space predicate indent / 8-space
+object-continuation indent, statements terminated " .", one blank
+line between blocks.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Iterable, List, Optional, Tuple
+
+from .terms import (
+    BNODE,
+    IRI,
+    LITERAL,
+    RDF_FIRST,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    XSD_BOOLEAN,
+    XSD_DECIMAL,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    Term,
+    Triple,
+    bnode,
+    escape_literal,
+    iri,
+    literal,
+    unescape_string,
+)
+
+# --------------------------------------------------------------------------
+# Tokenizer
+# --------------------------------------------------------------------------
+
+_TOKEN = re.compile(
+    r"""
+      (?P<ws>\s+|\#[^\n]*)
+    | (?P<iriref><[^<>"{}|^`\\\x00-\x20]*>)
+    | (?P<string_long_dq>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\")
+    | (?P<string_long_sq>'''(?:[^'\\]|\\.|'(?!''))*''')
+    | (?P<string_dq>"(?:[^"\\\n]|\\.)*")
+    | (?P<string_sq>'(?:[^'\\\n]|\\.)*')
+    | (?P<prefix_decl>@prefix\b|PREFIX\b)
+    | (?P<base_decl>@base\b|BASE\b)
+    | (?P<langtag>@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)
+    | (?P<blank>_:[A-Za-z0-9_][A-Za-z0-9_.\-]*)
+    | (?P<double>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.?\d+[eE][+-]?\d+))
+    | (?P<decimal>[+-]?\d*\.\d+)
+    | (?P<integer>[+-]?\d+)
+    | (?P<dtype>\^\^)
+    | (?P<pname>(?:[A-Za-z_][A-Za-z0-9_\-.]*)?:(?:[A-Za-z0-9_:%\-.]|\\.)*)
+    | (?P<kw_a>a(?=[\s<\[]))
+    | (?P<boolean>(?:true|false)\b)
+    | (?P<punct>[.;,\[\]()])
+    """,
+    re.X,
+)
+
+_PN_LOCAL_ESC = re.compile(r"\\([_~.\-!$&'()*+,;=/?#@%])")
+
+
+class TurtleParseError(ValueError):
+    pass
+
+
+class _Tokens:
+    def __init__(self, text: str):
+        self.text = text
+        self.pos = 0
+        self.n = len(text)
+        self._peeked: Optional[Tuple[str, str]] = None
+
+    def _scan(self) -> Tuple[str, str]:
+        while self.pos < self.n:
+            m = _TOKEN.match(self.text, self.pos)
+            if not m:
+                snippet = self.text[self.pos : self.pos + 40]
+                raise TurtleParseError(f"Unrecognized turtle syntax at: {snippet!r}")
+            self.pos = m.end()
+            kind = m.lastgroup
+            if kind == "ws":
+                continue
+            return kind, m.group()
+        return ("eof", "")
+
+    def peek(self) -> Tuple[str, str]:
+        if self._peeked is None:
+            self._peeked = self._scan()
+        return self._peeked
+
+    def next(self) -> Tuple[str, str]:
+        tok = self.peek()
+        self._peeked = None
+        return tok
+
+    def expect(self, kind: str) -> str:
+        k, v = self.next()
+        if k != kind:
+            raise TurtleParseError(f"Expected {kind}, got {k} {v!r}")
+        return v
+
+
+class TurtleParser:
+    """One parser instance per document; blank-node labels are scoped to
+    the document (callers that need cross-document distinctness prefix
+    them, mirroring rdflib's fresh-bnode-per-parse behavior relied on by
+    the reference merge at /root/reference/rdfx/rdfx_cli.py:91-93)."""
+
+    def __init__(self, bnode_prefix: str = "b"):
+        self.prefixes: Dict[str, str] = {}
+        self.base: str = ""
+        self.triples: List[Triple] = []
+        self._bnode_prefix = bnode_prefix
+        self._anon_count = 0
+
+    # -- entry ---------------------------------------------------------------
+    def parse(self, text: str) -> List[Triple]:
+        toks = _Tokens(text)
+        while True:
+            kind, val = toks.peek()
+            if kind == "eof":
+                break
+            if kind == "prefix_decl":
+                toks.next()
+                pname = toks.expect("pname")
+                if not pname.endswith(":"):
+                    raise TurtleParseError(f"Bad prefix declaration: {pname!r}")
+                iriref = toks.expect("iriref")
+                self.prefixes[pname[:-1]] = self._resolve(iriref[1:-1])
+                if val == "@prefix":
+                    self._expect_dot(toks)
+                continue
+            if kind == "base_decl":
+                toks.next()
+                iriref = toks.expect("iriref")
+                self.base = self._resolve(iriref[1:-1])
+                if val == "@base":
+                    self._expect_dot(toks)
+                continue
+            self._parse_statement(toks)
+        return self.triples
+
+    def _expect_dot(self, toks: _Tokens):
+        k, v = toks.next()
+        if not (k == "punct" and v == "."):
+            raise TurtleParseError(f"Expected '.', got {v!r}")
+
+    # -- grammar -------------------------------------------------------------
+    def _parse_statement(self, toks: _Tokens):
+        kind, val = toks.peek()
+        if kind == "punct" and val == "[":
+            subj = self._parse_bnode_property_list(toks)
+            k, v = toks.peek()
+            if k == "punct" and v == ".":
+                toks.next()
+                return
+            self._parse_predicate_object_list(toks, subj)
+        else:
+            subj = self._parse_term(toks, position="subject")
+            self._parse_predicate_object_list(toks, subj)
+        self._expect_dot(toks)
+
+    def _parse_predicate_object_list(self, toks: _Tokens, subj: Term):
+        while True:
+            kind, val = toks.peek()
+            if kind == "kw_a":
+                toks.next()
+                pred = iri(RDF_TYPE)
+            else:
+                pred = self._parse_term(toks, position="predicate")
+            self._parse_object_list(toks, subj, pred)
+            kind, val = toks.peek()
+            if kind == "punct" and val == ";":
+                toks.next()
+                # allow trailing ';' before '.' or ']'
+                k2, v2 = toks.peek()
+                if k2 == "punct" and v2 in ".]":
+                    return
+                if k2 == "eof":
+                    return
+                continue
+            return
+
+    def _parse_object_list(self, toks: _Tokens, subj: Term, pred: Term):
+        while True:
+            obj = self._parse_term(toks, position="object")
+            self.triples.append((subj, pred, obj))
+            kind, val = toks.peek()
+            if kind == "punct" and val == ",":
+                toks.next()
+                continue
+            return
+
+    def _new_bnode(self) -> Term:
+        self._anon_count += 1
+        return bnode(f"{self._bnode_prefix}{self._anon_count}")
+
+    def _parse_bnode_property_list(self, toks: _Tokens) -> Term:
+        toks.expect("punct")  # '['  (peeked by caller)
+        node = self._new_bnode()
+        kind, val = toks.peek()
+        if not (kind == "punct" and val == "]"):
+            self._parse_predicate_object_list(toks, node)
+        k, v = toks.next()
+        if not (k == "punct" and v == "]"):
+            raise TurtleParseError(f"Expected ']', got {v!r}")
+        return node
+
+    def _parse_collection(self, toks: _Tokens) -> Term:
+        toks.next()  # '('
+        items: List[Term] = []
+        while True:
+            kind, val = toks.peek()
+            if kind == "punct" and val == ")":
+                toks.next()
+                break
+            items.append(self._parse_term(toks, position="object"))
+        if not items:
+            return iri(RDF_NIL)
+        head = self._new_bnode()
+        node = head
+        for idx, item in enumerate(items):
+            self.triples.append((node, iri(RDF_FIRST), item))
+            if idx == len(items) - 1:
+                self.triples.append((node, iri(RDF_REST), iri(RDF_NIL)))
+            else:
+                nxt = self._new_bnode()
+                self.triples.append((node, iri(RDF_REST), nxt))
+                node = nxt
+        return head
+
+    def _resolve(self, ref: str) -> str:
+        if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", ref):
+            # minimal relative-IRI resolution (absolute-enough for corpus)
+            if ref.startswith("#") or not ref:
+                return self.base + ref
+            return re.sub(r"[^/]*$", "", self.base) + ref
+        return ref
+
+    def _pname_to_iri(self, pname: str) -> str:
+        prefix, _, local = pname.partition(":")
+        if prefix not in self.prefixes:
+            raise TurtleParseError(f"Undefined prefix {prefix!r} in {pname!r}")
+        local = _PN_LOCAL_ESC.sub(r"\1", local)
+        return self.prefixes[prefix] + local
+
+    def _parse_term(self, toks: _Tokens, position: str) -> Term:
+        kind, val = toks.next()
+        if kind == "iriref":
+            return iri(self._resolve(unescape_string(val[1:-1])))
+        if kind == "pname":
+            return iri(self._pname_to_iri(val))
+        if kind == "kw_a" and position == "predicate":
+            return iri(RDF_TYPE)
+        if position == "predicate":
+            raise TurtleParseError(f"Invalid predicate token {val!r}")
+        if kind == "blank":
+            return bnode(self._bnode_prefix + "_" + val[2:])
+        if kind == "punct" and val == "[":
+            # push back the '[' for the property-list parser
+            toks._peeked = (kind, val)
+            return self._parse_bnode_property_list(toks)
+        if kind == "punct" and val == "(":
+            toks._peeked = (kind, val)
+            return self._parse_collection(toks)
+        if kind in ("string_dq", "string_sq", "string_long_dq", "string_long_sq"):
+            if kind.startswith("string_long"):
+                lex = unescape_string(val[3:-3])
+            else:
+                lex = unescape_string(val[1:-1])
+            nk, nv = toks.peek()
+            if nk == "langtag":
+                toks.next()
+                return literal(lex, lang=nv[1:])
+            if nk == "dtype":
+                toks.next()
+                dk, dv = toks.next()
+                if dk == "iriref":
+                    return literal(lex, datatype=self._resolve(dv[1:-1]))
+                if dk == "pname":
+                    return literal(lex, datatype=self._pname_to_iri(dv))
+                raise TurtleParseError(f"Bad datatype token {dv!r}")
+            return literal(lex)
+        if kind == "integer":
+            return literal(val, datatype=XSD_INTEGER)
+        if kind == "decimal":
+            return literal(val, datatype=XSD_DECIMAL)
+        if kind == "double":
+            return literal(val, datatype=XSD_DOUBLE)
+        if kind == "boolean":
+            return literal(val, datatype=XSD_BOOLEAN)
+        raise TurtleParseError(f"Unexpected token {val!r} in {position} position")
+
+
+def parse_turtle(
+    text: str, bnode_prefix: str = "b"
+) -> Tuple[List[Triple], Dict[str, str]]:
+    p = TurtleParser(bnode_prefix=bnode_prefix)
+    triples = p.parse(text)
+    return triples, p.prefixes
+
+
+# --------------------------------------------------------------------------
+# Serializer
+# --------------------------------------------------------------------------
+
+
+def _used_prefixes(
+    triples: Iterable[Triple], prefixes: Dict[str, str]
+) -> Dict[str, str]:
+    """Keep bindings whose namespace is a prefix of some term IRI
+    (incl. literal datatypes) — rdflib emits only bound+used prefixes,
+    and the reference's clean verb filters by substring membership
+    (/root/reference/rdfx/rdfx_cli.py:127-136)."""
+    iris = set()
+    for s, p, o in triples:
+        if s[0] == IRI:
+            iris.add(s[1])
+        if p[0] == IRI:
+            iris.add(p[1])
+        if o[0] == IRI:
+            iris.add(o[1])
+        elif o[0] == LITERAL and o[2]:
+            iris.add(o[2])
+    used = {}
+    for pref, ns in prefixes.items():
+        for u in iris:
+            if u.startswith(ns) and len(u) > len(ns):
+                used[pref] = ns
+                break
+    return used
+
+
+def _qname(u: str, ns_sorted: List[Tuple[str, str]], used: set) -> Optional[str]:
+    """Render an IRI as prefix:local when a binding covers it and the
+    local part is a valid PN_LOCAL (no '/', '#', ':' inside). Records
+    emitted prefixes in `used` so the header lists exactly the
+    bindings the body uses (rdflib emits only bound+used prefixes —
+    e.g. `rdf:` is absent from the goldens because rdf:type renders
+    as 'a')."""
+    for pref, ns in ns_sorted:
+        if u.startswith(ns) and len(u) > len(ns):
+            local = u[len(ns) :]
+            if re.fullmatch(r"[A-Za-z0-9_][A-Za-z0-9_.\-]*", local) and not local.endswith("."):
+                used.add(pref)
+                return f"{pref}:{local}"
+    return None
+
+
+def _ttl_term(t: Term, ns_sorted: List[Tuple[str, str]], used: set) -> str:
+    kind = t[0]
+    if kind == IRI:
+        q = _qname(t[1], ns_sorted, used)
+        return q if q else f"<{t[1]}>"
+    if kind == BNODE:
+        return f"_:{t[1]}"
+    lex = escape_literal(t[1])
+    dt, lang = t[2], t[3]
+    if lang:
+        return f'"{lex}"@{lang}'
+    if dt:
+        q = _qname(dt, ns_sorted, used)
+        dts = q if q else f"<{dt}>"
+        return f'"{lex}"^^{dts}'
+    return f'"{lex}"'
+
+
+def _term_sort_key(t: Term) -> Tuple:
+    # IRIs sort by value; bnodes and literals after, by their lexical parts
+    if t[0] == IRI:
+        return (0, t[1])
+    if t[0] == BNODE:
+        return (1, t[1])
+    return (2, t[1], t[2] or "", t[3] or "")
+
+
+def serialize_turtle(
+    triples: Iterable[Triple],
+    prefixes: Dict[str, str],
+    emit_unused_prefixes: bool = False,
+) -> str:
+    """Serialize to turtle matching the reference golden layout.
+
+    Ends with one trailing newline after the last statement block plus
+    one blank line — i.e. the string ends ``" .\\n\\n"`` exactly as the
+    reference's ``generate_string`` goldens do
+    (tests/test_persistence_systems_generic_methods.py:20-31).
+    """
+    tlist = list(triples)
+    ns = dict(prefixes)
+    if not emit_unused_prefixes:
+        ns = _used_prefixes(tlist, ns)
+    # longest-namespace-first so the most specific binding wins
+    ns_sorted = sorted(ns.items(), key=lambda kv: (-len(kv[1]), kv[0]))
+    used: set = set()
+
+    # group by subject
+    by_subj: Dict[Term, Dict[Term, List[Term]]] = {}
+    for s, p, o in tlist:
+        by_subj.setdefault(s, {}).setdefault(p, []).append(o)
+
+    blocks = []
+    for s in sorted(by_subj, key=_term_sort_key):
+        preds = by_subj[s]
+        # 'a' (rdf:type) first, then predicates sorted by IRI
+        pred_order = sorted(preds, key=lambda p: (p[1] != RDF_TYPE, p[1]))
+        lines = []
+        subj_str = _ttl_term(s, ns_sorted, used)
+        for pi, p in enumerate(pred_order):
+            pred_str = "a" if p[1] == RDF_TYPE else _ttl_term(p, ns_sorted, used)
+            objs = sorted(set(preds[p]), key=_term_sort_key)
+            obj_strs = [_ttl_term(o, ns_sorted, used) for o in objs]
+            joined = ",\n        ".join(obj_strs)
+            if pi == 0:
+                lines.append(f"{subj_str} {pred_str} {joined}")
+            else:
+                lines.append(f"    {pred_str} {joined}")
+        blocks.append(" ;\n".join(lines) + " .\n")
+
+    header = "".join(
+        f"@prefix {p}: <{n}> .\n" for p, n in sorted(ns.items()) if p in used
+    )
+    body = "\n".join(blocks)
+    out = header
+    if header and body:
+        out += "\n"
+    out += body
+    if body:
+        out += "\n"
+    return out

@@ -1,0 +1,140 @@
+"""RDF core conformance tests, mirroring the reference's golden suite
+(/root/reference/tests/test_convert.py and
+tests/test_persistence_systems_generic_methods.py)."""
+
+from io import StringIO
+from pathlib import Path
+
+import pytest
+
+from rdfx_ray.persistence import PersistenceSystem, String
+from rdfx_ray.rdf import Graph, isomorphic
+from rdfx_ray.rdf.formats import VALID_RDF_FORMATS
+
+DATA = Path(__file__).parent / "data"
+
+GOLDEN_TTL = """@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix sdo: <https://schema.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+<http://orcid.org/0000-0002-8742-7730> a owl:NamedIndividual,
+        sdo:Person ;
+    sdo:affiliation <https://surroundaustralia.com> ;
+    sdo:email "nicholas.car@surroundaustralia.com"^^xsd:anyURI ;
+    sdo:jobTitle "Data Systems Architect" ;
+    sdo:name "Nicholas J. Car" .
+
+"""
+
+GOLDEN_NT = """<http://orcid.org/0000-0002-8742-7730> <https://schema.org/email> "nicholas.car@surroundaustralia.com"^^<http://www.w3.org/2001/XMLSchema#anyURI> .
+<http://orcid.org/0000-0002-8742-7730> <https://schema.org/affiliation> <https://surroundaustralia.com> .
+<http://orcid.org/0000-0002-8742-7730> <https://schema.org/jobTitle> "Data Systems Architect" .
+<http://orcid.org/0000-0002-8742-7730> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <https://schema.org/Person> .
+<http://orcid.org/0000-0002-8742-7730> <https://schema.org/name> "Nicholas J. Car" .
+<http://orcid.org/0000-0002-8742-7730> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/2002/07/owl#NamedIndividual> .
+
+"""
+
+
+@pytest.fixture(scope="module")
+def person_graph():
+    return Graph().parse((DATA / "file_01.ttl").read_text())
+
+
+def test_parse_counts(person_graph):
+    assert len(person_graph) == 6
+
+
+def test_ttl_to_nt_unordered_lineset(person_graph):
+    # the reference compares NT as an unordered line set
+    # (tests/test_convert.py:29-33)
+    out_lines = person_graph.serialize("nt").splitlines(keepends=True)
+    ref_lines = StringIO(GOLDEN_NT).readlines()
+    for line in out_lines:
+        assert line in ref_lines
+
+
+def test_turtle_golden_exact(person_graph):
+    assert person_graph.serialize("turtle") == GOLDEN_TTL
+
+
+def test_generate_string_with_comments(person_graph):
+    # reference_string_2/3 semantics
+    # (tests/test_persistence_systems_generic_methods.py:33-84)
+    c1 = "baseURI: https://data.surroundaustralia.com/manifest/3dcaddocs"
+    c2 = "imports: https://data.surroundaustralia.com/manifest/doc"
+    one = PersistenceSystem.generate_string(person_graph, "turtle", [c1])
+    assert one == f"# {c1}\n\n" + GOLDEN_TTL
+    two = PersistenceSystem.generate_string(person_graph, "turtle", [c1, c2])
+    assert two == f"# {c1}\n# {c2}\n\n" + GOLDEN_TTL
+
+
+def test_comment_validation():
+    g = Graph()
+    with pytest.raises(ValueError):
+        PersistenceSystem.generate_string(g, "nt", ["comment"])
+    with pytest.raises(ValueError):
+        PersistenceSystem.generate_string(g, "turtle", ["# starts with hash"])
+
+
+def test_all_valid_formats_serialize():
+    # reference: test_valid_types — every valid format serializes an
+    # empty graph without error
+    for fmt in VALID_RDF_FORMATS:
+        String().write(Graph(), rdf_format=fmt)
+
+
+def test_invalid_format_raises():
+    with pytest.raises(ValueError):
+        Graph().serialize("aslkdjfsadf")
+
+
+@pytest.mark.parametrize("name,fmt", [
+    ("file_01.ttl", "turtle"),
+    ("file_02.rdf", "xml"),
+    ("file_03.json-ld", "json-ld"),
+])
+def test_cross_format_roundtrips(name, fmt):
+    src = Graph().parse((DATA / name).read_text(), fmt)
+    assert len(src) == 6
+    for out_fmt in VALID_RDF_FORMATS:
+        back = Graph().parse(src.serialize(out_fmt), out_fmt)
+        assert isomorphic(src, back), f"{name} -> {out_fmt} roundtrip"
+
+
+def test_bnode_isomorphism():
+    a = Graph().parse('_:x <p:q> "v" .\n_:x <p:r> _:y .', "nt")
+    b = Graph().parse('_:m <p:q> "v" .\n_:m <p:r> _:n .', "nt")
+    c = Graph().parse('_:m <p:q> "v" .\n_:n <p:r> _:m .', "nt")
+    assert isomorphic(a, b)
+    assert not isomorphic(a, c)
+
+
+def test_turtle_constructs():
+    ttl = """
+    @prefix ex: <http://example.org/> .
+    @base <http://base.org/> .
+    ex:s ex:p ( 1 2.5 "three" ) ;
+         ex:q [ ex:r ex:o ; ex:n 4.2e1 ], true ;
+         ex:lang "bonjour"@fr .
+    <rel> a ex:T .
+    """
+    g = Graph().parse(ttl)
+    nt = g.serialize("nt")
+    assert '"bonjour"@fr' in nt
+    assert "<http://base.org/rel>" in nt
+    assert "rdf-syntax-ns#first> \"1\"" in nt
+    # nt roundtrip preserves isomorphism
+    assert isomorphic(g, Graph().parse(nt, "nt"))
+
+
+def test_literal_escapes():
+    g = Graph()
+    from rdfx_ray.rdf import iri, literal
+    g.add((iri("e:s"), iri("e:p"), literal('say "hi"\n\tdone\\')))
+    nt = g.serialize("nt")
+    assert '"say \\"hi\\"\\n\\tdone\\\\"' in nt
+    assert isomorphic(g, Graph().parse(nt, "nt"))
+    assert isomorphic(g, Graph().parse(g.serialize("turtle")))
+    assert isomorphic(g, Graph().parse(g.serialize("xml"), "xml"))
+    assert isomorphic(g, Graph().parse(g.serialize("json-ld"), "json-ld"))
