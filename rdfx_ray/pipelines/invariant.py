@@ -1,0 +1,88 @@
+"""Span-sequence invariant: reconstruct (kind, text, media_ref, order)
+per document from the OUTPUT graph and compare with the input
+(BASELINE.json input_hint per-row invariant).
+
+Works because every span becomes a skolem node
+``urn:skolem:{doc_id}:s{j}`` carrying rdf:type (kind), sdo:text,
+sdo:contentUrl (media_ref) and sdo:position (offset), and all triples
+of one span node share its subject-hash bucket — so reconstruction is
+bucket-local (no shuffle)."""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Tuple
+
+import pyarrow as pa
+
+from ..sources import vocab
+
+_SPAN_NODE = re.compile(r"^urn:skolem:(doc-\d{8}):s(\d+)$")
+_CLASS_TO_KIND = {v: k for k, v in vocab.SPAN_CLASSES.items()}
+
+SpanTuple = Tuple[str, str, str, int]  # kind, text, media_ref, offset
+
+
+def spans_from_triples(batch: pa.Table) -> Dict[str, List[Tuple[int, SpanTuple]]]:
+    """Rebuild span rows from one bucket's triples: doc_id →
+    [(span_idx, (kind, text, media_ref, offset))]."""
+    acc: Dict[Tuple[str, int], Dict[str, object]] = {}
+    subj = batch.column("subj").to_pylist()
+    pred = batch.column("pred").to_pylist()
+    obj_value = batch.column("obj_value").to_pylist()
+    for s, p, v in zip(subj, pred, obj_value):
+        m = _SPAN_NODE.match(s)
+        if not m:
+            continue
+        key = (m.group(1), int(m.group(2)))
+        slot = acc.setdefault(key, {"kind": None, "text": "", "media_ref": "",
+                                    "offset": None})
+        if p == vocab.RDF_TYPE:
+            slot["kind"] = _CLASS_TO_KIND.get(v, v)
+        elif p == vocab.SDO + "text":
+            slot["text"] = v
+        elif p == vocab.SDO + "contentUrl":
+            slot["media_ref"] = v
+        elif p == vocab.SDO + "position":
+            slot["offset"] = int(v)
+    out: Dict[str, List[Tuple[int, SpanTuple]]] = {}
+    for (doc_id, j), slot in acc.items():
+        out.setdefault(doc_id, []).append(
+            (j, (slot["kind"], slot["text"], slot["media_ref"], slot["offset"]))
+        )
+    return out
+
+
+def check_span_invariant(out_dir: str, input_uri: str) -> Dict[str, int]:
+    """Compare reconstructed span sequences against the input table.
+    Streams both sides; returns counts. Raises AssertionError on the
+    first mismatching document."""
+    import ray.data as rd
+
+    from ..store.lance_shim import LanceShim
+
+    # reconstruct from output (bucket-parallel)
+    from .kg import read_final_triples
+
+    recon: Dict[str, List[Tuple[int, SpanTuple]]] = {}
+    for batch in read_final_triples(out_dir).iter_batches(
+            batch_size=200_000, batch_format="pyarrow"):
+        for doc_id, items in spans_from_triples(batch).items():
+            recon.setdefault(doc_id, []).extend(items)
+
+    checked = 0
+    for batch in rd.read_parquet(LanceShim(input_uri).fragment_paths()) \
+                   .iter_batches(batch_size=4096, batch_format="pyarrow"):
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans = batch.column("spans").to_pylist()
+        for doc_id, row_spans in zip(doc_ids, spans):
+            got = sorted(recon.get(doc_id, []))
+            want = [
+                (j, (sp["kind"], sp["text"], sp["media_ref"], sp["offset"]))
+                for j, sp in enumerate(row_spans)
+            ]
+            assert got == want, (
+                f"span invariant violated for {doc_id}:\n got {got}\nwant {want}"
+            )
+            checked += 1
+    return {"docs_checked": checked}

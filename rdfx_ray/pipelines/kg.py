@@ -1,0 +1,184 @@
+"""The flagship pipeline: interleaved documents → deduplicated,
+partitioned N-Triples knowledge graph.
+
+Topology (Ray-Data-first, SURVEY.md §7 steps 3-6)::
+
+    for each input shard (group of Lance-shim fragments):     # resume unit 1
+        read_parquet(shard fragments)                          # column-pruned
+          → map_batches(ExtractLink, concurrency=A)            # actor pool
+          → map_batches(write_partitioned_batch)               # map-side shuffle
+        commit stage1-shard manifest
+    control dataset of buckets                                 # resume unit 2
+          → map_batches(BucketFinalizer, concurrency=B)        # dedup + NT
+    job manifest with docs/s + triples/s metrics
+
+The only all-to-all movement is the write-side bucket exchange; there
+is no driver-side materialization of data (only tiny stats tables).
+The reference equivalent is parse → merge-into-one-Graph → serialize
+(rdfx/rdfx_cli.py:70,91-94) — whole-graph-in-RAM, which this design
+replaces (SURVEY.md §3.2 "the core scalability wall").
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+from ..sinks.partitioned import BucketFinalizer, write_partitioned_batch
+from ..sources import vocab
+from ..stages.extract import ExtractLink
+from ..state.manifest import CheckpointLedger
+from ..store.lance_shim import LanceShim
+
+
+@dataclass
+class KGConfig:
+    n_buckets: int = 32           # output partitions; scale with data volume
+    n_entities: int = 10_000
+    batch_size: int = 1024        # docs per extract batch
+    extract_concurrency: int = 4  # actor pool size for ExtractLink
+    finalize_concurrency: int = 4
+    shard_fragments: int = 4      # input fragments per checkpoint shard
+    salt_chunk_rows: int = 2_000_000
+    write_nt: bool = True
+    broadcast_alias: bool = True  # ray.put the alias dict once per job
+    # test-only failpoint: raise after committing this many shards, to
+    # drill the kill/resume path (north_rule resumability criterion)
+    failpoint_after_shards: Optional[int] = None
+
+
+def run_kg_pipeline(input_uri: str, out_dir: str,
+                    config: Optional[KGConfig] = None) -> Dict[str, Any]:
+    """Run (or resume) the KG-construction pipeline. Assumes Ray is
+    already initialised (driver contract)."""
+    import ray
+    import ray.data as rd
+
+    cfg = config or KGConfig()
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    ledger = CheckpointLedger(out)
+
+    shim = LanceShim(input_uri)
+    manifest = shim.latest_manifest()
+    if manifest is None:
+        raise FileNotFoundError(f"No committed input dataset at {input_uri}")
+    frag_paths = shim.fragment_paths()
+    n_docs_total = manifest["rows"]
+
+    # broadcast the linker dictionary once; every actor ray.get()s the
+    # same immutable copy from the object store (no per-batch reship)
+    alias_ref = None
+    if cfg.broadcast_alias:
+        alias_ref = ray.put(vocab.build_alias_index(cfg.n_entities))
+
+    t_start = time.time()
+    shard_stats: List[Dict[str, Any]] = []
+    shards = [frag_paths[i:i + cfg.shard_fragments]
+              for i in range(0, len(frag_paths), cfg.shard_fragments)]
+
+    docs_processed = 0
+    triples_written = 0
+    for s, paths in enumerate(shards):
+        unit = f"stage1-shard-{s:05d}"
+        committed = ledger.read(unit)
+        if committed is not None:
+            shard_stats.append(committed)
+            docs_processed += committed["docs"]
+            triples_written += committed["triples"]
+            continue
+        t0 = time.time()
+        ds = rd.read_parquet(paths)
+        triples = ds.map_batches(
+            ExtractLink,
+            fn_constructor_kwargs={
+                "n_entities": cfg.n_entities,
+                "n_buckets": cfg.n_buckets,
+                "alias_ref": alias_ref,
+            },
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.extract_concurrency,
+        )
+        stats_ds = triples.map_batches(
+            write_partitioned_batch,
+            fn_kwargs={"out_dir": str(out), "shard_id": s},
+            batch_format="pyarrow",
+        )
+        stats = stats_ds.to_pandas()  # tiny: one row per (task, bucket)
+        n_docs = sum(_parquet_rows(p) for p in paths)
+        payload = {
+            "shard": s,
+            "docs": int(n_docs),
+            "triples": int(stats["rows"].sum()),
+            "seconds": round(time.time() - t0, 4),
+            "fragments": {
+                str(b): grp["path"].tolist()
+                for b, grp in stats.groupby("bucket")
+            },
+            "input_paths": paths,
+        }
+        ledger.commit(unit, payload)
+        shard_stats.append(payload)
+        docs_processed += payload["docs"]
+        triples_written += payload["triples"]
+        if (cfg.failpoint_after_shards is not None
+                and s + 1 >= cfg.failpoint_after_shards):
+            raise RuntimeError(
+                f"failpoint: killed after {s + 1} committed shards"
+            )
+
+    # -- stage 2: bucket finalize (dedup + materialize) ----------------------
+    bucket_files: Dict[int, List[str]] = {b: [] for b in range(cfg.n_buckets)}
+    for st in shard_stats:
+        for b, paths in st["fragments"].items():
+            bucket_files[int(b)].extend(paths)
+
+    control = rd.from_items([
+        {"bucket": b, "paths": paths} for b, paths in bucket_files.items()
+    ])
+    result = control.map_batches(
+        BucketFinalizer,
+        fn_constructor_kwargs={
+            "out_dir": str(out),
+            "salt_chunk_rows": cfg.salt_chunk_rows,
+            "write_nt": cfg.write_nt,
+        },
+        batch_format="pyarrow",
+        batch_size=1,              # one bucket per call → per-bucket commit
+        concurrency=cfg.finalize_concurrency,
+    ).to_pandas()
+
+    wall = time.time() - t_start
+    final_triples = int(result["rows"].sum())
+    job = {
+        "input_uri": str(input_uri),
+        "out_dir": str(out),
+        "n_docs": int(n_docs_total),
+        "docs_processed_this_run": int(docs_processed),
+        "triples_pre_dedup": int(triples_written),
+        "triples_final": final_triples,
+        "n_buckets": cfg.n_buckets,
+        "wall_seconds": round(wall, 4),
+        "docs_per_sec": round(n_docs_total / wall, 2) if wall > 0 else None,
+        "triples_per_sec": round(final_triples / wall, 2) if wall > 0 else None,
+        "buckets_skipped_resume": int(result["skipped"].sum()),
+    }
+    ledger.commit("job", job)
+    return job
+
+
+def _parquet_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def read_final_triples(out_dir: str):
+    """The finished KG as a Ray Dataset (one parquet per bucket)."""
+    import ray.data as rd
+    paths = sorted(str(p) for p in Path(out_dir).glob("final/bucket=*/triples.parquet"))
+    if not paths:
+        raise FileNotFoundError(f"No finalized buckets under {out_dir}")
+    return rd.read_parquet(paths)

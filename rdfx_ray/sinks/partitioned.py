@@ -1,0 +1,165 @@
+"""Partitioned triple materialization: the engine's only shuffle.
+
+Stage 1 (map side): each extract task splits its output batch by
+``bucket = hash(subj) % P`` and appends one parquet fragment per
+bucket under ``stage1/shard=<s>/bucket=<b>/`` — a write-side exchange
+(map-side shuffle files) instead of an in-memory all-to-all, chosen
+because it makes every shard independently checkpointable and
+restartable (SURVEY.md §4). Task retries may leave orphan duplicate
+fragments; that is safe by construction because stage 2 performs exact
+dedup and only reads fragments listed in committed shard manifests.
+
+Stage 2 (reduce side): one task per bucket reads that bucket's
+fragments across all shards, exact-dedups on the full triple key
+(keep-first by (doc_rank, span_idx) — deterministic lineage), and
+writes the final partition: sorted parquet + sorted ``.nt`` text +
+its own checkpoint manifest. Hub-entity skew needs no special pass
+here: dedup keys are full triples, so sub-chunking by triple hash
+("salting") keeps correctness while bounding per-chunk work
+(SURVEY.md §4 'salting by full-triple-hash stays correct').
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..stages.schema import TRIPLE_KEY_COLUMNS, TRIPLES_SCHEMA
+from ..state.manifest import CheckpointLedger
+from .nt_lines import nt_lines
+
+STATS_SCHEMA = pa.schema([
+    pa.field("bucket", pa.int32()),
+    pa.field("path", pa.string()),
+    pa.field("rows", pa.int64()),
+])
+
+
+def write_partitioned_batch(batch: pa.Table, *, out_dir: str,
+                            shard_id: int) -> pa.Table:
+    """map_batches kernel: split one triple batch by bucket and write a
+    parquet fragment per bucket. Fragment names are unique per task
+    attempt (uuid) — idempotency comes from manifest-listed reads +
+    stage-2 dedup, not from overwrites."""
+    out = Path(out_dir)
+    buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+    order = np.argsort(buckets, kind="stable")
+    sorted_tbl = batch.take(pa.array(order))
+    sorted_buckets = buckets[order]
+    bounds = np.flatnonzero(np.diff(sorted_buckets)) + 1
+    starts = np.concatenate([[0], bounds])
+    stops = np.concatenate([bounds, [len(sorted_buckets)]])
+
+    stats: Dict[str, List[Any]] = {"bucket": [], "path": [], "rows": []}
+    for lo, hi in zip(starts, stops):
+        if hi == lo:
+            continue
+        b = int(sorted_buckets[lo])
+        part = sorted_tbl.slice(lo, hi - lo).drop_columns(["bucket"])
+        d = out / "stage1" / f"shard={shard_id:05d}" / f"bucket={b:05d}"
+        d.mkdir(parents=True, exist_ok=True)
+        path = d / f"{uuid.uuid4().hex}.parquet"
+        pq.write_table(part, path, compression="zstd")
+        stats["bucket"].append(b)
+        stats["path"].append(str(path.relative_to(out)))
+        stats["rows"].append(part.num_rows)
+    return pa.Table.from_pydict(stats, schema=STATS_SCHEMA)
+
+
+class BucketFinalizer:
+    """Actor-pool stage over the control dataset of buckets (one row
+    per bucket: bucket id + its stage-1 fragment paths). Each call
+    finalizes one bucket end-to-end and commits its checkpoint, so a
+    killed run resumes at bucket granularity."""
+
+    def __init__(self, out_dir: str, salt_chunk_rows: int = 2_000_000,
+                 write_nt: bool = True):
+        self.out = Path(out_dir)
+        self.ledger = CheckpointLedger(self.out)
+        self.salt_chunk_rows = salt_chunk_rows
+        self.write_nt = write_nt
+
+    def _dedup(self, table: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(table)
+        # keep-first by lineage order → deterministic winner
+        df = df.sort(["doc_rank", "span_idx"])
+        if df.height > self.salt_chunk_rows:
+            # salt: split by full-triple hash; identical triples share a
+            # chunk, so per-chunk dedup is globally exact
+            n_chunks = (df.height + self.salt_chunk_rows - 1) // self.salt_chunk_rows
+            df = df.with_columns(
+                (pl.struct(TRIPLE_KEY_COLUMNS).hash(seed=0) % n_chunks)
+                .alias("_salt")
+            )
+            parts = [
+                part.unique(subset=TRIPLE_KEY_COLUMNS, keep="first",
+                            maintain_order=True).drop("_salt")
+                for _, part in df.group_by("_salt")
+            ]
+            df = pl.concat(parts).sort(["doc_rank", "span_idx"])
+        else:
+            df = df.unique(subset=TRIPLE_KEY_COLUMNS, keep="first",
+                           maintain_order=True)
+        out = df.sort(["subj", "pred", "obj_kind", "obj_value"]).to_arrow()
+        # polars emits large_string; normalize back to the engine schema
+        return out.cast(table.schema)
+
+    def __call__(self, control: pa.Table) -> pa.Table:
+        results = {"bucket": [], "rows": [], "skipped": [], "seconds": []}
+        for row in control.to_pylist():
+            b = int(row["bucket"])
+            unit = f"stage2-bucket-{b:05d}"
+            if self.ledger.is_committed(unit):
+                done = self.ledger.read(unit)
+                results["bucket"].append(b)
+                results["rows"].append(done["rows"])
+                results["skipped"].append(True)
+                results["seconds"].append(0.0)
+                continue
+            t0 = time.time()
+            paths = [str(self.out / p) for p in row["paths"]]
+            # explicit column list: keeps hive-style dir names from being
+            # inferred as extra partition columns
+            table = (
+                pq.read_table(paths, columns=[f.name for f in TRIPLES_SCHEMA])
+                if paths else None
+            )
+            if table is None or table.num_rows == 0:
+                deduped = None
+                n = 0
+            else:
+                deduped = self._dedup(table)
+                n = deduped.num_rows
+            d = self.out / "final" / f"bucket={b:05d}"
+            d.mkdir(parents=True, exist_ok=True)
+            nt_bytes = 0
+            if deduped is not None:
+                pq.write_table(deduped, d / "triples.parquet",
+                               compression="zstd")
+                if self.write_nt:
+                    lines = nt_lines(deduped)
+                    data = ("\n".join(lines.tolist()) + "\n").encode("utf-8")
+                    (d / f"part-{b:05d}.nt").write_bytes(data)
+                    nt_bytes = len(data)
+            secs = time.time() - t0
+            self.ledger.commit(unit, {
+                "bucket": b,
+                "rows": n,
+                "nt_bytes": nt_bytes,
+                "seconds": round(secs, 4),
+                "input_fragments": row["paths"],
+                "graph_iri": f"urn:graph:bucket-{b:04d}",
+            })
+            results["bucket"].append(b)
+            results["rows"].append(n)
+            results["skipped"].append(False)
+            results["seconds"].append(round(secs, 4))
+        return pa.Table.from_pydict(results)

@@ -1,0 +1,40 @@
+"""Arrow schemas for the two logical tables of the engine
+(SURVEY.md §1.2; input shape fixed by BASELINE.json input_hint)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+SPAN_STRUCT = pa.struct([
+    pa.field("kind", pa.string()),
+    pa.field("text", pa.string()),
+    pa.field("media_ref", pa.string()),
+    pa.field("offset", pa.int32()),
+])
+
+DOCUMENTS_SCHEMA = pa.schema([
+    pa.field("doc_id", pa.string()),
+    pa.field("spans", pa.list_(SPAN_STRUCT)),
+])
+
+# Columnar triple table: the distributed Graph. doc_rank is the integer
+# form of doc_id ("doc-{rank:08d}") so lineage aggregates stay numeric.
+TRIPLES_SCHEMA = pa.schema([
+    pa.field("subj", pa.string()),
+    pa.field("pred", pa.string()),
+    pa.field("obj_kind", pa.string()),       # 'iri' | 'literal' | 'bnode'
+    pa.field("obj_value", pa.string()),
+    pa.field("obj_datatype", pa.string()),   # null = plain literal
+    pa.field("obj_lang", pa.string()),       # null = no language tag
+    pa.field("graph_iri", pa.string()),      # output partition key
+    pa.field("doc_rank", pa.int64()),        # lineage
+    pa.field("span_idx", pa.int32()),        # lineage
+])
+
+TRIPLE_KEY_COLUMNS = [
+    "subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lang",
+]
+
+
+def doc_id_from_rank(rank: int) -> str:
+    return f"doc-{rank:08d}"

@@ -1,0 +1,135 @@
+"""End-to-end tests for the flagship KG-construction pipeline:
+P/R vs rule-derived goldens, span-sequence invariant, kill/resume
+drill with byte-identical output (SURVEY.md §5 adopted criteria)."""
+
+import hashlib
+import json
+import shutil
+from pathlib import Path
+
+import pytest
+
+from rdfx_ray.pipelines.invariant import check_span_invariant
+from rdfx_ray.pipelines.kg import KGConfig, read_final_triples, run_kg_pipeline
+from rdfx_ray.sources.documents import (
+    CorpusSpec,
+    generate_documents,
+    golden_triples_for_doc,
+)
+
+N_DOCS = 1200
+N_ENTITIES = 400
+CFG = dict(n_buckets=8, n_entities=N_ENTITIES, batch_size=256,
+           extract_concurrency=2, finalize_concurrency=2, shard_fragments=2)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory, ray_session):
+    root = tmp_path_factory.mktemp("kg")
+    uri = str(root / "input")
+    generate_documents(uri, n_docs=N_DOCS, n_entities=N_ENTITIES,
+                       fragment_rows=256)
+    return root, uri
+
+
+@pytest.fixture(scope="module")
+def finished_run(corpus):
+    root, uri = corpus
+    out = str(root / "out")
+    job = run_kg_pipeline(uri, out, KGConfig(**CFG))
+    return root, uri, out, job
+
+
+def _triple_set(out_dir):
+    got = set()
+    for b in read_final_triples(out_dir).iter_batches(
+            batch_size=100_000, batch_format="pyarrow"):
+        for r in zip(*[b.column(c).to_pylist() for c in
+                       ["subj", "pred", "obj_kind", "obj_value",
+                        "obj_datatype", "obj_lang"]]):
+            got.add(r)
+    return got
+
+
+def _golden_set():
+    spec = CorpusSpec(N_DOCS, seed=42, n_entities=N_ENTITIES)
+    want = set()
+    for rank in range(N_DOCS):
+        want |= golden_triples_for_doc(spec, rank)
+    return want
+
+
+def _nt_hashes(out_dir):
+    return {
+        p.name: hashlib.md5(p.read_bytes()).hexdigest()
+        for p in sorted(Path(out_dir).glob("final/bucket=*/part-*.nt"))
+    }
+
+
+def test_precision_recall(finished_run):
+    _, _, out, job = finished_run
+    got = _triple_set(out)
+    want = _golden_set()
+    inter = len(got & want)
+    precision = inter / len(got)
+    recall = inter / len(want)
+    # target is ≥0.95 (BASELINE.json); the deterministic pipeline
+    # should in fact be exact
+    assert precision >= 0.95 and recall >= 0.95
+    assert precision == 1.0 and recall == 1.0
+    assert job["triples_final"] == len(want)
+
+
+def test_span_invariant(finished_run):
+    _, uri, out, _ = finished_run
+    res = check_span_invariant(out, uri)
+    assert res["docs_checked"] == N_DOCS
+
+
+def test_dedup_exactness(finished_run):
+    _, _, out, job = finished_run
+    # entity attribute triples repeat across mentioning docs pre-dedup
+    assert job["triples_pre_dedup"] > job["triples_final"]
+    got = _triple_set(out)
+    assert len(got) == job["triples_final"]  # no duplicates survive
+
+
+def test_kill_resume_identical_output(corpus):
+    root, uri = corpus
+    out = str(root / "out_resume")
+    # killed run: fails after 1 committed shard
+    with pytest.raises(RuntimeError, match="failpoint"):
+        run_kg_pipeline(uri, out, KGConfig(**CFG, failpoint_after_shards=1))
+    ledger_dir = Path(out) / "_checkpoints"
+    committed_before = {p.name for p in ledger_dir.glob("stage1-*.json")}
+    assert len(committed_before) == 1
+
+    # resumed run completes; committed shard is not recomputed (its
+    # manifest payload is identical object, fragments untouched)
+    frag_mtimes = {
+        p: p.stat().st_mtime_ns
+        for p in Path(out).glob("stage1/shard=00000/**/*.parquet")
+    }
+    job = run_kg_pipeline(uri, out, KGConfig(**CFG))
+    for p, mtime in frag_mtimes.items():
+        assert p.stat().st_mtime_ns == mtime, "committed shard was rewritten"
+
+    # outputs byte-identical to the uninterrupted reference run
+    ref_out = str(root / "out")
+    if not Path(ref_out).exists():
+        run_kg_pipeline(uri, ref_out, KGConfig(**CFG))
+    assert _nt_hashes(out) == _nt_hashes(ref_out)
+
+
+def test_rerun_skips_everything(finished_run):
+    _, uri, out, _ = finished_run
+    job2 = run_kg_pipeline(uri, out, KGConfig(**CFG))
+    assert job2["buckets_skipped_resume"] == CFG["n_buckets"]
+
+
+def test_hub_skew_present(corpus):
+    # the generator's skew knob concentrates ~5% of docs on one hub
+    # entity; assert the hub's mention degree dominates
+    spec = CorpusSpec(N_DOCS, seed=42, n_entities=N_ENTITIES)
+    hub_docs = sum(spec.is_hub_doc(r) for r in range(N_DOCS))
+    assert hub_docs >= N_DOCS * 0.02
