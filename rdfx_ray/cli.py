@@ -1,0 +1,121 @@
+"""Command-line interface.
+
+Mirrors the reference CLI surface (rdfx/rdfx_cli.py:155-219: verbs
+convert/merge/clean with -f/-o/--comments) and adds the engine verbs:
+``extract`` (the flagship KG pipeline), ``gen`` (synthetic corpus).
+
+Owns its Ray session (guarded init) — library code never calls
+ray.init (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+from .persistence import File, prepare_files_list
+from .pipelines.verbs import clean_ttl, convert, merge
+
+
+def _ensure_ray(num_cpus=None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    parser = argparse.ArgumentParser(prog="rdfx_ray")
+    sub = parser.add_subparsers(dest="method", required=True)
+
+    for verb in ("convert", "merge", "clean"):
+        p = sub.add_parser(verb)
+        p.add_argument("data", nargs="+", type=str,
+                       help="RDF file(s) or directory")
+        p.add_argument("--format", "-f", type=str,
+                       help="output RDF format token")
+        p.add_argument("-o", "--output", type=str,
+                       help="output directory (default: cwd)")
+        p.add_argument("--comments", type=str,
+                       help="comment to prepend (turtle only)")
+        p.add_argument("--distributed", action="store_true",
+                       help="run via Ray Data (many/large files)")
+
+    pe = sub.add_parser("extract", help="documents → KG pipeline")
+    pe.add_argument("--input", required=True, help="lance-shim dataset uri")
+    pe.add_argument("--output", required=True, help="output directory")
+    pe.add_argument("--buckets", type=int, default=32)
+    pe.add_argument("--entities", type=int, default=10_000)
+    pe.add_argument("--batch-size", type=int, default=1024)
+    pe.add_argument("--concurrency", type=int, default=4)
+    pe.add_argument("--cpus", type=int, default=None)
+
+    pg = sub.add_parser("gen", help="generate synthetic corpus")
+    pg.add_argument("--output", required=True)
+    pg.add_argument("--docs", type=int, default=10_000)
+    pg.add_argument("--entities", type=int, default=10_000)
+    pg.add_argument("--seed", type=int, default=42)
+
+    args = parser.parse_args(argv)
+
+    if args.method in ("convert", "merge", "clean"):
+        output_loc = Path(args.output) if getattr(args, "output", None) \
+            else Path(os.getcwd())
+        comments = [args.comments] if getattr(args, "comments", None) else None
+
+        if args.method == "merge":
+            files_list = prepare_files_list(args.data)
+            if args.distributed:
+                _ensure_ray()
+                from .pipelines.verbs import merge_files
+                merge_files(files_list, output_loc / "merged",
+                            args.format or "nt", comments)
+            else:
+                ps = File(directory=output_loc)
+                merge(files_list, ps, args.format, "merged", comments)
+        elif args.method == "convert":
+            files_list = prepare_files_list(args.data)
+            if args.distributed:
+                _ensure_ray()
+                from .pipelines.verbs import convert_files
+                convert_files(files_list, output_loc, args.format, comments)
+            else:
+                ps = File(directory=output_loc)
+                for file in files_list:
+                    convert(file, ps, Path(file).stem, args.format, comments)
+        else:  # clean
+            for file in prepare_files_list(args.data):
+                clean_ttl(file)
+        return 0
+
+    if args.method == "extract":
+        _ensure_ray(args.cpus)
+        from .pipelines.kg import KGConfig, run_kg_pipeline
+        job = run_kg_pipeline(args.input, args.output, KGConfig(
+            n_buckets=args.buckets, n_entities=args.entities,
+            batch_size=args.batch_size, extract_concurrency=args.concurrency,
+            finalize_concurrency=args.concurrency,
+        ))
+        import json
+        print(json.dumps(job))
+        import ray
+        ray.shutdown()
+        return 0
+
+    if args.method == "gen":
+        from .sources.documents import generate_documents
+        shim = generate_documents(args.output, n_docs=args.docs,
+                                  n_entities=args.entities, seed=args.seed)
+        print(f"wrote {shim.count_rows()} docs to {args.output}")
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,135 @@
+"""convert / merge / clean verb tests, mirroring the reference e2e
+suites (tests/test_convert.py, test_merge.py, test_cmd_line_util.py)."""
+
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from rdfx_ray.persistence import File
+from rdfx_ray.pipelines.verbs import clean_ttl, convert, merge
+from rdfx_ray.rdf import Graph, isomorphic
+
+DATA = Path(__file__).parent / "data"
+
+
+def test_convert_writes_beside_input(tmp_path):
+    # the reference quirk: -o is overridden, converted files land
+    # beside inputs (rdfx/rdfx_cli.py:69-71)
+    src = tmp_path / "file_01.ttl"
+    shutil.copy(DATA / "file_01.ttl", src)
+    ps = File(tmp_path / "elsewhere")
+    convert(src, ps, "converted", "nt")
+    out = tmp_path / "converted.nt"
+    assert out.exists()
+    assert not (tmp_path / "elsewhere" / "converted.nt").exists()
+    g = Graph().parse(out.read_text(), "nt")
+    assert len(g) == 6
+
+
+def test_convert_all_formats_roundtrip(tmp_path):
+    src_graph = Graph().parse((DATA / "file_01.ttl").read_text())
+    for fmt in ("turtle", "xml", "json-ld", "nt", "n3"):
+        src = tmp_path / f"in_{fmt}.ttl"
+        shutil.copy(DATA / "file_01.ttl", src)
+        convert(src, File(tmp_path), f"out_{fmt}", fmt)
+        out = tmp_path / f"out_{fmt}.{fmt}"
+        back = Graph().parse(out.read_text(), fmt)
+        assert isomorphic(src_graph, back), fmt
+
+
+def test_merge_three_files_18_triples(tmp_path):
+    # FIXTURES.md §4: distinct subjects → 18 triples
+    files = [DATA / "file_01.ttl", DATA / "file_02.rdf", DATA / "file_03.json-ld"]
+    ps = File(tmp_path)
+    merge(files, ps, "nt", "merged")
+    g = Graph().parse((tmp_path / "merged.nt").read_text(), "nt")
+    assert len(g) == 18
+
+
+def test_merge_self_dedups(tmp_path):
+    files = [DATA / "file_01.ttl", DATA / "file_01.ttl"]
+    merge(files, File(tmp_path), "nt", "merged")
+    g = Graph().parse((tmp_path / "merged.nt").read_text(), "nt")
+    assert len(g) == 6
+
+
+def test_merge_rejects_unknown_suffix(tmp_path):
+    bad = tmp_path / "data.csv"
+    bad.write_text("x")
+    with pytest.raises(ValueError, match="known RDF suffix"):
+        merge([bad], File(tmp_path), "nt", "merged")
+
+
+def test_clean_ttl_drops_unused_prefix(tmp_path):
+    src = tmp_path / "dirty.ttl"
+    src.write_text(
+        "# keep this comment\n\n"
+        "@prefix used: <http://used.example/> .\n"
+        "@prefix unused: <http://unused.example/> .\n\n"
+        "used:s used:p used:o .\n"
+    )
+    out = clean_ttl(src)
+    text = out.read_text()
+    assert "unused.example" not in text
+    assert "@prefix used: <http://used.example/> ." in text
+    assert text.startswith("# keep this comment\n\n")
+    g = Graph().parse(text)
+    assert len(g) == 1
+
+
+def test_clean_ttl_sorted_prefixes(tmp_path):
+    src = tmp_path / "order.ttl"
+    src.write_text(
+        "@prefix zz: <http://zz.example/> .\n"
+        "@prefix aa: <http://aa.example/> .\n\n"
+        "zz:s zz:p aa:o .\n"
+    )
+    text = clean_ttl(src).read_text()
+    assert text.index("@prefix aa:") < text.index("@prefix zz:")
+
+
+def test_cli_convert_and_merge(tmp_path):
+    # subprocess e2e like the reference's test_cmd_line_util.py
+    work = tmp_path / "work"
+    work.mkdir()
+    for f in ("file_01.ttl", "file_02.rdf", "file_03.json-ld"):
+        shutil.copy(DATA / f, work / f)
+    r = subprocess.run(
+        [sys.executable, "-m", "rdfx_ray", "convert", "-f", "xml",
+         "-o", str(work), str(work / "file_01.ttl")],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    assert (work / "file_01.xml").exists()
+
+    r = subprocess.run(
+        [sys.executable, "-m", "rdfx_ray", "merge", "-f", "ttl",
+         "-o", str(tmp_path), str(work)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    merged = tmp_path / "merged.ttl"
+    assert merged.exists()
+    # merged graph holds all three subjects (18 + the 6 from the
+    # converted xml copy's subject duplicate = still 18 distinct)
+    g = Graph().parse(merged.read_text())
+    assert len(g) == 18
+
+
+def test_distributed_merge_matches_driver_merge(tmp_path, ray_session):
+    from rdfx_ray.pipelines.verbs import merge_files
+    files = [DATA / "file_01.ttl", DATA / "file_02.rdf",
+             DATA / "file_03.json-ld", DATA / "file_01.ttl"]
+    out = merge_files(files, tmp_path / "dmerged", "nt")
+    g = Graph().parse(out.read_text(), "nt")
+    assert len(g) == 18
+
+
+def test_distributed_convert(tmp_path, ray_session):
+    from rdfx_ray.pipelines.verbs import convert_files
+    written = convert_files([DATA / "file_01.ttl", DATA / "file_02.rdf"],
+                            tmp_path, "nt")
+    assert sorted(p.name for p in written) == ["file_01.nt", "file_02.nt"]
+    for p in written:
+        assert len(Graph().parse(p.read_text(), "nt")) == 6
