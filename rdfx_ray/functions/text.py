@@ -1,0 +1,146 @@
+"""Text-analysis operators over a documents table (doc_id, text, ...).
+
+All operators are ``map_batches`` transforms over pruned column reads;
+per-batch kernels are vectorized (pandas/pyarrow string kernels) or
+cheap C calls per row (md5). Oracle-equivalent DuckDB SQL for each is
+registered in ``__ray_entry__.oracle_sql`` — definitions are chosen so
+Python and DuckDB compute byte-identical results (verified parity:
+regexp_split tokenization, md5 hex, [a-zA-Z] alpha classes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _read_documents(sf_dir: str, columns):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+_WS = re.compile(r"\s+")
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc token/char/alpha counts (whitespace tokenization)."""
+    df = batch.to_pandas()
+    text = df["text"].fillna("")
+    # vectorized: split on whitespace runs, count non-empty pieces
+    n_tokens = text.str.split(_WS).map(lambda ts: sum(1 for t in ts if t))
+    n_chars = text.str.len()
+    n_alpha = text.str.count(r"[a-zA-Z]")
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"], pa.int64()),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_chars": pa.array(n_chars, pa.int64()),
+        "n_alpha": pa.array(n_alpha, pa.int64()),
+    })
+
+
+def token_stats(sf_dir: str):
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        token_stats_batch, batch_format="pyarrow", batch_size=8192)
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text (content-defined identity for exact dedup across formatting
+    differences)."""
+    df = batch.to_pandas()
+    norm = (df["text"].fillna("").str.lower()
+            .str.replace(_WS, " ", regex=True).str.strip())
+    fp = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm]
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"], pa.int64()),
+        "fingerprint": pa.array(fp, pa.string()),
+    })
+
+
+def fingerprints(sf_dir: str):
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow", batch_size=8192)
+
+
+# ---------------------------------------------------------------------------
+# Language ID (n-gram/stopword heuristic) — stateful actor stage
+# ---------------------------------------------------------------------------
+
+_LANG_PROFILES: Dict[str, set] = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu"},
+    "fr": {"le", "la", "et", "les", "des", "est", "un", "une", "que", "pour"},
+    "es": {"el", "la", "de", "que", "y", "los", "es", "en", "un", "una"},
+    "zh": set(),  # han-script detection below
+}
+
+
+class LangId:
+    """Actor-pool language identifier: profiles compiled once per
+    actor; per batch a vectorized tokenize + stopword vote. Heuristic
+    (closed-profile); deterministic."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-Zäöüéèàç]+")
+        self.han = re.compile(r"[一-鿿]")
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items() if v}
+
+    def _guess(self, text: str) -> str:
+        if self.han.search(text):
+            return "zh"
+        words = [w.lower() for w in self.word.findall(text)]
+        if not words:
+            return "und"
+        best, best_score = "und", 0
+        for lang, stops in self.profiles.items():
+            score = sum(1 for w in words if w in stops)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        guess = [self._guess(t or "") for t in df["text"]]
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"], pa.int64()),
+            "lang_pred": pa.array(guess, pa.string()),
+        })
+
+
+def lang_id(sf_dir: str, concurrency: int = 2):
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", batch_size=4096,
+        concurrency=concurrency)
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality signals per doc: counts plus ratio-based score in
+    [0, 100] (integer so results hash-compare exactly)."""
+    stats = token_stats_batch(batch).to_pandas()
+    n_chars = stats["n_chars"].to_numpy()
+    n_tokens = stats["n_tokens"].to_numpy()
+    n_alpha = stats["n_alpha"].to_numpy()
+    alpha_ratio = np.divide(n_alpha, np.maximum(n_chars, 1))
+    mean_tok = np.divide(n_chars, np.maximum(n_tokens, 1))
+    # floor(x + 0.5) rounding: identical semantics in numpy and SQL
+    # (np.rint / SQL ROUND disagree on exact halves)
+    score = (
+        np.clip(n_tokens, 0, 50) +                          # length credit
+        np.floor(alpha_ratio * 40 + 0.5).astype(np.int64) +  # alpha density
+        np.where((mean_tok >= 3) & (mean_tok <= 10), 10, 0)  # plausible words
+    ).astype(np.int64)
+    return pa.table({
+        "doc_id": pa.array(stats["doc_id"], pa.int64()),
+        "n_tokens": pa.array(stats["n_tokens"], pa.int64()),
+        "quality_score": pa.array(np.clip(score, 0, 100), pa.int64()),
+    })
+
+
+def quality_scores(sf_dir: str):
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow", batch_size=8192)

@@ -178,7 +178,11 @@ def _parquet_rows(path: str) -> int:
 def read_final_triples(out_dir: str):
     """The finished KG as a Ray Dataset (one parquet per bucket)."""
     import ray.data as rd
+
+    from ..stages.schema import TRIPLES_SCHEMA
     paths = sorted(str(p) for p in Path(out_dir).glob("final/bucket=*/triples.parquet"))
     if not paths:
         raise FileNotFoundError(f"No finalized buckets under {out_dir}")
-    return rd.read_parquet(paths)
+    # explicit columns: keeps the hive-style bucket= dir name from
+    # being inferred as an extra partition column
+    return rd.read_parquet(paths, columns=[f.name for f in TRIPLES_SCHEMA])

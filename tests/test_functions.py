@@ -1,0 +1,174 @@
+"""Training-data operator tests over /root/testdata/sf0.001 (read-only
+driver-generated tables) + DuckDB cross-checks for the oracled ops."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    return ray_session
+
+
+def test_token_stats_matches_duckdb():
+    import duckdb
+    from rdfx_ray.functions.text import token_stats
+    got = token_stats(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.sql(rf"""
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '')) AS n_tokens,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+        FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id
+    """).df()
+    assert (got["n_tokens"] == want["n_tokens"]).all()
+    assert (got["n_chars"] == want["n_chars"]).all()
+    assert (got["n_alpha"] == want["n_alpha"]).all()
+
+
+def test_fingerprint_matches_duckdb():
+    import duckdb
+    from rdfx_ray.functions.text import fingerprints
+    got = fingerprints(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = duckdb.sql(rf"""
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS fingerprint
+        FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id
+    """).df()
+    assert (got["fingerprint"] == want["fingerprint"]).all()
+
+
+def test_exact_dedup_keeps_min_doc():
+    from rdfx_ray.functions.dedup import exact_dedup
+    got = exact_dedup(SF).to_pandas()
+    assert got["dup_count"].sum() == len(got) or got["dup_count"].sum() >= len(got)
+    assert got["keeper_doc_id"].is_unique
+
+
+def test_minhash_detects_planted_duplicates(tmp_path):
+    # plant real near-dups: write a tiny documents table with two
+    # paraphrase pairs and distinct noise docs
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from rdfx_ray.functions.dedup import minhash_lsh_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest tonight looking for dinner")
+    near = base + " extra"
+    docs = {
+        "doc_id": [0, 1, 2, 3],
+        "text": [base, near,
+                 "completely different words about spark shuffle joins",
+                 "unrelated content mentioning tables and queries only"],
+    }
+    pq.write_table(pa.table(docs), tmp_path / "documents.parquet")
+    pairs = minhash_lsh_pairs(str(tmp_path), threshold=0.5).to_pandas()
+    assert [(0, 1)] == list(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert pairs["jaccard_pct"].iloc[0] >= 80
+
+
+def test_simhash_near_pair(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from rdfx_ray.functions.dedup import simhash_pairs
+
+    base = " ".join(f"word{i}" for i in range(60))
+    near = " ".join(f"word{i}" for i in range(59)) + " wordX"
+    pq.write_table(pa.table({"doc_id": [10, 11, 12],
+                             "text": [base, near, "short odd text"]}),
+                   tmp_path / "documents.parquet")
+    pairs = simhash_pairs(str(tmp_path)).to_pandas()
+    assert (10, 11) in set(zip(pairs["doc_a"], pairs["doc_b"]))
+
+
+def test_ann_brute_topk_exact():
+    from rdfx_ray.functions.similarity import brute_topk, default_queries
+    import pyarrow.parquet as pq
+
+    got = brute_topk(SF, k=5).to_pandas()
+    # exact check vs numpy on the full matrix
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q = default_queries(SF)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ m.T
+    for qi in range(len(qn)):
+        top = set(ids[np.argsort(-sims[qi])[:5]].tolist())
+        got_q = set(got[got["query_id"] == qi]["vec_id"].tolist())
+        assert got_q == top, f"query {qi}"
+
+
+def test_ann_ivf_recall():
+    from rdfx_ray.functions.similarity import brute_topk, ivf_topk
+    exact = brute_topk(SF, k=10).to_pandas()
+    approx = ivf_topk(SF, k=10, n_lists=8, nprobe=4).to_pandas()
+    recalls = []
+    for qi in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5  # nprobe=4 of 8 lists
+
+
+def test_lang_id_deterministic_and_sane():
+    from rdfx_ray.functions.text import LangId
+    li = LangId()
+    assert li._guess("the cat and the dog sat in the house for a while") == "en"
+    assert li._guess("der hund und die katze ist nicht da") == "de"
+    assert li._guess("中文文本检测") == "zh"
+    assert li._guess("") == "und"
+
+
+def test_media_decode_stub():
+    import pyarrow as pa
+    from rdfx_ray.functions.multimodal import MediaDecode, MEDIA_FEATURES_SCHEMA
+
+    batch = pa.table({"media_ref": ["media://doc-1/2", "media://doc-3/0"],
+                      "kind": ["image", "audio"]})
+    out = MediaDecode(fake=True)(batch)
+    assert out.schema.equals(MEDIA_FEATURES_SCHEMA)
+    assert out.num_rows == 2
+    # deterministic
+    out2 = MediaDecode(fake=True)(batch)
+    assert out.equals(out2)
+    with pytest.raises(NotImplementedError):
+        MediaDecode(fake=False)(batch)
+
+
+def test_media_features_over_corpus(tmp_path):
+    from rdfx_ray.functions.multimodal import media_features
+    from rdfx_ray.sources.documents import generate_documents
+    uri = str(tmp_path / "corpus")
+    generate_documents(uri, n_docs=200, n_entities=50, fragment_rows=100)
+    feats = media_features(uri).to_pandas()
+    assert len(feats) > 0
+    assert set(feats["kind"]).issubset({"image", "audio", "video", "table"})
+
+
+def test_pricing_summary_matches_duckdb():
+    import duckdb
+    from rdfx_ray.pipelines.analytics import pricing_summary
+    got = pricing_summary(SF).to_pandas().sort_values(
+        ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    want = duckdb.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(FLOOR(l_quantity*100+0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_qty_c,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT))
+                   AS BIGINT) AS sum_price_c,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*10000+0.5)
+                   AS BIGINT)) AS BIGINT) AS sum_disc_price_c4,
+               COUNT(*) AS count_order
+        FROM read_parquet('{SF}/lineitem.parquet')
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    for col in ("sum_qty_c", "sum_price_c", "sum_disc_price_c4", "count_order"):
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
