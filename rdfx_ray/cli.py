@@ -53,7 +53,8 @@ def main(argv=None):
     pe.add_argument("--buckets", type=int, default=32)
     pe.add_argument("--entities", type=int, default=10_000)
     pe.add_argument("--batch-size", type=int, default=1024)
-    pe.add_argument("--concurrency", type=int, default=4)
+    pe.add_argument("--concurrency", type=int, default=None,
+                    help="actor pool size (default: elastic tasks)")
     pe.add_argument("--cpus", type=int, default=None)
 
     pg = sub.add_parser("gen", help="generate synthetic corpus")

@@ -118,7 +118,16 @@ def _cached_minhasher(num_perm: int, seed: int) -> "MinHasher":
 class MinHashBands:
     """map_batches kernel: text → banded minhash rows
     (doc_id, band, band_hash), one output row per band per doc. Used
-    as a stateless task fn (state via _cached_minhasher)."""
+    as a stateless task fn (state via _cached_minhasher).
+
+    Fully vectorized over the batch: word hashes via pandas' siphash
+    (stable across processes), k-gram shingle hashes by stride
+    combination, all (perm × shingle) universal hashes in one numpy
+    product, per-doc minima via ``np.minimum.reduceat`` at doc
+    boundaries, band hashes by columnwise mixing. No per-doc Python in
+    the hot loop."""
+
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
 
     def __init__(self, num_perm: int = 128, bands: int = 32, seed: int = 7,
                  shingle_k: int = 3):
@@ -128,23 +137,65 @@ class MinHashBands:
         self.rows_per_band = num_perm // bands
         self.shingle_k = shingle_k
 
+    def _doc_shingles(self, texts) -> Tuple[np.ndarray, np.ndarray]:
+        """All shingle hashes of the batch + per-doc segment starts."""
+        k = self.shingle_k
+        words_per_doc = [[w for w in _WS.split((t or "").lower()) if w]
+                         for t in texts]
+        all_words = [w for ws in words_per_doc for w in ws]
+        wh = pd.util.hash_pandas_object(
+            pd.Series(all_words, dtype="object"), index=False).to_numpy()
+        shingles = []
+        starts = np.empty(len(texts), dtype=np.int64)
+        pos = 0
+        out_count = 0
+        mix = self._MIX
+        for di, ws in enumerate(words_per_doc):
+            n = len(ws)
+            h = wh[pos:pos + n]
+            pos += n
+            starts[di] = out_count
+            if n == 0:
+                shingles.append(np.array([np.uint64(0)], dtype=np.uint64))
+                out_count += 1
+            elif n < k:
+                acc = np.uint64(0)
+                for v in h:
+                    acc = (acc * mix) ^ v
+                shingles.append(np.array([acc], dtype=np.uint64))
+                out_count += 1
+            else:
+                acc = h[: n - k + 1].copy()
+                for off in range(1, k):
+                    acc = (acc * mix) ^ h[off: n - k + 1 + off]
+                shingles.append(acc)
+                out_count += len(acc)
+        return np.concatenate(shingles), starts
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
+        doc_ids = np.asarray(batch.column("doc_id").to_pylist(),
+                             dtype=np.int64)
         texts = batch.column("text").to_pylist()
-        out_doc, out_band, out_hash = [], [], []
-        for doc_id, text in zip(doc_ids, texts):
-            sig = self.hasher.signature(
-                _word_shingles(text or "", self.shingle_k))
-            banded = sig.reshape(self.bands, self.rows_per_band)
-            for b in range(self.bands):
-                bh = hashlib.md5(banded[b].tobytes()).hexdigest()[:16]
-                out_doc.append(doc_id)
-                out_band.append(b)
-                out_hash.append(bh)
+        n_docs = len(doc_ids)
+        sh, starts = self._doc_shingles(texts)
+
+        a, b = self.hasher.a, self.hasher.b
+        # (num_perm, total_shingles) universal hashes, then per-doc min
+        hashed = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
+        sig = np.minimum.reduceat(hashed, starts, axis=1)  # (perm, docs)
+
+        # band hashes: mix rows_per_band signature values per band
+        sig = sig.T.reshape(n_docs, self.bands, self.rows_per_band)
+        bh = np.zeros((n_docs, self.bands), dtype=np.uint64)
+        for r in range(self.rows_per_band):
+            bh = (bh * self._MIX) ^ sig[:, :, r]
+
+        band_idx = np.broadcast_to(np.arange(self.bands, dtype=np.int32),
+                                   (n_docs, self.bands))
         return pa.table({
-            "doc_id": pa.array(out_doc, pa.int64()),
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.string()),
+            "doc_id": pa.array(np.repeat(doc_ids, self.bands), pa.int64()),
+            "band": pa.array(band_idx.ravel(), pa.int32()),
+            "band_hash": pa.array(bh.ravel().view(np.int64), pa.int64()),
         })
 
 
@@ -228,24 +279,63 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6,
     texts_ref = ray.put(dict(zip(lookup_tbl.column("doc_id").to_pylist(),
                                  lookup_tbl.column("text").to_pylist())))
 
+    import polars as pl
+
     banded = ds.map_batches(
         _bands_kernel,
         fn_kwargs={"num_perm": num_perm, "bands": bands,
                    "shingle_k": shingle_k},
         batch_format="pyarrow", batch_size=4096,
-    )
+    ).materialize()  # small control table, reused twice below
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"].tolist()))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
-        return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
+    # Singleton-bucket prefilter. Almost every (band, band_hash)
+    # bucket holds exactly one doc; a generic shuffle-groupby here
+    # pays ~10s of fixed sort cost for a table this small. Instead:
+    # partial counts per block (vectorized polars group_by), combine
+    # the partials on the driver (bounded by the distinct-key count of
+    # the BAND table, orders of magnitude below the corpus; at 10^12
+    # docs this combine becomes its own tree-reduce / count-min pass),
+    # broadcast the hot keys, and semi-join-filter the band rows.
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        return (pl.from_arrow(batch).group_by(["band", "band_hash"])
+                  .len().rename({"len": "n"})
+                  .to_arrow().cast(pa.schema([
+                      ("band", pa.int32()), ("band_hash", pa.int64()),
+                      ("n", pa.int64())])))
 
-    candidates = (
-        banded.groupby(["band", "band_hash"])
-              .map_groups(bucket_pairs, batch_format="pandas")
-    )
+    parts = _dataset_to_table(
+        banded.map_batches(partial_counts, batch_format="pyarrow"))
+    hot = (pl.from_arrow(parts).group_by(["band", "band_hash"])
+             .agg(pl.col("n").sum()).filter(pl.col("n") > 1)
+             .select(["band", "band_hash"]))
+    if hot.height == 0:
+        return pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                          ("jaccard_pct", pa.int64())]).empty_table()
+    hot_ref = ray.put(hot.to_arrow())
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        hot_keys = pl.from_arrow(ray.get(hot_ref))
+        return (pl.from_arrow(batch)
+                  .join(hot_keys, on=["band", "band_hash"], how="semi")
+                  .to_arrow().cast(batch.schema))
+
+    # candidate rows = band rows in hot buckets: small by construction
+    cand_rows = pl.from_arrow(_dataset_to_table(
+        banded.map_batches(keep_hot, batch_format="pyarrow")))
+    pairs = set()
+    for (_, _), grp in cand_rows.group_by(["band", "band_hash"]):
+        ids = sorted(set(grp["doc_id"].to_list()))
+        for i, x in enumerate(ids):
+            for y in ids[i + 1:]:
+                pairs.add((x, y))
+    if not pairs:
+        return pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                          ("jaccard_pct", pa.int64())]).empty_table()
+    spairs = sorted(pairs)
+    candidates = rd.from_arrow(pa.table({
+        "doc_a": pa.array([a for a, _ in spairs], pa.int64()),
+        "doc_b": pa.array([b for _, b in spairs], pa.int64()),
+    }))
 
     verified = candidates.map_batches(
         _verify_kernel,

@@ -26,9 +26,13 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 
-from ..sinks.partitioned import BucketFinalizer, write_partitioned_batch
+from ..sinks.partitioned import (
+    BucketFinalizer,
+    finalize_buckets_kernel,
+    write_partitioned_batch,
+)
 from ..sources import vocab
-from ..stages.extract import ExtractLink
+from ..stages.extract import ExtractLink, extract_link_kernel
 from ..state.manifest import CheckpointLedger
 from ..store.lance_shim import LanceShim
 
@@ -38,8 +42,16 @@ class KGConfig:
     n_buckets: int = 32           # output partitions; scale with data volume
     n_entities: int = 10_000
     batch_size: int = 1024        # docs per extract batch
-    extract_concurrency: int = 4  # actor pool size for ExtractLink
-    finalize_concurrency: int = 4
+    # None = elastic stateless tasks (default; scales with the
+    # cluster). An int pins an actor pool of that size instead.
+    extract_concurrency: Optional[int] = None
+    finalize_concurrency: Optional[int] = None
+    # CPU ask per finalize task. A finalize task holds a whole bucket
+    # (read + dedup + serialize ≈ several × the bucket's bytes) in
+    # heap; asking for >1 CPU bounds concurrent finalizes so aggregate
+    # heap stays inside node memory — full-width concurrency here
+    # caused 40× slowdowns from memory pressure, not CPU.
+    finalize_num_cpus: float = 2.0
     shard_fragments: int = 4      # input fragments per checkpoint shard
     salt_chunk_rows: int = 2_000_000
     write_nt: bool = True
@@ -91,17 +103,31 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
             continue
         t0 = time.time()
         ds = rd.read_parquet(paths)
-        triples = ds.map_batches(
-            ExtractLink,
-            fn_constructor_kwargs={
-                "n_entities": cfg.n_entities,
-                "n_buckets": cfg.n_buckets,
-                "alias_ref": alias_ref,
-            },
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=cfg.extract_concurrency,
-        )
+        # stateless tasks (elastic; per-process state via the kernel
+        # cache). Set extract_concurrency to pin an actor pool instead.
+        if cfg.extract_concurrency is None:
+            triples = ds.map_batches(
+                extract_link_kernel,
+                fn_kwargs={
+                    "n_entities": cfg.n_entities,
+                    "n_buckets": cfg.n_buckets,
+                    "alias_ref": alias_ref,
+                },
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+            )
+        else:
+            triples = ds.map_batches(
+                ExtractLink,
+                fn_constructor_kwargs={
+                    "n_entities": cfg.n_entities,
+                    "n_buckets": cfg.n_buckets,
+                    "alias_ref": alias_ref,
+                },
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                concurrency=cfg.extract_concurrency,
+            )
         stats_ds = triples.map_batches(
             write_partitioned_batch,
             fn_kwargs={"out_dir": str(out), "shard_id": s},
@@ -139,17 +165,25 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
     control = rd.from_items([
         {"bucket": b, "paths": paths} for b, paths in bucket_files.items()
     ])
-    result = control.map_batches(
-        BucketFinalizer,
-        fn_constructor_kwargs={
-            "out_dir": str(out),
-            "salt_chunk_rows": cfg.salt_chunk_rows,
-            "write_nt": cfg.write_nt,
-        },
-        batch_format="pyarrow",
-        batch_size=1,              # one bucket per call → per-bucket commit
-        concurrency=cfg.finalize_concurrency,
-    ).to_pandas()
+    fin_kwargs = {
+        "out_dir": str(out),
+        "salt_chunk_rows": cfg.salt_chunk_rows,
+        "write_nt": cfg.write_nt,
+    }
+    if cfg.finalize_concurrency is None:
+        result = control.map_batches(
+            finalize_buckets_kernel, fn_kwargs=fin_kwargs,
+            batch_format="pyarrow",
+            batch_size=1,          # one bucket per call → per-bucket commit
+            num_cpus=cfg.finalize_num_cpus,
+        ).to_pandas()
+    else:
+        result = control.map_batches(
+            BucketFinalizer, fn_constructor_kwargs=fin_kwargs,
+            batch_format="pyarrow", batch_size=1,
+            concurrency=cfg.finalize_concurrency,
+            num_cpus=cfg.finalize_num_cpus,
+        ).to_pandas()
 
     wall = time.time() - t_start
     final_triples = int(result["rows"].sum())

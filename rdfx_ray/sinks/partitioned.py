@@ -65,7 +65,10 @@ def write_partitioned_batch(batch: pa.Table, *, out_dir: str,
         d = out / "stage1" / f"shard={shard_id:05d}" / f"bucket={b:05d}"
         d.mkdir(parents=True, exist_ok=True)
         path = d / f"{uuid.uuid4().hex}.parquet"
-        pq.write_table(part, path, compression="zstd")
+        # snappy: stage-1 fragments are transient shuffle files; cheap
+        # encode/decode beats ratio here (zstd compress was the
+        # dominant CPU in the sink)
+        pq.write_table(part, path, compression="snappy")
         stats["bucket"].append(b)
         stats["path"].append(str(path.relative_to(out)))
         stats["rows"].append(part.num_rows)
@@ -143,10 +146,11 @@ class BucketFinalizer:
             nt_bytes = 0
             if deduped is not None:
                 pq.write_table(deduped, d / "triples.parquet",
-                               compression="zstd")
+                               compression="snappy")
                 if self.write_nt:
                     lines = nt_lines(deduped)
-                    data = ("\n".join(lines.tolist()) + "\n").encode("utf-8")
+                    # C-level concat — no per-row Python string objects
+                    data = (lines.str.cat(sep="\n") + "\n").encode("utf-8")
                     (d / f"part-{b:05d}.nt").write_bytes(data)
                     nt_bytes = len(data)
             secs = time.time() - t0
@@ -163,3 +167,29 @@ class BucketFinalizer:
             results["skipped"].append(False)
             results["seconds"].append(round(secs, 4))
         return pa.Table.from_pydict(results)
+
+
+_THREADS_CAPPED = False
+
+
+def _cap_worker_threads(n: int = 2) -> None:
+    """Cap Arrow's per-process thread pools inside Ray workers. Many
+    concurrent tasks each spawning a machine-width zstd/IO pool
+    oversubscribes the node by an order of magnitude; per-task
+    parallelism belongs to Ray, not to nested pools."""
+    global _THREADS_CAPPED
+    if not _THREADS_CAPPED:
+        pa.set_cpu_count(n)
+        pa.set_io_thread_count(max(2, n))
+        _THREADS_CAPPED = True
+
+
+def finalize_buckets_kernel(control: pa.Table, *, out_dir: str,
+                            salt_chunk_rows: int = 2_000_000,
+                            write_nt: bool = True) -> pa.Table:
+    """Stateless-task wrapper around BucketFinalizer (construction is
+    just path setup) — elastic scheduling, no actor-pool CPU
+    reservation, so finalize parallelism tracks the cluster size."""
+    _cap_worker_threads(2)
+    return BucketFinalizer(out_dir, salt_chunk_rows=salt_chunk_rows,
+                           write_nt=write_nt)(control)

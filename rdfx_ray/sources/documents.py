@@ -174,3 +174,44 @@ def golden_triples_for_doc(spec: CorpusSpec, rank: int) -> Set[ColumnarTriple]:
         for t in vocab.entity_triples(k):
             out.add(t)
     return out
+
+
+def generate_documents_ray(uri: str, n_docs: int, seed: int = 42,
+                           n_entities: int = 10_000, hub_pct: int = 5,
+                           fragment_rows: int = 16_384) -> LanceShim:
+    """Ray-parallel corpus generation: one task per fragment (each
+    fragment is a pure function of (seed, rank range), so parallel
+    generation is byte-identical to the sequential path)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    spec_args = dict(n_docs=n_docs, seed=seed, n_entities=n_entities,
+                     hub_pct=hub_pct)
+    shim = LanceShim(uri)
+    shim.create(DOCUMENTS_SCHEMA)
+
+    ranges = [(start, min(start + fragment_rows, n_docs))
+              for start in range(0, n_docs, fragment_rows)]
+
+    def gen_fragment(batch: "pa.Table") -> "pa.Table":
+        import json
+        spec = CorpusSpec(**spec_args)
+        entries = []
+        for start, stop in zip(batch.column("start").to_pylist(),
+                               batch.column("stop").to_pylist()):
+            table = spec.table_for_ranks(range(start, stop))
+            entry = shim.write_fragment(
+                table, f"{start:010d}",
+                lineage={"rank_start": start, "rank_stop": stop, "seed": seed})
+            entries.append(json.dumps(entry))
+        return pa.table({"entry": pa.array(entries, pa.string())})
+
+    import json
+    ds = rd.from_items([{"start": a, "stop": b} for a, b in ranges])
+    out = ds.map_batches(gen_fragment, batch_format="pyarrow", batch_size=1)
+    frags = [json.loads(r["entry"]) for r in out.take_all()]
+    frags.sort(key=lambda e: e["path"])
+    shim.commit(frags, DOCUMENTS_SCHEMA,
+                extra={"spec": {"n_docs": n_docs, "seed": seed,
+                                "n_entities": n_entities, "hub_pct": hub_pct}})
+    return shim

@@ -33,6 +33,19 @@ MENTION_RE = r"[A-Z][a-z]+ [A-Z][a-zA-Z]+-\d{5}"
 
 EXTRACT_OUTPUT_SCHEMA = TRIPLES_SCHEMA.append(pa.field("bucket", pa.int32()))
 
+# triple columns before partition assignment (bucket/graph added after
+# the local dedup so the hash runs over fewer rows)
+_FAMILY_SCHEMA = pa.schema([
+    pa.field("subj", pa.string()),
+    pa.field("pred", pa.string()),
+    pa.field("obj_kind", pa.string()),
+    pa.field("obj_value", pa.string()),
+    pa.field("obj_datatype", pa.string()),
+    pa.field("obj_lang", pa.string()),
+    pa.field("doc_rank", pa.int64()),
+    pa.field("span_idx", pa.int32()),
+])
+
 
 def subject_bucket(subjects: pd.Series, n_buckets: int) -> np.ndarray:
     """Deterministic subject-hash partition (stable across processes —
@@ -49,12 +62,19 @@ def graph_iri_for_bucket(bucket: np.ndarray) -> np.ndarray:
 
 
 class ExtractLink:
-    """Callable class for ``map_batches(..., concurrency=N)``.
+    """The extract+link kernel. Usable two ways:
 
-    ``__init__`` runs once per actor: builds/loads the alias index
-    (pass ``alias_ref`` from ``ray.put`` to broadcast a prebuilt dict;
-    otherwise derived from the deterministic vocabulary), compiles the
-    mention regex, and constructs the canonicalizer.
+    - as a stateless task fn via :func:`extract_link_kernel` (the
+      default in the pipeline — elastic, no CPU reservation, state
+      amortized through Ray's worker-process reuse), or
+    - as an actor-pool class via ``map_batches(ExtractLink,
+      fn_constructor_kwargs=..., concurrency=N)`` when explicit pool
+      sizing is wanted.
+
+    ``__init__`` runs once per actor/process: builds/loads the alias
+    index (pass ``alias_ref`` from ``ray.put`` to broadcast a prebuilt
+    dict; otherwise derived from the deterministic vocabulary),
+    compiles the mention regex, and constructs the canonicalizer.
     """
 
     def __init__(self, n_entities: int = 10_000, n_buckets: int = 32,
@@ -88,10 +108,26 @@ class ExtractLink:
         return t
 
     # -- batch kernel --------------------------------------------------------
+    @staticmethod
+    def _family(subj, pred, obj_kind, obj_value, obj_datatype, rank, j):
+        """One triple family as an Arrow table built straight from
+        numpy arrays — no per-row Python objects in the hot path."""
+        n = len(subj)
+        dt_col = (pa.nulls(n, pa.string()) if obj_datatype is None
+                  else pa.array(np.full(n, obj_datatype)))
+        return pa.table({
+            "subj": pa.array(subj),
+            "pred": pa.array(np.full(n, pred)),
+            "obj_kind": pa.array(np.full(n, obj_kind)),
+            "obj_value": pa.array(obj_value),
+            "obj_datatype": dt_col,
+            "obj_lang": pa.nulls(n, pa.string()),
+            "doc_rank": pa.array(rank, pa.int64()),
+            "span_idx": pa.array(j, pa.int32()),
+        }).cast(_FAMILY_SCHEMA)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         spans = batch.column("spans").combine_chunks()
-        if isinstance(spans, pa.ChunkedArray):  # pragma: no cover
-            spans = spans.combine_chunks()
         doc_ids = batch.column("doc_id").combine_chunks()
         n_docs = len(doc_ids)
 
@@ -107,62 +143,41 @@ class ExtractLink:
         np.cumsum(sizes[:-1], out=starts[1:] if n_docs > 1 else starts[:0])
         span_j = (np.arange(len(parent)) - np.repeat(starts, sizes)).astype(np.int32)
 
-        doc_id_np = doc_ids.to_numpy(zero_copy_only=False)
         doc_rank_np = pc.cast(
             pc.utf8_slice_codeunits(doc_ids, 4, 32), pa.int64()
         ).to_numpy(zero_copy_only=False)
+        doc_id_U = doc_ids.to_numpy(zero_copy_only=False).astype("U16")
 
-        doc_id_span = doc_id_np[parent]
+        # vectorized skolem-IRI assembly (np.char C kernels)
+        doc_id_span = doc_id_U[parent]
         doc_rank_span = doc_rank_np[parent]
-        doc_node_span = np.array(
-            ["urn:skolem:" + d + ":doc" for d in doc_id_span], dtype=object
+        skolem_base = np.char.add("urn:skolem:", doc_id_span)
+        doc_node_span = np.char.add(skolem_base, ":doc")
+        span_node = np.char.add(np.char.add(skolem_base, ":s"),
+                                span_j.astype("U2"))
+
+        kind_class = np.select(
+            [kind == k for k in vocab.SPAN_CLASSES],
+            [np.str_(v) for v in vocab.SPAN_CLASSES.values()],
+            default="",
         )
-        span_node = np.array(
-            [skolemize(d, f"s{j}") for d, j in zip(doc_id_span, span_j)],
-            dtype=object,
-        )
-
-        cols = {k: [] for k in ("subj", "pred", "obj_kind", "obj_value",
-                                "obj_datatype", "obj_lang", "doc_rank",
-                                "span_idx")}
-
-        def emit(subj, pred, obj_kind, obj_value, dt, lang, rank, j):
-            cols["subj"].append(subj)
-            cols["pred"].append(pred)
-            cols["obj_kind"].append(obj_kind)
-            cols["obj_value"].append(obj_value)
-            cols["obj_datatype"].append(dt)
-            cols["obj_lang"].append(lang)
-            cols["doc_rank"].append(rank)
-            cols["span_idx"].append(j)
-
-        def emit_arrays(subj, pred, obj_kind, obj_value, dt, lang, rank, j):
-            n = len(subj)
-            cols["subj"].extend(subj)
-            cols["pred"].extend([pred] * n if isinstance(pred, str) else pred)
-            cols["obj_kind"].extend([obj_kind] * n)
-            cols["obj_value"].extend(obj_value)
-            cols["obj_datatype"].extend([dt] * n if not isinstance(dt, (list, np.ndarray)) else dt)
-            cols["obj_lang"].extend([lang] * n)
-            cols["doc_rank"].extend(rank)
-            cols["span_idx"].extend(j)
 
         SDO = vocab.SDO
-        # structure triples for every span (vectorized assembly)
-        emit_arrays(doc_node_span, SDO + "hasPart", "iri", span_node,
-                    None, None, doc_rank_span, span_j)
-        emit_arrays(span_node, vocab.RDF_TYPE, "iri",
-                    [vocab.SPAN_CLASSES[k] for k in kind],
-                    None, None, doc_rank_span, span_j)
-        emit_arrays(span_node, SDO + "position", "literal",
-                    offset.astype("U12").tolist(),
-                    vocab.XSD_INTEGER, None, doc_rank_span, span_j)
+        families = [
+            self._family(doc_node_span, SDO + "hasPart", "iri", span_node,
+                         None, doc_rank_span, span_j),
+            self._family(span_node, vocab.RDF_TYPE, "iri", kind_class,
+                         None, doc_rank_span, span_j),
+            self._family(span_node, SDO + "position", "literal",
+                         offset.astype("U12"), vocab.XSD_INTEGER,
+                         doc_rank_span, span_j),
+        ]
         is_media = media_ref != ""
         if is_media.any():
             mi = np.nonzero(is_media)[0]
-            emit_arrays(span_node[mi], SDO + "contentUrl", "literal",
-                        media_ref[mi].tolist(), vocab.XSD_ANYURI, None,
-                        doc_rank_span[mi], span_j[mi])
+            families.append(self._family(
+                span_node[mi], SDO + "contentUrl", "literal", media_ref[mi],
+                vocab.XSD_ANYURI, doc_rank_span[mi], span_j[mi]))
         # text spans re-emit their text as sdo:text literals so the
         # full span invariant (kind, text, media_ref, order) is
         # reconstructible from the output graph alone — no passthrough
@@ -170,16 +185,30 @@ class ExtractLink:
         has_text = text != ""
         if has_text.any():
             xi = np.nonzero(has_text)[0]
-            emit_arrays(span_node[xi], SDO + "text", "literal",
-                        text[xi].tolist(), None, None,
-                        doc_rank_span[xi], span_j[xi])
+            families.append(self._family(
+                span_node[xi], SDO + "text", "literal", text[xi],
+                None, doc_rank_span[xi], span_j[xi]))
 
         # mention detection + linking (regex over text spans; alias dict
         # lookup; entity attribute triples emitted once per batch)
         findall = self.mention_re.findall
         alias = self.alias
-        seen_entities = {}
+        seen_entities: Dict[int, tuple] = {}
         mention_edges = set()
+        rows = {k: [] for k in ("subj", "pred", "obj_kind", "obj_value",
+                                "obj_datatype", "obj_lang", "doc_rank",
+                                "span_idx")}
+
+        def emit(s, p, ok, ov, dt, lg, rank, j):
+            rows["subj"].append(s)
+            rows["pred"].append(p)
+            rows["obj_kind"].append(ok)
+            rows["obj_value"].append(ov)
+            rows["obj_datatype"].append(dt)
+            rows["obj_lang"].append(lg)
+            rows["doc_rank"].append(rank)
+            rows["span_idx"].append(j)
+
         ti = np.nonzero(kind == "text")[0]
         for i in ti:
             t = text[i]
@@ -189,10 +218,10 @@ class ExtractLink:
                 k = alias.get(name)
                 if k is None:
                     continue
-                edge = (doc_node_span[i], k)
+                edge = (doc_rank_span[i], k)
                 if edge not in mention_edges:
                     mention_edges.add(edge)
-                    emit(doc_node_span[i], SDO + "mentions", "iri",
+                    emit(str(doc_node_span[i]), SDO + "mentions", "iri",
                          vocab.person_iri(k), None, None,
                          int(doc_rank_span[i]), int(span_j[i]))
                 if k not in seen_entities:
@@ -201,26 +230,54 @@ class ExtractLink:
             for (s, p, ok, ov, dt, lg) in self._entity_triples(k):
                 emit(s, p, ok, ov, dt, lg, rank, j)
 
-        subj_series = pd.Series(cols["subj"], dtype="object")
-        bucket = subject_bucket(subj_series, self.n_buckets)
-        out = pa.table({
-            "subj": pa.array(cols["subj"], pa.string()),
-            "pred": pa.array(cols["pred"], pa.string()),
-            "obj_kind": pa.array(cols["obj_kind"], pa.string()),
-            "obj_value": pa.array(cols["obj_value"], pa.string()),
-            "obj_datatype": pa.array(cols["obj_datatype"], pa.string()),
-            "obj_lang": pa.array(cols["obj_lang"], pa.string()),
-            "graph_iri": pa.array(graph_iri_for_bucket(bucket).tolist(), pa.string()),
-            "doc_rank": pa.array(cols["doc_rank"], pa.int64()),
-            "span_idx": pa.array(cols["span_idx"], pa.int32()),
-            "bucket": pa.array(bucket, pa.int32()),
-        })
-        # local (within-batch) exact dedup — the partial-aggregation
-        # pattern: collapses per-doc repeats before the shuffle
+        if rows["subj"]:
+            families.append(pa.table({
+                "subj": pa.array(rows["subj"], pa.string()),
+                "pred": pa.array(rows["pred"], pa.string()),
+                "obj_kind": pa.array(rows["obj_kind"], pa.string()),
+                "obj_value": pa.array(rows["obj_value"], pa.string()),
+                "obj_datatype": pa.array(rows["obj_datatype"], pa.string()),
+                "obj_lang": pa.array(rows["obj_lang"], pa.string()),
+                "doc_rank": pa.array(rows["doc_rank"], pa.int64()),
+                "span_idx": pa.array(rows["span_idx"], pa.int32()),
+            }).cast(_FAMILY_SCHEMA))
+
+        out = pa.concat_tables(families)
+
+        # local (within-batch) exact dedup first (smaller hash input) —
+        # the partial-aggregation pattern: collapses per-doc repeats
+        # before the shuffle
         import polars as pl
         df = pl.from_arrow(out)
         df = df.sort(["doc_rank", "span_idx"]).unique(
             subset=["subj", "pred", "obj_kind", "obj_value", "obj_datatype",
                     "obj_lang"],
             keep="first", maintain_order=True)
-        return df.to_arrow().cast(EXTRACT_OUTPUT_SCHEMA)
+        out = df.to_arrow().cast(_FAMILY_SCHEMA)
+
+        bucket = subject_bucket(out.column("subj").to_pandas(), self.n_buckets)
+        out = out.append_column(
+            "graph_iri", pa.array(graph_iri_for_bucket(bucket))
+        ).append_column("bucket", pa.array(bucket, pa.int32()))
+        return out.select([f.name for f in EXTRACT_OUTPUT_SCHEMA]).cast(
+            EXTRACT_OUTPUT_SCHEMA)
+
+
+_KERNEL_CACHE: Dict[tuple, ExtractLink] = {}
+
+
+def extract_link_kernel(batch: pa.Table, *, n_entities: int = 10_000,
+                        n_buckets: int = 32, alias_ref=None,
+                        prefixes=None) -> pa.Table:
+    """Stateless-task wrapper: one ExtractLink instance per worker
+    process (keyed by config), so tasks stay elastic while the alias
+    dict / regex / entity cache amortize like actor state."""
+    key = (n_entities, n_buckets,
+           alias_ref.hex() if alias_ref is not None else None)
+    inst = _KERNEL_CACHE.get(key)
+    if inst is None:
+        _KERNEL_CACHE.clear()
+        inst = ExtractLink(n_entities=n_entities, n_buckets=n_buckets,
+                           alias_ref=alias_ref, prefixes=prefixes)
+        _KERNEL_CACHE[key] = inst
+    return inst(batch)
