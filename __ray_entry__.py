@@ -46,6 +46,25 @@ def entry() -> Any:
     return read_final_triples(out_dir)
 
 
+def _kg_query_filter(sf_dir: str):
+    """Single-triple-pattern SELECT: subjects whose sdo:inLanguage is
+    'en' (exercises the vectorized pattern filter)."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import subjects_of
+
+    return subjects_of(doc_triples(sf_dir), SDO + "inLanguage", "en")
+
+
+def _kg_query_bgp(sf_dir: str):
+    """Two-pattern BGP joined on subject: ?s inLanguage ?va .
+    ?s isBasedOn ?vb (broadcast map-side join)."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import bgp_join
+
+    return bgp_join(doc_triples(sf_dir), SDO + "inLanguage",
+                    SDO + "isBasedOn")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdfx_ray.functions import dedup, doc_triples, similarity, text
     from rdfx_ray.pipelines import analytics
@@ -91,6 +110,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_extract_triples": kg_extract,
         "kg_media_features": kg_media_features,
         "kg_convert_roundtrip": kg_convert_corpus,
+        # query surface over the triple plane (SPARQL-shape analogues)
+        "kg_query_filter": _kg_query_filter,
+        "kg_query_bgp": _kg_query_bgp,
         # wide-op analytics
         "pricing_summary": lambda sf: analytics.pricing_summary(sf),
         "events_hourly": lambda sf: analytics.events_hourly(sf),
@@ -123,6 +145,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_predicate_counts": f"""
             SELECT pred, COUNT(*) AS n
             FROM ({DOC_TRIPLES_SQL}) GROUP BY pred
+        """,
+        "kg_query_filter": """
+            SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj
+            FROM documents WHERE lang = 'en'
+        """,
+        "kg_query_bgp": """
+            SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj,
+                   lang AS va, source AS vb
+            FROM documents
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

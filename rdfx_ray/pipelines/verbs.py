@@ -27,6 +27,22 @@ from ..rdf.graph import Graph
 # Driver plane (reference-compatible)
 # --------------------------------------------------------------------------
 
+def make_output_file_path(input_file_path: Path, input_format: str,
+                          output_format: str, in_place: bool) -> Path:
+    """Output-naming rule (reference rdfx/rdfx_cli.py:48-58; dead code
+    there — kept for surface parity): stem + '.new' iff same format
+    and not in place, + mapped extension, beside the input."""
+    from ..rdf.formats import OUTPUT_FILE_ENDINGS
+
+    input_file_path = Path(input_file_path)
+    output_file_name = input_file_path.name.split(".")[0]
+    if input_format == output_format and not in_place:
+        output_file_name += ".new"
+    output_file_name = (output_file_name + "."
+                        + OUTPUT_FILE_ENDINGS[output_format])
+    return input_file_path.parent / output_file_name
+
+
 def convert(input_file_path: Path, persistence_system, output_filename: str,
             output_format: str, comments: Optional[List[str]] = None):
     """Parse one file, write it in output_format. Mirrors the quirk

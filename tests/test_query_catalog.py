@@ -1,0 +1,109 @@
+"""Triple-pattern query surface + named-graph catalog tests (the
+reference's SPARQL-use-shapes and SOP asset lifecycle, SURVEY.md §2.4)."""
+
+from pathlib import Path
+
+import pytest
+
+from rdfx_ray.pipelines.kg import KGConfig, read_final_triples, run_kg_pipeline
+from rdfx_ray.pipelines.query import (
+    ask,
+    bgp_join,
+    graph_size,
+    select_limit,
+    subjects_of,
+    triple_pattern,
+)
+from rdfx_ray.sources.documents import generate_documents
+from rdfx_ray.sources.vocab import SDO
+from rdfx_ray.state.catalog import GraphCatalog
+
+
+@pytest.fixture(scope="module")
+def kg_out(tmp_path_factory, ray_session):
+    root = tmp_path_factory.mktemp("qcat")
+    uri = str(root / "input")
+    out = str(root / "out")
+    generate_documents(uri, n_docs=400, n_entities=100, fragment_rows=100)
+    job = run_kg_pipeline(uri, out, KGConfig(
+        n_buckets=4, n_entities=100, batch_size=100, shard_fragments=2))
+    return out, job
+
+
+def test_triple_pattern_filter(kg_out):
+    out, _ = kg_out
+    ds = read_final_triples(out)
+    persons = triple_pattern(ds, pred=SDO + "jobTitle").to_pandas()
+    assert len(persons) > 0
+    assert (persons["pred"] == SDO + "jobTitle").all()
+
+
+def test_ask_and_graph_size(kg_out):
+    out, job = kg_out
+    ds = read_final_triples(out)
+    assert ask(ds, pred=SDO + "mentions")
+    assert not ask(ds, pred="urn:no:such:predicate")
+    total = sum(graph_size(ds, g) for g in
+                {r["graph_iri"] for r in ds.select_columns(["graph_iri"])
+                 .take_all()})
+    assert total == job["triples_final"]
+
+
+def test_select_limit(kg_out):
+    out, _ = kg_out
+    assert len(select_limit(read_final_triples(out), 10).take_all()) == 10
+
+
+def test_subjects_of(kg_out):
+    out, _ = kg_out
+    ds = read_final_triples(out)
+    subs = subjects_of(ds, SDO + "jobTitle", "Programmer").to_pandas()
+    assert subs["subj"].str.startswith("http://orcid.org/").all()
+
+
+def test_bgp_join(kg_out):
+    out, _ = kg_out
+    ds = read_final_triples(out)
+    joined = bgp_join(ds, SDO + "name", SDO + "jobTitle").to_pandas()
+    assert len(joined) > 0
+    # every joined subject has both predicates
+    names = set(subjects_of(ds, SDO + "jobTitle", "Programmer")
+                .to_pandas()["subj"])
+    got = set(joined[joined["vb"] == "Programmer"]["subj"])
+    assert got == names
+
+
+def test_catalog_sizes_match_manifests(kg_out):
+    out, job = kg_out
+    cat = GraphCatalog(out)
+    sizes = cat.sizes()
+    assert sum(sizes.values()) == job["triples_final"]
+    g0 = cat.graphs()[0]
+    assert cat.asset_exists(g0)
+    assert cat.asset_collection_size(g0) == sizes[g0]
+    assert not cat.asset_exists("urn:graph:nope")
+    with pytest.raises(KeyError):
+        cat.asset_collection_size("urn:graph:nope")
+    assert len(cat.lineage(g0)) > 0
+
+
+def test_catalog_create_ops(tmp_path):
+    cat = GraphCatalog(str(tmp_path))
+    dg = cat.create_datagraph("testdg", creator="tester")
+    assert dg == "urn:x-evn-master:testdg"
+    wf = cat.create_workflow(dg, "wf1", creator="tester")
+    assert wf == "urn:x-evn-tag:testdg:wf1:tester"
+    # round-trips through the reference URN helpers
+    from rdfx_ray.persistence import SOP
+    assert SOP.graph_from_workflow(wf) == dg
+    assert SOP.tag_from_workflow(wf) == "urn:x-tags:wf1"
+
+
+def test_make_output_file_path():
+    from rdfx_ray.pipelines.verbs import make_output_file_path
+    p = make_output_file_path(Path("/x/data.ttl"), "turtle", "xml", False)
+    assert p == Path("/x/data.xml")
+    p = make_output_file_path(Path("/x/data.ttl"), "turtle", "turtle", False)
+    assert p == Path("/x/data.new.ttl")
+    p = make_output_file_path(Path("/x/data.ttl"), "turtle", "turtle", True)
+    assert p == Path("/x/data.ttl")
