@@ -33,7 +33,7 @@ def _kg_output(n_docs: int = 2000, n_entities: int = 500) -> str:
                            fragment_rows=1024)
     run_kg_pipeline(input_uri, out_dir, KGConfig(
         n_buckets=8, n_entities=n_entities, batch_size=512,
-        extract_concurrency=2, finalize_concurrency=2, shard_fragments=2))
+        shard_fragments=2))
     return out_dir
 
 
@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wide-op analytics
         "pricing_summary": lambda sf: analytics.pricing_summary(sf),
         "events_hourly": lambda sf: analytics.events_hourly(sf),
+        "events_sessionize": lambda sf: analytics.sessionize(sf),
         # text analysis
         "text_token_stats": lambda sf: text.token_stats(sf),
         "text_fingerprints": lambda sf: text.fingerprints(sf),
@@ -126,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
         "dedup_simhash_pairs": lambda sf: dedup.simhash_pairs(sf),
         "dedup_embedding_pairs": lambda sf: dedup.embedding_neardup_pairs(sf),
+        "dedup_corpus": lambda sf: dedup.dedup_corpus(sf),
         # similarity search
         "ann_brute_topk": lambda sf: similarity.brute_topk(sf),
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf),
@@ -134,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from rdfx_ray.functions.doc_triples import DOC_TRIPLES_SQL
+    from rdfx_ray.pipelines.analytics import SESSIONIZE_SQL as _SESSIONIZE_SQL_REF
 
     return {
         "kg_doc_triples": DOC_TRIPLES_SQL,
@@ -175,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
+        "events_sessionize": _SESSIONIZE_SQL_REF,
         "text_token_stats": r"""
             SELECT doc_id,
                    len(list_filter(regexp_split_to_array(text, '\s+'),

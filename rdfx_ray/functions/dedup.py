@@ -490,3 +490,68 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.40):
     import polars as pl
     return (pl.from_arrow(out).unique().sort(["vec_a", "vec_b"])
               .to_arrow().cast(schema))
+
+
+# -- end-to-end corpus dedup -------------------------------------------------
+
+
+def dedup_corpus(sf_dir: str, threshold: float = 0.6):
+    """Full dedup decision for every document: exact duplicates
+    (identical text) ∪ near-duplicates (MinHash-LSH verified) are
+    merged into components; each doc maps to its component's keeper
+    (min doc_id). Returns (doc_id, keeper_doc_id, is_dup).
+
+    Components are built by union-find over the verified pair set —
+    driver-side because that set is provably small (bounded by the
+    near-dup rate, not the corpus; ray_guide's condition for doing
+    exactly this). At 10^12 docs the same pair set feeds a few rounds
+    of distributed min-label propagation instead."""
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"]).column("doc_id").to_pylist()
+
+    parent: Dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: int, b: int):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    exact = exact_dedup(sf_dir).to_pandas()
+    # re-derive members of each exact group from the hash → need the
+    # full mapping; group rows with dup_count>1 only
+    if (exact["dup_count"] > 1).any():
+        h = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+        df = pd.DataFrame({
+            "doc_id": h.column("doc_id").to_pylist(),
+            "text_hash": [hashlib.md5((t or "").encode()).hexdigest()
+                          for t in h.column("text").to_pylist()],
+        })
+        for _, grp in df.groupby("text_hash"):
+            members = sorted(grp["doc_id"])
+            for m in members[1:]:
+                union(members[0], m)
+
+    near = minhash_lsh_pairs(sf_dir, threshold=threshold)
+    for a, b in zip(near.column("doc_a").to_pylist(),
+                    near.column("doc_b").to_pylist()):
+        union(int(a), int(b))
+
+    keeper = [find(int(d)) for d in ids]
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "keeper_doc_id": pa.array(keeper, pa.int64()),
+        "is_dup": pa.array([k != d for d, k in zip(ids, keeper)], pa.bool_()),
+    })

@@ -89,6 +89,59 @@ def events_hourly(sf_dir: str):
     )
 
 
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user: a new session starts after a gap >
+    ``gap_minutes``. Ray Data has no event-time windows; the streaming
+    shape is groupby(key) + per-group ordered pandas windowing
+    (ray_guide 'Streaming-shaped workloads'), with (ts, event_id) as
+    the total order so results are deterministic and match the SQL
+    window-function oracle exactly."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        prev = g["ts"].shift()
+        new_session = (prev.isna() | ((g["ts"] - prev) > gap)).astype(np.int64)
+        g["session_id"] = new_session.cumsum()
+        val_c = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        g["val_c"] = val_c
+        out = g.groupby("session_id", as_index=False).agg(
+            session_start=("ts", "min"),
+            n_events=("event_id", "size"),
+            sum_value_c=("val_c", "sum"),
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id, MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_value_c
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
 def entity_degree(triples_ds, top_k: int = 20):
     """Top subjects by triple count (hub detection — the heavy-hitter
     pre-pass SURVEY.md §4 uses to pick salting candidates)."""

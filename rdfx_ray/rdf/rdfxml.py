@@ -146,8 +146,12 @@ def _split_iri(u: str) -> Tuple[str, str]:
 
 def _xml_escape(s: str, attr: bool = False) -> str:
     s = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    # \r must be a char-ref or the parser's line-ending normalization
+    # rewrites it to \n (XML 1.0 §2.11); in attributes \n and \t are
+    # likewise normalized to spaces
+    s = s.replace("\r", "&#xD;")
     if attr:
-        s = s.replace('"', "&quot;")
+        s = s.replace('"', "&quot;").replace("\n", "&#xA;").replace("\t", "&#x9;")
     return s
 
 

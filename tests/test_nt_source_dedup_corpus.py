@@ -1,0 +1,68 @@
+"""Vectorized NT-line source + end-to-end corpus dedup tests."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rdfx_ray.rdf import Graph
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    return ray_session
+
+
+def test_read_nt_dataset_roundtrip(tmp_path):
+    from rdfx_ray.pipelines.verbs import read_nt_dataset
+
+    g = Graph()
+    from rdfx_ray.rdf import bnode, iri, literal
+    g.add((iri("http://e/s1"), iri("http://e/p"), literal('esc "q"\n', lang="en")))
+    g.add((iri("http://e/s2"), iri("http://e/p"),
+           literal("42", datatype="http://www.w3.org/2001/XMLSchema#integer")))
+    g.add((bnode("x"), iri("http://e/q"), iri("http://e/o")))
+    nt = g.serialize("nt")
+    f = tmp_path / "data.nt"
+    f.write_text(nt)
+
+    ds = read_nt_dataset([f])
+    df = ds.to_pandas()
+    assert len(df) == 3
+    assert set(df["obj_kind"]) == {"literal", "iri"}
+    row = df[df["subj"] == "http://e/s1"].iloc[0]
+    assert row["obj_value"] == 'esc "q"\n'     # unescaped
+    assert row["obj_lang"] == "en"
+    assert df[df["subj"] == "_:x"].shape[0] == 1
+
+
+def test_read_nt_dataset_rejects_garbage(tmp_path):
+    from rdfx_ray.pipelines.verbs import read_nt_dataset
+    f = tmp_path / "bad.nt"
+    f.write_text("<a> <b> .\n")
+    with pytest.raises(Exception, match="Invalid N-Triples"):
+        read_nt_dataset([f]).to_pandas()
+
+
+def test_dedup_corpus_components(tmp_path):
+    from rdfx_ray.functions.dedup import dedup_corpus
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = {
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            base,                       # keeper of component {0,1,2}
+            base,                       # exact dup of 0
+            base + " extra",            # near dup of 0/1
+            "totally different content about engines and pipelines",
+            "another unrelated document mentioning nothing similar",
+        ],
+    }
+    pq.write_table(pa.table(docs), tmp_path / "documents.parquet")
+    out = dedup_corpus(str(tmp_path), threshold=0.5).to_pandas()
+    out = out.set_index("doc_id")
+    assert out.loc[0, "keeper_doc_id"] == 0 and not out.loc[0, "is_dup"]
+    assert out.loc[1, "keeper_doc_id"] == 0 and out.loc[1, "is_dup"]
+    assert out.loc[2, "keeper_doc_id"] == 0 and out.loc[2, "is_dup"]
+    assert out.loc[3, "keeper_doc_id"] == 3 and not out.loc[3, "is_dup"]
+    assert out.loc[4, "keeper_doc_id"] == 4
