@@ -54,6 +54,9 @@ class KGConfig:
     finalize_num_cpus: float = 2.0
     shard_fragments: int = 4      # input fragments per checkpoint shard
     salt_chunk_rows: int = 2_000_000
+    # buckets above this use the spill-based streaming finalize
+    # (peak memory = one salt chunk); None disables
+    streaming_rows: Optional[int] = 8_000_000
     write_nt: bool = True
     broadcast_alias: bool = True  # ray.put the alias dict once per job
     # test-only failpoint: raise after committing this many shards, to
@@ -169,6 +172,7 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
         "out_dir": str(out),
         "salt_chunk_rows": cfg.salt_chunk_rows,
         "write_nt": cfg.write_nt,
+        "streaming_rows": cfg.streaming_rows,
     }
     if cfg.finalize_concurrency is None:
         result = control.map_batches(

@@ -82,11 +82,15 @@ class BucketFinalizer:
     killed run resumes at bucket granularity."""
 
     def __init__(self, out_dir: str, salt_chunk_rows: int = 2_000_000,
-                 write_nt: bool = True):
+                 write_nt: bool = True,
+                 streaming_rows: Optional[int] = 8_000_000):
         self.out = Path(out_dir)
         self.ledger = CheckpointLedger(self.out)
         self.salt_chunk_rows = salt_chunk_rows
         self.write_nt = write_nt
+        # buckets above this row count use the spill-based streaming
+        # path (peak memory = one salt chunk, not the bucket)
+        self.streaming_rows = streaming_rows
 
     def _dedup(self, table: pa.Table) -> pa.Table:
         import polars as pl
@@ -115,6 +119,76 @@ class BucketFinalizer:
         # polars emits large_string; normalize back to the engine schema
         return out.cast(table.schema)
 
+    def _finalize_streaming(self, paths: List[str], b: int, d: Path):
+        """Memory-bounded finalize for buckets larger than worker heap
+        (the 10^12-doc path): spill rows into salt-chunk files keyed by
+        full-triple hash (identical triples colocate ⇒ per-chunk dedup
+        is globally exact), dedup + append each chunk independently.
+        Peak memory = one chunk, not the bucket. Output ordering is
+        per-chunk sorted (chunk id is a pure function of content, so
+        resume/rerun output is still deterministic)."""
+        import polars as pl
+
+        columns = [f.name for f in TRIPLES_SCHEMA]
+        est_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+        n_chunks = max(2, (est_rows + self.salt_chunk_rows - 1)
+                       // self.salt_chunk_rows)
+
+        spill = d / "_spill"
+        spill.mkdir(parents=True, exist_ok=True)
+        writers = {}
+        try:
+            for p in paths:
+                f = pq.ParquetFile(p)
+                for rg in range(f.num_row_groups):
+                    t = f.read_row_group(rg, columns=columns)
+                    df = pl.from_arrow(t)
+                    df = df.with_columns(
+                        (pl.struct(TRIPLE_KEY_COLUMNS).hash(seed=0)
+                         % n_chunks).alias("_salt"))
+                    for (salt,), part in df.group_by("_salt"):
+                        w = writers.get(salt)
+                        pt = part.drop("_salt").to_arrow().cast(TRIPLES_SCHEMA)
+                        if w is None:
+                            w = pq.ParquetWriter(
+                                spill / f"chunk-{salt:06d}.parquet",
+                                TRIPLES_SCHEMA, compression="snappy")
+                            writers[salt] = w
+                        w.write_table(pt)
+        finally:
+            for w in writers.values():
+                w.close()
+
+        out_writer = pq.ParquetWriter(d / "triples.parquet", TRIPLES_SCHEMA,
+                                      compression="snappy")
+        nt_path = d / f"part-{b:05d}.nt"
+        nt_f = nt_path.open("wb") if self.write_nt else None
+        total = 0
+        nt_bytes = 0
+        try:
+            for chunk_file in sorted(spill.glob("chunk-*.parquet")):
+                t = pq.read_table(chunk_file, columns=columns)
+                df = (pl.from_arrow(t).sort(["doc_rank", "span_idx"])
+                        .unique(subset=TRIPLE_KEY_COLUMNS, keep="first",
+                                maintain_order=True)
+                        .sort(["subj", "pred", "obj_kind", "obj_value"]))
+                part = df.to_arrow().cast(TRIPLES_SCHEMA)
+                out_writer.write_table(part)
+                total += part.num_rows
+                if nt_f is not None:
+                    lines = nt_lines(part)
+                    data = (lines.str.cat(sep="\n") + "\n").encode("utf-8")
+                    nt_f.write(data)
+                    nt_bytes += len(data)
+        finally:
+            out_writer.close()
+            if nt_f is not None:
+                nt_f.close()
+            for chunk_file in spill.glob("chunk-*.parquet"):
+                chunk_file.unlink()
+            spill.rmdir()
+        return total, nt_bytes
+
     def __call__(self, control: pa.Table) -> pa.Table:
         results = {"bucket": [], "rows": [], "skipped": [], "seconds": []}
         for row in control.to_pylist():
@@ -129,22 +203,22 @@ class BucketFinalizer:
                 continue
             t0 = time.time()
             paths = [str(self.out / p) for p in row["paths"]]
-            # explicit column list: keeps hive-style dir names from being
-            # inferred as extra partition columns
-            table = (
-                pq.read_table(paths, columns=[f.name for f in TRIPLES_SCHEMA])
-                if paths else None
-            )
-            if table is None or table.num_rows == 0:
-                deduped = None
-                n = 0
-            else:
-                deduped = self._dedup(table)
-                n = deduped.num_rows
             d = self.out / "final" / f"bucket={b:05d}"
             d.mkdir(parents=True, exist_ok=True)
+            n = 0
             nt_bytes = 0
-            if deduped is not None:
+            est_rows = sum(pq.ParquetFile(p).metadata.num_rows
+                           for p in paths) if paths else 0
+            if est_rows and (self.streaming_rows is not None
+                             and est_rows > self.streaming_rows):
+                n, nt_bytes = self._finalize_streaming(paths, b, d)
+            elif est_rows:
+                # explicit column list: keeps hive-style dir names from
+                # being inferred as extra partition columns
+                table = pq.read_table(
+                    paths, columns=[f.name for f in TRIPLES_SCHEMA])
+                deduped = self._dedup(table)
+                n = deduped.num_rows
                 pq.write_table(deduped, d / "triples.parquet",
                                compression="snappy")
                 if self.write_nt:
@@ -186,10 +260,13 @@ def _cap_worker_threads(n: int = 2) -> None:
 
 def finalize_buckets_kernel(control: pa.Table, *, out_dir: str,
                             salt_chunk_rows: int = 2_000_000,
-                            write_nt: bool = True) -> pa.Table:
+                            write_nt: bool = True,
+                            streaming_rows: Optional[int] = 8_000_000
+                            ) -> pa.Table:
     """Stateless-task wrapper around BucketFinalizer (construction is
     just path setup) — elastic scheduling, no actor-pool CPU
     reservation, so finalize parallelism tracks the cluster size."""
     _cap_worker_threads(2)
     return BucketFinalizer(out_dir, salt_chunk_rows=salt_chunk_rows,
-                           write_nt=write_nt)(control)
+                           write_nt=write_nt,
+                           streaming_rows=streaming_rows)(control)

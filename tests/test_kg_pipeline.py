@@ -133,3 +133,14 @@ def test_hub_skew_present(corpus):
     spec = CorpusSpec(N_DOCS, seed=42, n_entities=N_ENTITIES)
     hub_docs = sum(spec.is_hub_doc(r) for r in range(N_DOCS))
     assert hub_docs >= N_DOCS * 0.02
+
+
+def test_streaming_finalize_same_triple_set(finished_run):
+    """Forcing the spill-based streaming finalize produces the same
+    triple set as the in-memory path (ordering differs per chunk)."""
+    root, uri, ref_out, _ = finished_run
+    out = str(root / "out_streaming")
+    job = run_kg_pipeline(uri, out, KGConfig(
+        **CFG, streaming_rows=1000, salt_chunk_rows=2000))
+    assert _triple_set(out) == _triple_set(ref_out)
+    assert job["triples_final"] == len(_golden_set())
