@@ -287,3 +287,48 @@ def read_nt_dataset(paths):
     ds = rd.read_text([str(p) for p in paths])
     return ds.map_batches(parse_lines, batch_format="pyarrow",
                           batch_size=65536)
+
+
+def write_turtle_partitions(out_dir, prefixes=None):
+    """Distributed 'clean'-semantics turtle materialization: one .ttl
+    per finished bucket partition, each with exactly its used prefixes
+    bound and sorted (the reference clean verb per graph,
+    rdfx/rdfx_cli.py:127-143, applied partition-parallel). The prefix
+    table is a broadcast side input; serialization reuses the
+    golden-compatible turtle writer per bucket.
+
+    Returns the written paths. Buckets are independent tasks (no
+    shuffle: triples are already partitioned by subject hash)."""
+    import ray.data as rd
+
+    from ..rdf.terms import WELL_KNOWN_PREFIXES
+
+    out = Path(out_dir)
+    buckets = sorted(p.parent for p in out.glob("final/bucket=*/triples.parquet"))
+    prefix_map = dict(WELL_KNOWN_PREFIXES)
+    if prefixes:
+        prefix_map.update(prefixes)
+
+    def per_bucket(batch):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..rdf.columnar import table_to_triples
+        from ..rdf.turtle import serialize_turtle
+
+        written = []
+        for d in batch.column("dir").to_pylist():
+            d = Path(d)
+            t = pq.read_table(d / "triples.parquet",
+                              columns=["subj", "pred", "obj_kind",
+                                       "obj_value", "obj_datatype",
+                                       "obj_lang"])
+            text = serialize_turtle(table_to_triples(t), prefix_map)
+            p = d / (d.name.replace("bucket=", "part-") + ".ttl")
+            p.write_text(text, encoding="utf-8")
+            written.append(str(p))
+        return pa.table({"written": pa.array(written, pa.string())})
+
+    ds = rd.from_items([{"dir": str(d)} for d in buckets])
+    res = ds.map_batches(per_bucket, batch_format="pyarrow", batch_size=1)
+    return [Path(r["written"]) for r in res.take_all()]

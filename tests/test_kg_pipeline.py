@@ -144,3 +144,20 @@ def test_streaming_finalize_same_triple_set(finished_run):
         **CFG, streaming_rows=1000, salt_chunk_rows=2000))
     assert _triple_set(out) == _triple_set(ref_out)
     assert job["triples_final"] == len(_golden_set())
+
+
+def test_write_turtle_partitions(finished_run):
+    from rdfx_ray.pipelines.verbs import write_turtle_partitions
+    from rdfx_ray.rdf import Graph, isomorphic
+    _, _, out, _ = finished_run
+    paths = write_turtle_partitions(out)
+    assert len(paths) == CFG["n_buckets"]
+    p = paths[0]
+    g_ttl = Graph().parse(p.read_text())
+    nt = p.parent / p.name.replace(".ttl", ".nt")
+    g_nt = Graph().parse(nt.read_text(), "nt")
+    assert isomorphic(g_ttl, g_nt)
+    # only used prefixes, sorted
+    header = [l for l in p.read_text().split("\n") if l.startswith("@prefix")]
+    assert header == sorted(header)
+    assert all("unused" not in h for h in header)
