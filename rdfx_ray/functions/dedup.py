@@ -419,8 +419,11 @@ def simhash_signatures(sf_dir: str):
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3):
-    """Near-dup pairs: candidates share a 16-bit block (groupby per
-    block = 4 small shuffles), verified by exact Hamming distance."""
+    """Near-dup pairs: candidates share a 16-bit block, verified by
+    exact Hamming distance. Signatures are computed distributed
+    (map_batches); the block-bucket candidate scan runs driver-side on
+    the collected signature table — 16 bytes/doc, fine to ~10^8 docs;
+    beyond that the same block keys drive 4 small groupby shuffles."""
     import polars as pl
 
     sig = _dataset_to_table(simhash_signatures(sf_dir))

@@ -68,11 +68,18 @@ def doc_triples_merged_dedup(sf_dir: str):
 
     cols = ["subj", "pred", "obj_kind", "obj_value", "obj_datatype",
             "graph_iri"]
-    return (
+    # DISTINCT as a vectorized aggregate: groupby(all columns).count()
+    # emits one row per key — no per-group Python (map_groups over
+    # mostly-singleton groups pays ~ms of overhead per group)
+    from ray.data.aggregate import Count
+
+    deduped = (
         unioned.map_batches(local_dedup, batch_format="pyarrow")
                .groupby(cols)
-               .map_groups(lambda df: df.head(1), batch_format="pandas")
+               .aggregate(Count(alias_name="_n"))
     )
+    return deduped.map_batches(
+        lambda t: t.select(cols), batch_format="pyarrow")
 
 
 def graph_partition_sizes(sf_dir: str):

@@ -208,11 +208,16 @@ def merge_files(paths: List[Union[str, Path]], output_path: Union[str, Path],
                                "obj_datatype", "obj_lang"], keep="first")
         return df.to_arrow().cast(batch.schema)
 
+    # DISTINCT as a vectorized aggregate (one row per key) — avoids
+    # per-group Python over mostly-singleton groups
+    from ray.data.aggregate import Count
+
+    key = ["subj", "pred", "obj_kind", "obj_value", "obj_datatype",
+           "obj_lang"]
     deduped = (
         ds.map_batches(_local_dedup, batch_format="pyarrow")
-          .groupby(["subj", "pred", "obj_kind", "obj_value", "obj_datatype",
-                    "obj_lang"])
-          .map_groups(lambda df: df.head(1), batch_format="pandas")
+          .groupby(key)
+          .aggregate(Count(alias_name="_n"))
     )
 
     from ..rdf.columnar import table_to_triples
