@@ -25,7 +25,16 @@ RDF_FILE_ENDINGS = {
     "rdf": "xml",
     "nt": "nt",
     "n3": "n3",
+    # parse-only (north-star matrix; rdflib guess_format maps .html →
+    # its rdfa parser). Appended AFTER the reference's pinned keys so
+    # prepare_files_list's test-pinned expansion order is unchanged.
+    "html": "html",
+    "htm": "html",
 }
+
+# formats that can be read but not written (mirrors rdflib: no html
+# serializer plugin)
+PARSE_ONLY_FORMATS = ("html",)
 
 OUTPUT_FILE_ENDINGS = {
     "turtle": "ttl",

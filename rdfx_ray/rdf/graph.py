@@ -69,10 +69,19 @@ class Graph:
         node labels per parse call, like rdflib — the reference merge
         relies on that for cross-file bnode distinctness)."""
         fmt = CANONICAL_FORMAT.get(rdf_format)
+        if fmt is None and rdf_format in ("html", "rdfa"):
+            fmt = "html"   # parse-only format (north-star matrix;
+            #                rdflib guess_format maps .html → rdfa)
         if fmt is None:
             rdf_format_validator(rdf_format)
         self._parse_count += 1
         bp = bnode_prefix if bnode_prefix is not None else f"p{self._parse_count}"
+        if fmt == "html":
+            from . import rdfa
+            trs = rdfa.parse_rdfa(data, bnode_prefix=bp)
+            self._triples.update(trs)
+            self._autobind()
+            return self
         if fmt in ("turtle", "n3"):
             trs, prefixes = turtle.parse_turtle(data, bnode_prefix=bp)
             for k, v in prefixes.items():

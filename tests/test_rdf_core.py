@@ -138,3 +138,46 @@ def test_literal_escapes():
     assert isomorphic(g, Graph().parse(g.serialize("turtle")))
     assert isomorphic(g, Graph().parse(g.serialize("xml"), "xml"))
     assert isomorphic(g, Graph().parse(g.serialize("json-ld"), "json-ld"))
+
+
+def test_html_rdfa_parse_matches_person_fixture():
+    """HTML/RDFa-lite input yields the same graph as the ttl fixture
+    (north-star format matrix; parse-only, like rdflib)."""
+    html = """<!DOCTYPE html>
+<html><body vocab="https://schema.org/"
+  prefix="owl: http://www.w3.org/2002/07/owl# xsd: http://www.w3.org/2001/XMLSchema#">
+  <div about="http://orcid.org/0000-0002-8742-7730"
+       typeof="Person owl:NamedIndividual">
+    <span property="name">Nicholas J. Car</span>
+    <span property="jobTitle">Data Systems Architect</span>
+    <a property="affiliation" href="https://surroundaustralia.com">SA</a>
+    <span property="email" datatype="xsd:anyURI"
+          content="nicholas.car@surroundaustralia.com"></span>
+  </div>
+</body></html>"""
+    g = Graph().parse(html, "html")
+    ref = Graph().parse((DATA / "file_01.ttl").read_text())
+    assert isomorphic(g, ref)
+    # .html is recognized by format inference but is parse-only
+    from rdfx_ray.rdf.formats import get_input_format
+    assert get_input_format("page.html") == "html"
+    with pytest.raises(ValueError):
+        g.serialize("html")
+
+
+def test_html_rdfa_chaining_and_lang():
+    html = """<body vocab="http://s.org/">
+      <div about="http://e/alice">
+        <div property="knows" typeof="Person">
+          <span property="name" lang="fr">Bob</span>
+        </div>
+      </div></body>"""
+    g = Graph().parse(html, "html")
+    trs = list(g)
+    knows = [t for t in trs if t[1][1] == "http://s.org/knows"]
+    assert len(knows) == 1
+    assert knows[0][0][1] == "http://e/alice"
+    assert knows[0][2][0] == "bnode"
+    names = [t for t in trs if t[1][1] == "http://s.org/name"]
+    assert names[0][0] == knows[0][2]           # chained subject
+    assert names[0][2][3] == "fr"               # language tag
