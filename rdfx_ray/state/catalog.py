@@ -21,7 +21,10 @@ class GraphCatalog:
         self.ledger = CheckpointLedger(self.out)
 
     def _bucket_entries(self) -> List[Dict[str, Any]]:
-        return [e for e in self.ledger.all("stage2-bucket-").values() if e]
+        # stage2-bucket-* (pipeline partitions) + stage2-graphfile-*
+        # (single-file ingests) — both are named-graph partitions
+        return [e for e in self.ledger.all("stage2-").values()
+                if e and "graph_iri" in e]
 
     def graphs(self) -> List[str]:
         return sorted(e["graph_iri"] for e in self._bucket_entries())
@@ -74,3 +77,67 @@ class GraphCatalog:
             "creator": creator, "created_at": time.time(),
         })
         return iri
+
+    def create_manifest(self, name: str, imports: Optional[List[str]] = None,
+                        creator: str = "engine") -> str:
+        """Collection-level manifest record (reference
+        create_manifest: CreateProjectService with OntologyRegister
+        type + owlImports, rdfx/persistence_systems.py:664-709)."""
+        iri = f"urn:x-evn-master:{name}"
+        self.ledger.commit(f"manifest-{name}", {
+            "graph_iri": iri, "type": "OntologyRegister",
+            "imports": list(imports or []),
+            "creator": creator, "created_at": time.time(),
+        })
+        return iri
+
+    def create_file(self, local_file_path, graph_iri: str,
+                    base_uri: Optional[str] = None) -> Dict[str, Any]:
+        """Ingest-one-file helper (reference create_file skeleton +
+        upload, rdfx/persistence_systems.py:711-758; duplicate baseURI
+        → ValueError :746-752): parse a local RDF file and materialize
+        it as a named-graph partition (parquet + NT + ledger entry),
+        addressable through the same catalog surface."""
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from ..rdf.columnar import triples_to_table
+        from ..rdf.formats import get_input_format
+        from ..rdf.graph import Graph
+        from ..sinks.nt_lines import nt_lines
+
+        base_uri = base_uri or graph_iri
+        unit_id = hashlib.md5(graph_iri.encode()).hexdigest()[:12]
+        unit = f"stage2-graphfile-{unit_id}"
+        existing = self.ledger.read(unit)
+        if existing is not None:
+            raise ValueError(
+                f"An asset with baseURI {base_uri} already exists")
+
+        p = Path(local_file_path)
+        g = Graph().parse(p.read_text(encoding="utf-8"), get_input_format(p))
+        tag = f"file-{unit_id}"
+        table = triples_to_table(iter(g), skolem_prefix=tag)
+        import pyarrow as pa
+        n = table.num_rows
+        table = (table
+                 .append_column("graph_iri",
+                                pa.array([graph_iri] * n, pa.string()))
+                 .append_column("doc_rank", pa.array([0] * n, pa.int64()))
+                 .append_column("span_idx",
+                                pa.array([0] * n, pa.int32())))
+
+        d = self.out / "final" / f"graphfile={unit_id}"
+        d.mkdir(parents=True, exist_ok=True)
+        pq.write_table(table, d / "triples.parquet", compression="snappy")
+        lines = nt_lines(table)
+        (d / "part.nt").write_bytes(
+            (lines.str.cat(sep="\n") + "\n").encode("utf-8"))
+        entry = {
+            "graph_iri": graph_iri, "base_uri": base_uri,
+            "rows": n, "source_file": str(p),
+            "input_fragments": [], "created_at": time.time(),
+        }
+        self.ledger.commit(unit, entry)
+        return entry

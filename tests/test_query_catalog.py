@@ -129,3 +129,23 @@ def test_pipeline_spec(tmp_path, ray_session):
     import glob
     frags = glob.glob(str(tmp_path / "o" / "stage1" / "*" / "*" / "*.parquet"))
     assert len(frags) == len(stats)
+
+
+def test_create_manifest_and_file(tmp_path):
+    from rdfx_ray.state.catalog import GraphCatalog
+    cat = GraphCatalog(str(tmp_path))
+    m = cat.create_manifest("reg1", imports=["https://data.example/doc"])
+    assert m == "urn:x-evn-master:reg1"
+
+    src = Path(__file__).parent / "data" / "file_01.ttl"
+    entry = cat.create_file(src, "urn:x-evn-master:asset1")
+    assert entry["rows"] == 6
+    assert cat.asset_exists("urn:x-evn-master:asset1")
+    assert cat.asset_collection_size("urn:x-evn-master:asset1") == 6
+    # duplicate baseURI rejected (reference :746-752)
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_file(src, "urn:x-evn-master:asset1")
+    # materialized NT parses back to 6 triples
+    from rdfx_ray.rdf import Graph
+    nt = next((tmp_path / "final").glob("graphfile=*/part.nt")).read_text()
+    assert len(Graph().parse(nt, "nt")) == 6
