@@ -127,3 +127,26 @@ def test_nt_lines_vectorized_matches_graph_nt(triples):
     got = set(nt_lines(table).tolist())
     want = {l for l in g.serialize("nt").split("\n") if l.strip()}
     assert got == want
+
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.text(max_size=200))
+def test_parsers_fail_cleanly_on_garbage(text):
+    """Random garbage must either parse (e.g. all-comment/whitespace)
+    or raise ValueError — never hang, crash the interpreter, or raise
+    an unrelated exception type."""
+    for fmt in ("turtle", "nt", "json-ld"):
+        try:
+            Graph().parse(text, fmt)
+        except ValueError:
+            pass
+    # xml parser raises the stdlib ParseError (a ValueError won't
+    # cover ET) — accept both
+    import xml.etree.ElementTree as ET
+    try:
+        Graph().parse(text, "xml")
+    except (ValueError, ET.ParseError):
+        pass
+    # rdfa: html.parser is lenient; must never raise
+    Graph().parse(text, "html")
