@@ -46,6 +46,34 @@ def entry() -> Any:
     return read_final_triples(out_dir)
 
 
+def _kg_distributed_merge(sf_dir: str):
+    """Distributed merge verb over the reference corpus (3 files + a
+    duplicate): union → exact-dedup shuffle → 18 distinct triples,
+    returned as the merged NT lines (set-union semantics of
+    rdfx/rdfx_cli.py:91-93)."""
+    import shutil
+
+    import pandas as pd
+
+    from rdfx_ray.pipelines.verbs import merge_files
+    from rdfx_ray.rdf import Graph
+
+    data = Path(__file__).parent / "tests" / "data"
+    work = Path(_KG_CACHE) / "merge_demo"
+    shutil.rmtree(work, ignore_errors=True)
+    work.mkdir(parents=True)
+    files = []
+    for name in ("file_01.ttl", "file_02.rdf", "file_03.json-ld",
+                 "file_01.ttl"):
+        dst = work / (f"dup_{name}" if (work / name).exists() else name)
+        shutil.copy(data / name, dst)
+        files.append(dst)
+    out = merge_files(files, work / "merged", "nt")
+    g = Graph().parse(out.read_text(), "nt")
+    lines = sorted({l for l in g.serialize("nt").split("\n") if l.strip()})
+    return pd.DataFrame({"nt_line": lines})
+
+
 def _kg_query_filter(sf_dir: str):
     """Single-triple-pattern SELECT: subjects whose sdo:inLanguage is
     'en' (exercises the vectorized pattern filter)."""
@@ -110,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_extract_triples": kg_extract,
         "kg_media_features": kg_media_features,
         "kg_convert_roundtrip": kg_convert_corpus,
+        "kg_distributed_merge": _kg_distributed_merge,
         # query surface over the triple plane (SPARQL-shape analogues)
         "kg_query_filter": _kg_query_filter,
         "kg_query_bgp": _kg_query_bgp,

@@ -133,3 +133,21 @@ def test_distributed_convert(tmp_path, ray_session):
     assert sorted(p.name for p in written) == ["file_01.nt", "file_02.nt"]
     for p in written:
         assert len(Graph().parse(p.read_text(), "nt")) == 6
+
+
+def test_cli_convert_directory(tmp_path):
+    # reference: test_convert_directory — converting a directory
+    # creates one output per input beside the originals
+    work = tmp_path / "d"
+    work.mkdir()
+    for f in ("file_01.ttl", "file_02.rdf", "file_03.json-ld"):
+        shutil.copy(DATA / f, work / f)
+    r = subprocess.run(
+        [sys.executable, "-m", "rdfx_ray", "convert", "-f", "nt",
+         "-o", str(work), str(work)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    made = sorted(p.name for p in work.glob("*.nt"))
+    assert made == ["file_01.nt", "file_02.nt", "file_03.nt"]
+    for p in work.glob("*.nt"):
+        assert len(Graph().parse(p.read_text(), "nt")) == 6
