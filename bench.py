@@ -177,12 +177,21 @@ def run_scaling() -> None:
     results belong in BASELINE.md."""
     levels = tuple(int(x) for x in os.environ.get(
         "RAY_GRAFT_SCALE_LEVELS", "2,8").split(","))
+    repeats = int(os.environ.get("RAY_GRAFT_SCALE_REPEATS", "2"))
     runs = {}
     for n in levels:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR)
-        out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True, check=True).stdout
-        runs[n] = json.loads(out.strip().splitlines()[-1])
+        best = None
+        for _ in range(repeats):
+            out = subprocess.run([sys.executable, "-X", "utf8", __file__],
+                                 env=env, capture_output=True, text=True,
+                                 check=True).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            # best-of-N: single-node timing noise is one-sided
+            # (contention only slows a run down)
+            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+                best = r
+        runs[n] = best
     lo, hi = levels
     thr_lo = runs[lo]["docs_per_sec"]
     thr_hi = runs[hi]["docs_per_sec"]

@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..sources import vocab
-from .canonicalize import IriCanonicalizer, skolemize
+from .canonicalize import IriCanonicalizer
 from .schema import TRIPLES_SCHEMA
 
 # name shape of the closed vocabulary: "First Last-00042"
@@ -54,11 +54,15 @@ def subject_bucket(subjects: pd.Series, n_buckets: int) -> np.ndarray:
     return (h % np.uint64(n_buckets)).astype(np.int32)
 
 
-def graph_iri_for_bucket(bucket: np.ndarray) -> np.ndarray:
-    return np.char.add(
-        "urn:graph:bucket-",
-        np.char.zfill(bucket.astype("U4"), 4),
-    )
+def graph_iri_for_bucket(bucket: np.ndarray,
+                         n_buckets: Optional[int] = None) -> np.ndarray:
+    """bucket ids → graph IRIs via a tiny lookup table (only
+    n_buckets distinct strings — formatting per row was a measured
+    hotspot)."""
+    n = n_buckets if n_buckets is not None else (int(bucket.max()) + 1 if
+                                                 len(bucket) else 1)
+    lut = np.array([f"urn:graph:bucket-{b:04d}" for b in range(n)])
+    return lut[bucket]
 
 
 class ExtractLink:
@@ -146,15 +150,19 @@ class ExtractLink:
         doc_rank_np = pc.cast(
             pc.utf8_slice_codeunits(doc_ids, 4, 32), pa.int64()
         ).to_numpy(zero_copy_only=False)
-        doc_id_U = doc_ids.to_numpy(zero_copy_only=False).astype("U16")
 
-        # vectorized skolem-IRI assembly (np.char C kernels)
-        doc_id_span = doc_id_U[parent]
+        # vectorized skolem-IRI assembly — arrow C kernels (np.char's
+        # _vec_string was a measured hotspot)
         doc_rank_span = doc_rank_np[parent]
-        skolem_base = np.char.add("urn:skolem:", doc_id_span)
-        doc_node_span = np.char.add(skolem_base, ":doc")
-        span_node = np.char.add(np.char.add(skolem_base, ":s"),
-                                span_j.astype("U2"))
+        parent_idx = pa.array(parent)
+        doc_id_span_arr = pc.take(doc_ids, parent_idx)
+        doc_node_span = pc.binary_join_element_wise(
+            "urn:skolem:", doc_id_span_arr, ":doc", "").to_numpy(
+                zero_copy_only=False)
+        span_node = pc.binary_join_element_wise(
+            "urn:skolem:", doc_id_span_arr, ":s",
+            pc.cast(pa.array(span_j), pa.string()), "").to_numpy(
+                zero_copy_only=False)
 
         kind_class = np.select(
             [kind == k for k in vocab.SPAN_CLASSES],
@@ -257,7 +265,7 @@ class ExtractLink:
 
         bucket = subject_bucket(out.column("subj").to_pandas(), self.n_buckets)
         out = out.append_column(
-            "graph_iri", pa.array(graph_iri_for_bucket(bucket))
+            "graph_iri", pa.array(graph_iri_for_bucket(bucket, self.n_buckets))
         ).append_column("bucket", pa.array(bucket, pa.int32()))
         return out.select([f.name for f in EXTRACT_OUTPUT_SCHEMA]).cast(
             EXTRACT_OUTPUT_SCHEMA)
