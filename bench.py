@@ -182,7 +182,9 @@ def run_scaling() -> None:
     for n in levels:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR)
         best = None
-        for _ in range(repeats):
+        for i in range(repeats):
+            if i:
+                time.sleep(15)   # let page cache / writeback settle
             out = subprocess.run([sys.executable, "-X", "utf8", __file__],
                                  env=env, capture_output=True, text=True,
                                  check=True).stdout

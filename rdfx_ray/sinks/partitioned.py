@@ -250,11 +250,16 @@ def _cap_worker_threads(n: int = 2) -> None:
     """Cap Arrow's per-process thread pools inside Ray workers. Many
     concurrent tasks each spawning a machine-width zstd/IO pool
     oversubscribes the node by an order of magnitude; per-task
-    parallelism belongs to Ray, not to nested pools."""
+    parallelism belongs to Ray, not to nested pools. Override or
+    disable (0) via RAY_GRAFT_ARROW_THREADS."""
+    import os
+
     global _THREADS_CAPPED
     if not _THREADS_CAPPED:
-        pa.set_cpu_count(n)
-        pa.set_io_thread_count(max(2, n))
+        n = int(os.environ.get("RAY_GRAFT_ARROW_THREADS", n))
+        if n > 0:
+            pa.set_cpu_count(n)
+            pa.set_io_thread_count(max(2, n))
         _THREADS_CAPPED = True
 
 
