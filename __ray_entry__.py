@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": lambda sf: analytics.pricing_summary(sf),
         "events_hourly": lambda sf: analytics.events_hourly(sf),
         "events_sessionize": lambda sf: analytics.sessionize(sf),
+        "revenue_by_region": lambda sf: analytics.revenue_by_region(sf),
         # text analysis
         "text_token_stats": lambda sf: text.token_stats(sf),
         "text_fingerprints": lambda sf: text.fingerprints(sf),
@@ -165,7 +166,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from rdfx_ray.functions.doc_triples import DOC_TRIPLES_SQL
-    from rdfx_ray.pipelines.analytics import SESSIONIZE_SQL as _SESSIONIZE_SQL_REF
+    from rdfx_ray.pipelines.analytics import (
+        REVENUE_BY_REGION_SQL as _REVENUE_SQL_REF,
+        SESSIONIZE_SQL as _SESSIONIZE_SQL_REF,
+    )
 
     return {
         "kg_doc_triples": DOC_TRIPLES_SQL,
@@ -208,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
         "events_sessionize": _SESSIONIZE_SQL_REF,
+        "revenue_by_region": _REVENUE_SQL_REF,
         "text_token_stats": r"""
             SELECT doc_id,
                    len(list_filter(regexp_split_to_array(text, '\s+'),

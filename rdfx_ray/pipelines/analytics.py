@@ -151,3 +151,69 @@ def entity_degree(triples_ds, top_k: int = 20):
         triples_ds.groupby("subj").aggregate(Count(alias_name="degree"))
         .sort(["degree", "subj"], descending=[True, False]).limit(top_k)
     )
+
+
+def revenue_by_region(sf_dir: str):
+    """TPC-H Q5-shaped multi-table join: lineitem ⋈ orders ⋈ customer
+    ⋈ nation ⋈ region → revenue per region name.
+
+    Join strategy: the dimension chain (orders→customer→nation→region)
+    is composed driver-side into ONE small lookup (orderkey →
+    region_name) and broadcast via ``ray.put``; the fact table
+    (lineitem) streams through map_batches doing a vectorized pandas
+    merge per batch — the canonical broadcast hash join (ray_guide
+    'Joins and lookups'). No shuffle of the fact table; the only
+    exchange is the final tiny groupby. Revenue is integer-scaled
+    (×10⁴) so the DuckDB oracle hash-matches exactly."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey"]).to_pandas()
+    customer = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"]).to_pandas()
+    dim = (orders
+           .merge(customer, left_on="o_custkey", right_on="c_custkey")
+           .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+           .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+           [["o_orderkey", "r_name"]])
+    dim_ref = ray.put(dim)
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        lookup = ray.get(dim_ref)
+        df = df.merge(lookup, left_on="l_orderkey", right_on="o_orderkey")
+        rev = np.floor(df["l_extendedprice"].to_numpy()
+                       * (1.0 - df["l_discount"].to_numpy()) * 10_000
+                       + 0.5).astype(np.int64)
+        g = pd.DataFrame({"r_name": df["r_name"], "rev": rev}) \
+            .groupby("r_name", as_index=False)["rev"].sum() \
+            .rename(columns={"rev": "revenue_c4"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+              .groupby("r_name")
+              .aggregate(Sum("revenue_c4", alias_name="revenue_c4")))
+
+
+REVENUE_BY_REGION_SQL = """
+SELECT r_name,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_c4
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
