@@ -46,6 +46,11 @@ def entry() -> Any:
     return read_final_triples(out_dir)
 
 
+def _revenue_shuffle(sf_dir: str):
+    from rdfx_ray.pipelines.joins import revenue_by_region_shuffle
+    return revenue_by_region_shuffle(sf_dir)
+
+
 def _kg_distributed_merge(sf_dir: str):
     """Distributed merge verb over the reference corpus (3 files + a
     duplicate): union → exact-dedup shuffle → 18 distinct triples,
@@ -147,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": lambda sf: analytics.events_hourly(sf),
         "events_sessionize": lambda sf: analytics.sessionize(sf),
         "revenue_by_region": lambda sf: analytics.revenue_by_region(sf),
+        "revenue_by_region_shuffle": _revenue_shuffle,
         # text analysis
         "text_token_stats": lambda sf: text.token_stats(sf),
         "text_fingerprints": lambda sf: text.fingerprints(sf),
@@ -213,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_sessionize": _SESSIONIZE_SQL_REF,
         "revenue_by_region": _REVENUE_SQL_REF,
+        "revenue_by_region_shuffle": _REVENUE_SQL_REF,
         "text_token_stats": r"""
             SELECT doc_id,
                    len(list_filter(regexp_split_to_array(text, '\s+'),

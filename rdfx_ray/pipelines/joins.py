@@ -1,0 +1,109 @@
+"""Distributed joins over Datasets.
+
+Two strategies, per ray_guide 'Joins and lookups':
+
+- broadcast (small side): see ``analytics.revenue_by_region`` /
+  ``query.bgp_join`` — ``ray.put`` the small side once, pandas-merge
+  per batch. No shuffle.
+- partitioned hash join (both sides large): this module. Portable
+  pattern: tag each side, add ``_jb = hash(key) % B`` to both, union,
+  ``groupby(_jb)``, and inside each bucket group split by side and
+  hash-merge. Every bucket is an independent task; skewed keys are
+  handled by raising B (same salting logic as the triple shuffle).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def partitioned_hash_join(left, right, left_on: str, right_on: str,
+                          n_buckets: int = 32, how: str = "inner"):
+    """Join two Ray Datasets on integer keys via an explicit
+    bucket-partitioned hash join. Returns a Dataset of merged rows
+    (pandas-merge semantics; overlapping column names suffixed _r)."""
+
+    def tag(side: str, key_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+            jb = (keys.astype(np.int64) % n_buckets).astype(np.int32)
+            n = batch.num_rows
+            return (batch
+                    .append_column("_jb", pa.array(jb, pa.int32()))
+                    .append_column("_side",
+                                   pa.array(np.full(n, side), pa.string())))
+        return fn
+
+    tagged = (left.map_batches(tag("l", left_on), batch_format="pyarrow")
+              .union(right.map_batches(tag("r", right_on),
+                                       batch_format="pyarrow")))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == "l"].drop(columns=["_side", "_jb"]).dropna(axis=1, how="all")
+        r = g[g["_side"] == "r"].drop(columns=["_side", "_jb"]).dropna(axis=1, how="all")
+        if l.empty or (r.empty and how == "inner"):
+            return pd.DataFrame()
+        out = l.merge(r, left_on=left_on, right_on=right_on, how=how,
+                      suffixes=("", "_r"))
+        return out
+
+    return tagged.groupby("_jb").map_groups(join_bucket,
+                                            batch_format="pandas")
+
+
+def revenue_by_region_shuffle(sf_dir: str):
+    """Same result as analytics.revenue_by_region, but the
+    lineitem ⋈ orders step runs as a partitioned hash join (the
+    both-sides-large strategy) instead of a broadcast — exercising the
+    explicit exchange path with an identical SQL oracle."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    # dimension chain beyond orders stays tiny → driver-side compose
+    customer = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"]).to_pandas()
+    cust_region = (customer
+                   .merge(nation, left_on="c_nationkey",
+                          right_on="n_nationkey")
+                   .merge(region, left_on="n_regionkey",
+                          right_on="r_regionkey")[["c_custkey", "r_name"]])
+
+    lineitem = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_extendedprice",
+                                        "l_discount"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    joined = partitioned_hash_join(lineitem, orders,
+                                   "l_orderkey", "o_orderkey", n_buckets=16)
+
+    import ray
+    cr_ref = ray.put(cust_region)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({"r_name": pa.array([], pa.string()),
+                             "revenue_c4": pa.array([], pa.int64())})
+        df = df.merge(ray.get(cr_ref), left_on="o_custkey",
+                      right_on="c_custkey")
+        rev = np.floor(df["l_extendedprice"].to_numpy()
+                       * (1.0 - df["l_discount"].to_numpy()) * 10_000
+                       + 0.5).astype(np.int64)
+        g = pd.DataFrame({"r_name": df["r_name"], "rev": rev}) \
+            .groupby("r_name", as_index=False)["rev"].sum() \
+            .rename(columns={"rev": "revenue_c4"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+                  .groupby("r_name")
+                  .aggregate(Sum("revenue_c4", alias_name="revenue_c4")))

@@ -172,3 +172,25 @@ def test_pricing_summary_matches_duckdb():
     """).df()
     for col in ("sum_qty_c", "sum_price_c", "sum_disc_price_c4", "count_order"):
         assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+
+
+def test_partitioned_hash_join():
+    import ray.data as rd
+    from rdfx_ray.pipelines.joins import partitioned_hash_join
+
+    left = rd.from_items([{"k": i, "lv": i * 10} for i in range(100)])
+    right = rd.from_items([{"rk": i, "rv": i * 100} for i in range(0, 100, 2)])
+    out = partitioned_hash_join(left, right, "k", "rk",
+                                n_buckets=8).to_pandas()
+    assert len(out) == 50                       # inner join on evens
+    assert (out["lv"] * 10 == out["rv"]).all()
+    assert (out["k"] == out["rk"]).all()
+
+
+def test_revenue_join_strategies_agree():
+    from rdfx_ray.pipelines.analytics import revenue_by_region
+    from rdfx_ray.pipelines.joins import revenue_by_region_shuffle
+    a = revenue_by_region(SF).to_pandas().sort_values("r_name").reset_index(drop=True)
+    b = revenue_by_region_shuffle(SF).to_pandas().sort_values("r_name").reset_index(drop=True)
+    assert (a["r_name"] == b["r_name"]).all()
+    assert (a["revenue_c4"] == b["revenue_c4"]).all()
