@@ -65,3 +65,42 @@ def nt_lines(batch: pa.Table) -> pd.Series:
         obj[is_lit] = lex + suffix
 
     return subj + " " + pred + " " + obj.to_numpy() + " ."
+
+
+def nt_bytes(batch: pa.Table) -> bytes:
+    """Render a whole TRIPLES batch to newline-joined NT bytes with
+    polars expressions (~2× the pandas path; parity pinned by
+    tests/test_rdf_property.py and the sink tests)."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(
+        ["subj", "pred", "obj_kind", "obj_value", "obj_datatype",
+         "obj_lang"]))
+    esc = (pl.col("obj_value")
+           .str.replace_all("\\", "\\\\", literal=True)
+           .str.replace_all('"', '\\"', literal=True)
+           .str.replace_all("\n", "\\n", literal=True)
+           .str.replace_all("\r", "\\r", literal=True)
+           .str.replace_all("\t", "\\t", literal=True))
+    needs = pl.col("obj_value").str.contains(r'[\\"\n\r\t]')
+    lex = pl.when(needs).then(esc).otherwise(pl.col("obj_value"))
+    obj = (pl.when(pl.col("obj_kind") == "iri")
+             .then(pl.concat_str([pl.lit("<"), pl.col("obj_value"),
+                                  pl.lit(">")]))
+           .when(pl.col("obj_kind") == "bnode")
+             .then(pl.concat_str([pl.lit("_:"), pl.col("obj_value")]))
+           .when(pl.col("obj_lang").is_not_null())
+             .then(pl.concat_str([pl.lit('"'), lex, pl.lit('"@'),
+                                  pl.col("obj_lang")]))
+           .when(pl.col("obj_datatype").is_not_null())
+             .then(pl.concat_str([pl.lit('"'), lex, pl.lit('"^^<'),
+                                  pl.col("obj_datatype"), pl.lit(">")]))
+           .otherwise(pl.concat_str([pl.lit('"'), lex, pl.lit('"')])))
+    subj = (pl.when(pl.col("subj").str.starts_with("_:"))
+              .then(pl.col("subj"))
+              .otherwise(pl.concat_str([pl.lit("<"), pl.col("subj"),
+                                        pl.lit(">")])))
+    line = pl.concat_str([subj, pl.lit(" <"), pl.col("pred"), pl.lit("> "),
+                          obj, pl.lit(" .")])
+    joined = df.select(line.alias("l"))["l"].str.join("\n")[0]
+    return (joined + "\n").encode("utf-8")

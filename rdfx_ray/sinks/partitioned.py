@@ -32,7 +32,7 @@ import pyarrow.parquet as pq
 
 from ..stages.schema import TRIPLE_KEY_COLUMNS, TRIPLES_SCHEMA
 from ..state.manifest import CheckpointLedger
-from .nt_lines import nt_lines
+from .nt_lines import nt_bytes
 
 STATS_SCHEMA = pa.schema([
     pa.field("bucket", pa.int32()),
@@ -164,7 +164,7 @@ class BucketFinalizer:
         nt_path = d / f"part-{b:05d}.nt"
         nt_f = nt_path.open("wb") if self.write_nt else None
         total = 0
-        nt_bytes = 0
+        nt_size = 0
         try:
             for chunk_file in sorted(spill.glob("chunk-*.parquet")):
                 t = pq.read_table(chunk_file, columns=columns)
@@ -176,10 +176,9 @@ class BucketFinalizer:
                 out_writer.write_table(part)
                 total += part.num_rows
                 if nt_f is not None:
-                    lines = nt_lines(part)
-                    data = (lines.str.cat(sep="\n") + "\n").encode("utf-8")
+                    data = nt_bytes(part)
                     nt_f.write(data)
-                    nt_bytes += len(data)
+                    nt_size += len(data)
         finally:
             out_writer.close()
             if nt_f is not None:
@@ -187,7 +186,7 @@ class BucketFinalizer:
             for chunk_file in spill.glob("chunk-*.parquet"):
                 chunk_file.unlink()
             spill.rmdir()
-        return total, nt_bytes
+        return total, nt_size
 
     def __call__(self, control: pa.Table) -> pa.Table:
         results = {"bucket": [], "rows": [], "skipped": [], "seconds": []}
@@ -206,12 +205,12 @@ class BucketFinalizer:
             d = self.out / "final" / f"bucket={b:05d}"
             d.mkdir(parents=True, exist_ok=True)
             n = 0
-            nt_bytes = 0
+            nt_size = 0
             est_rows = sum(pq.ParquetFile(p).metadata.num_rows
                            for p in paths) if paths else 0
             if est_rows and (self.streaming_rows is not None
                              and est_rows > self.streaming_rows):
-                n, nt_bytes = self._finalize_streaming(paths, b, d)
+                n, nt_size = self._finalize_streaming(paths, b, d)
             elif est_rows:
                 # explicit column list: keeps hive-style dir names from
                 # being inferred as extra partition columns
@@ -222,16 +221,14 @@ class BucketFinalizer:
                 pq.write_table(deduped, d / "triples.parquet",
                                compression="snappy")
                 if self.write_nt:
-                    lines = nt_lines(deduped)
-                    # C-level concat — no per-row Python string objects
-                    data = (lines.str.cat(sep="\n") + "\n").encode("utf-8")
+                    data = nt_bytes(deduped)
                     (d / f"part-{b:05d}.nt").write_bytes(data)
-                    nt_bytes = len(data)
+                    nt_size = len(data)
             secs = time.time() - t0
             self.ledger.commit(unit, {
                 "bucket": b,
                 "rows": n,
-                "nt_bytes": nt_bytes,
+                "nt_bytes": nt_size,
                 "seconds": round(secs, 4),
                 "input_fragments": row["paths"],
                 "graph_iri": f"urn:graph:bucket-{b:04d}",

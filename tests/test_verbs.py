@@ -151,3 +151,26 @@ def test_cli_convert_directory(tmp_path):
     assert made == ["file_01.nt", "file_02.nt", "file_03.nt"]
     for p in work.glob("*.nt"):
         assert len(Graph().parse(p.read_text(), "nt")) == 6
+
+
+def test_cli_extract_and_gen(tmp_path):
+    """CLI gen → extract end-to-end (subprocess owns its Ray session)."""
+    import json
+    corpus = tmp_path / "corpus"
+    r = subprocess.run(
+        [sys.executable, "-m", "rdfx_ray", "gen", "--output", str(corpus),
+         "--docs", "300", "--entities", "100"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    assert "wrote 300 docs" in r.stdout
+
+    out = tmp_path / "kg"
+    r = subprocess.run(
+        [sys.executable, "-m", "rdfx_ray", "extract", "--input", str(corpus),
+         "--output", str(out), "--buckets", "4", "--entities", "100",
+         "--batch-size", "100", "--cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240)
+    assert r.returncode == 0, r.stderr
+    job = json.loads(r.stdout.strip().splitlines()[-1])
+    assert job["triples_final"] > 0
+    assert len(list(out.glob("final/bucket=*/part-*.nt"))) == 4
