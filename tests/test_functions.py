@@ -194,3 +194,21 @@ def test_revenue_join_strategies_agree():
     b = revenue_by_region_shuffle(SF).to_pandas().sort_values("r_name").reset_index(drop=True)
     assert (a["r_name"] == b["r_name"]).all()
     assert (a["revenue_c4"] == b["revenue_c4"]).all()
+
+
+def test_embedding_neardup_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from rdfx_ray.functions.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=8).astype(np.float32)
+    near = base + rng.normal(scale=0.01, size=8).astype(np.float32)
+    others = rng.normal(size=(6, 8)).astype(np.float32)
+    vecs = [base, near] + list(others)
+    pq.write_table(pa.table({
+        "vec_id": list(range(8)),
+        "embedding": [v.tolist() for v in vecs],
+    }), tmp_path / "embeddings.parquet")
+    pairs = embedding_neardup_pairs(str(tmp_path), threshold=0.95).to_pandas()
+    assert (0, 1) in set(zip(pairs["vec_a"], pairs["vec_b"]))
