@@ -193,8 +193,13 @@ class BucketFinalizer:
         for row in control.to_pylist():
             b = int(row["bucket"])
             unit = f"stage2-bucket-{b:05d}"
-            if self.ledger.is_committed(unit):
-                done = self.ledger.read(unit)
+            done = self.ledger.read(unit)
+            # skip ONLY if the committed entry covers exactly this
+            # input-fragment set — incremental appends (new input
+            # shards) change a bucket's fragment list and force its
+            # recompute, while untouched buckets still skip
+            if done is not None and set(done.get("input_fragments", [])) \
+                    == set(row["paths"]):
                 results["bucket"].append(b)
                 results["rows"].append(done["rows"])
                 results["skipped"].append(True)

@@ -215,3 +215,36 @@ def generate_documents_ray(uri: str, n_docs: int, seed: int = 42,
                 extra={"spec": {"n_docs": n_docs, "seed": seed,
                                 "n_entities": n_entities, "hub_pct": hub_pct}})
     return shim
+
+
+def extend_documents(uri: str, n_total: int, seed: int = 42,
+                     n_entities: int = 10_000, hub_pct: int = 5,
+                     fragment_rows: int = 16_384) -> LanceShim:
+    """Append documents up to rank n_total as NEW fragments and commit
+    a new dataset version (existing fragments untouched — incremental
+    ingest; downstream shard checkpoints for old fragments stay valid,
+    bucket finalizes recompute only where their input set grew)."""
+    shim = LanceShim(uri)
+    m = shim.latest_manifest()
+    if m is None:
+        return generate_documents(uri, n_total, seed=seed,
+                                  n_entities=n_entities, hub_pct=hub_pct,
+                                  fragment_rows=fragment_rows)
+    n_existing = m["rows"]
+    if n_total <= n_existing:
+        return shim
+    spec = CorpusSpec(n_total, seed=seed, n_entities=n_entities,
+                      hub_pct=hub_pct)
+    frags = list(m["fragments"])
+    for start in range(n_existing, n_total, fragment_rows):
+        stop = min(start + fragment_rows, n_total)
+        table = spec.table_for_ranks(range(start, stop))
+        frags.append(shim.write_fragment(
+            table, f"{start:010d}",
+            lineage={"rank_start": start, "rank_stop": stop, "seed": seed}))
+    frags.sort(key=lambda e: e["path"])
+    shim.commit(frags, DOCUMENTS_SCHEMA,
+                extra={"spec": {"n_docs": n_total, "seed": seed,
+                                "n_entities": n_entities,
+                                "hub_pct": hub_pct}})
+    return shim

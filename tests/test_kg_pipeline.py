@@ -182,3 +182,38 @@ def test_entity_degree_finds_hub(finished_run):
     counts = mentions["obj_value"].value_counts()
     assert counts.index[0] == person_iri(0)
     assert counts.iloc[0] >= 3 * counts.iloc[1]
+
+
+def test_incremental_append(tmp_path_factory, ray_session):
+    """Appending documents to the input dataset and re-running the
+    pipeline: old extract shards skip, buckets recompute only where
+    their input grew, and the final graph equals a from-scratch run
+    over the full corpus."""
+    from rdfx_ray.sources.documents import extend_documents
+    root = tmp_path_factory.mktemp("incr")
+    uri = str(root / "input")
+    generate_documents(uri, n_docs=600, n_entities=200, fragment_rows=200)
+    out = str(root / "out")
+    cfg = KGConfig(n_buckets=4, n_entities=200, batch_size=200,
+                   shard_fragments=1)
+    run_kg_pipeline(uri, out, cfg)
+    stage1_mtimes = {
+        p: p.stat().st_mtime_ns
+        for p in Path(out).glob("stage1/shard=0000[0-2]/**/*.parquet")
+    }
+
+    extend_documents(uri, n_total=900, n_entities=200, fragment_rows=200)
+    job2 = run_kg_pipeline(uri, out, cfg)
+    # the three original shards were not re-extracted
+    for p, m in stage1_mtimes.items():
+        assert p.stat().st_mtime_ns == m
+    # fresh full run agrees exactly
+    ref = str(root / "out_ref")
+    run_kg_pipeline(uri, ref, cfg)
+    assert _triple_set(out) == _triple_set(ref)
+    spec = CorpusSpec(900, seed=42, n_entities=200)
+    want = set()
+    for r in range(900):
+        want |= golden_triples_for_doc(spec, r)
+    assert _triple_set(out) == want
+    assert job2["n_docs"] == 900
