@@ -145,6 +145,8 @@ def run_suite() -> dict:
     queries["events_hourly"] = timed(analytics.events_hourly, SF_DIR)
     queries["text_token_stats"] = timed(text.token_stats, SF_DIR)
     queries["text_quality"] = timed(text.quality_scores, SF_DIR)
+    queries["revenue_by_region"] = timed(analytics.revenue_by_region, SF_DIR)
+    queries["events_sessionize"] = timed(analytics.sessionize, SF_DIR)
     queries["dedup_exact"] = timed(dedup.exact_dedup, SF_DIR)
     queries["dedup_minhash"] = timed(dedup.minhash_lsh_pairs, SF_DIR)
     queries["ann_brute_topk"] = timed(similarity.brute_topk, SF_DIR)
