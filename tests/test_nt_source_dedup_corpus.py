@@ -66,3 +66,26 @@ def test_dedup_corpus_components(tmp_path):
     assert out.loc[2, "keeper_doc_id"] == 0 and out.loc[2, "is_dup"]
     assert out.loc[3, "keeper_doc_id"] == 3 and not out.loc[3, "is_dup"]
     assert out.loc[4, "keeper_doc_id"] == 4
+
+
+def test_nt_partitions_roundtrip_to_parquet_triples(tmp_path):
+    """The .nt partition files and triples.parquet of a finished run
+    describe the same graph: parse NT back through the vectorized NT
+    source and compare the full decomposed-triple sets."""
+    from rdfx_ray.pipelines.kg import KGConfig, read_final_triples, run_kg_pipeline
+    from rdfx_ray.pipelines.verbs import read_nt_dataset
+    from rdfx_ray.sources.documents import generate_documents
+
+    uri = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    generate_documents(uri, n_docs=200, n_entities=60, fragment_rows=100)
+    run_kg_pipeline(uri, out, KGConfig(n_buckets=4, n_entities=60,
+                                       batch_size=100, shard_fragments=2))
+    from pathlib import Path
+    nt_paths = sorted(Path(out).glob("final/bucket=*/part-*.nt"))
+    cols = ["subj", "pred", "obj_kind", "obj_value", "obj_datatype",
+            "obj_lang"]
+    from_nt = read_nt_dataset(nt_paths).to_pandas()
+    from_pq = read_final_triples(out).to_pandas()[cols]
+    key = lambda df: set(map(tuple, df[cols].fillna("∅").to_numpy()))
+    assert key(from_nt) == key(from_pq)
