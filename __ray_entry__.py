@@ -46,6 +46,22 @@ def entry() -> Any:
     return read_final_triples(out_dir)
 
 
+def _kg_span_invariant(sf_dir: str):
+    """Per-row span-sequence invariant (BASELINE.json input_hint):
+    reconstruct (kind, text, media_ref, order) from the OUTPUT graph
+    and compare with the input for every document. Raises on any
+    mismatch; returns the checked-count row."""
+    import pandas as pd
+
+    from rdfx_ray.pipelines.invariant import check_span_invariant
+
+    out_dir = _kg_output()
+    root = Path(_KG_CACHE) / "d2000-e500"
+    res = check_span_invariant(out_dir, str(root / "input"))
+    return pd.DataFrame([{"docs_checked": res["docs_checked"],
+                          "invariant_holds": True}])
+
+
 def _revenue_shuffle(sf_dir: str):
     from rdfx_ray.pipelines.joins import revenue_by_region_shuffle
     return revenue_by_region_shuffle(sf_dir)
@@ -141,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_predicate_counts": lambda sf: doc_triples.predicate_counts(sf),
         # flagship pipeline + RDF core (non-SQL: rows-only checks)
         "kg_extract_triples": kg_extract,
+        "kg_span_invariant": _kg_span_invariant,
         "kg_media_features": kg_media_features,
         "kg_convert_roundtrip": kg_convert_corpus,
         "kg_distributed_merge": _kg_distributed_merge,

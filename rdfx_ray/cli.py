@@ -91,8 +91,23 @@ def main(argv=None):
                 for file in files_list:
                     convert(file, ps, Path(file).stem, args.format, comments)
         else:  # clean
-            for file in prepare_files_list(args.data):
-                clean_ttl(file)
+            files_list = prepare_files_list(args.data)
+            if args.distributed:
+                _ensure_ray()
+                import ray.data as rd
+
+                def _clean_batch(batch):
+                    import pyarrow as pa
+                    outs = [str(clean_ttl(p))
+                            for p in batch["path"].to_pylist()]
+                    return pa.table({"out": pa.array(outs, pa.string())})
+
+                rd.from_items([{"path": str(p)} for p in files_list]) \
+                  .map_batches(_clean_batch, batch_format="pyarrow",
+                               batch_size=1).take_all()
+            else:
+                for file in files_list:
+                    clean_ttl(file)
         return 0
 
     if args.method == "extract":
