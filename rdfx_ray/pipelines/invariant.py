@@ -56,7 +56,12 @@ def spans_from_triples(batch: pa.Table) -> Dict[str, List[Tuple[int, SpanTuple]]
 def check_span_invariant(out_dir: str, input_uri: str) -> Dict[str, int]:
     """Compare reconstructed span sequences against the input table.
     Streams both sides; returns counts. Raises AssertionError on the
-    first mismatching document."""
+    first mismatching document.
+
+    Scale note: the reconstruction accumulator is driver-side (fits to
+    ~10^7 docs); at full scale the same comparison runs bucketed — the
+    span-node subject hash co-locates each doc's span triples, so the
+    check shards by doc_id range with no shuffle."""
     import ray.data as rd
 
     from ..store.lance_shim import LanceShim
