@@ -89,36 +89,70 @@ def events_hourly(sf_dir: str):
     )
 
 
-def sessionize(sf_dir: str, gap_minutes: int = 30):
+def sessionize(sf_dir: str, gap_minutes: int = 30, n_buckets: int = 32):
     """Session windows per user: a new session starts after a gap >
-    ``gap_minutes``. Ray Data has no event-time windows; the streaming
-    shape is groupby(key) + per-group ordered pandas windowing
-    (ray_guide 'Streaming-shaped workloads'), with (ts, event_id) as
-    the total order so results are deterministic and match the SQL
-    window-function oracle exactly."""
+    ``gap_minutes``. Ray Data has no event-time windows; the scalable
+    shape is hash-partition users into ``n_buckets`` groups and run ONE
+    vectorized numpy session assignment per bucket (sort by (user, ts,
+    event_id) → boundary flags → ``reduceat`` aggregation). This
+    replaces per-user ``map_groups`` (~ms of pandas overhead × #users —
+    the small-group anti-pattern) with #buckets group calls total;
+    bucket count scales with the cluster, not with user count.
+
+    ``session_start`` is emitted as BIGINT epoch-microseconds on BOTH
+    the Ray and SQL sides: timestamp columns hash differently across
+    engines (ns vs µs representation), integers never do — the same
+    integer-scaling discipline as every monetary aggregate here.
+    """
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "user_id", "value"])
 
-    gap = np.timedelta64(gap_minutes * 60, "s")
+    gap_us = gap_minutes * 60 * 1_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        prev = g["ts"].shift()
-        new_session = (prev.isna() | ((g["ts"] - prev) > gap)).astype(np.int64)
-        g["session_id"] = new_session.cumsum()
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        jb = (uid.astype(np.int64) % n_buckets).astype(np.int32)
+        return batch.append_column("_jb", pa.array(jb, pa.int32()))
+
+    def bucket_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "session_id": pd.Series([], dtype=np.int64),
+                "session_start": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "sum_value_c": pd.Series([], dtype=np.int64),
+            })
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        user = g["user_id"].to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         val_c = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
-        g["val_c"] = val_c
-        out = g.groupby("session_id", as_index=False).agg(
-            session_start=("ts", "min"),
-            n_events=("event_id", "size"),
-            sum_value_c=("val_c", "sum"),
-        )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
+        n = len(g)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        delta = np.zeros(n, dtype=np.int64)
+        delta[1:] = ts_us[1:] - ts_us[:-1]
+        new_sess = new_user | (delta > gap_us)
+        sid = np.cumsum(new_sess)                       # global 1-based
+        bounds = np.flatnonzero(new_sess)               # session starts
+        user_bounds = np.flatnonzero(new_user)          # user starts
+        # per-session id relative to its user's first session
+        owner = np.searchsorted(user_bounds, bounds, side="right") - 1
+        session_id = sid[bounds] - sid[user_bounds][owner] + 1
+        n_events = np.diff(np.append(bounds, n))
+        return pd.DataFrame({
+            "user_id": user[bounds],
+            "session_id": session_id.astype(np.int64),
+            "session_start": ts_us[bounds],
+            "n_events": n_events.astype(np.int64),
+            "sum_value_c": np.add.reduceat(val_c, bounds),
+        })
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("_jb")
+              .map_groups(bucket_sessions, batch_format="pandas"))
 
 
 SESSIONIZE_SQL = """
@@ -134,7 +168,8 @@ WITH flagged AS (
                                ROWS UNBOUNDED PRECEDING) AS session_id
     FROM flagged
 )
-SELECT user_id, session_id, MIN(ts) AS session_start,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
            AS sum_value_c
@@ -189,9 +224,11 @@ def revenue_by_region(sf_dir: str):
                          columns=["l_orderkey", "l_extendedprice",
                                   "l_discount"])
 
+    from ..functions.broadcast import cached_get
+
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        lookup = ray.get(dim_ref)
+        lookup = cached_get(dim_ref)
         df = df.merge(lookup, left_on="l_orderkey", right_on="o_orderkey")
         rev = np.floor(df["l_extendedprice"].to_numpy()
                        * (1.0 - df["l_discount"].to_numpy()) * 10_000

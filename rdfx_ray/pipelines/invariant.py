@@ -23,10 +23,14 @@ _CLASS_TO_KIND = {v: k for k, v in vocab.SPAN_CLASSES.items()}
 SpanTuple = Tuple[str, str, str, int]  # kind, text, media_ref, offset
 
 
-def spans_from_triples(batch: pa.Table) -> Dict[str, List[Tuple[int, SpanTuple]]]:
-    """Rebuild span rows from one bucket's triples: doc_id →
-    [(span_idx, (kind, text, media_ref, offset))]."""
-    acc: Dict[Tuple[str, int], Dict[str, object]] = {}
+def accumulate_span_slots(batch: pa.Table,
+                          acc: Dict[Tuple[str, int], Dict[str, object]]
+                          ) -> None:
+    """Fold one triple batch into the raw slot accumulator keyed by
+    (doc_id, span_idx). A span node's triples may straddle batch
+    boundaries, so tuples must only be built AFTER all batches are
+    folded — finalizing per batch yields two partial entries for a
+    straddling node (a false invariant failure on a correct graph)."""
     subj = batch.column("subj").to_pylist()
     pred = batch.column("pred").to_pylist()
     obj_value = batch.column("obj_value").to_pylist()
@@ -45,12 +49,25 @@ def spans_from_triples(batch: pa.Table) -> Dict[str, List[Tuple[int, SpanTuple]]
             slot["media_ref"] = v
         elif p == vocab.SDO + "position":
             slot["offset"] = int(v)
+
+
+def finalize_span_slots(acc: Dict[Tuple[str, int], Dict[str, object]]
+                        ) -> Dict[str, List[Tuple[int, SpanTuple]]]:
+    """Slot accumulator → doc_id → [(span_idx, span tuple)]."""
     out: Dict[str, List[Tuple[int, SpanTuple]]] = {}
     for (doc_id, j), slot in acc.items():
         out.setdefault(doc_id, []).append(
             (j, (slot["kind"], slot["text"], slot["media_ref"], slot["offset"]))
         )
     return out
+
+
+def spans_from_triples(batch: pa.Table) -> Dict[str, List[Tuple[int, SpanTuple]]]:
+    """Rebuild span rows from ONE self-contained triple table (single
+    batch — see accumulate/finalize pair for the streaming form)."""
+    acc: Dict[Tuple[str, int], Dict[str, object]] = {}
+    accumulate_span_slots(batch, acc)
+    return finalize_span_slots(acc)
 
 
 def check_span_invariant(out_dir: str, input_uri: str) -> Dict[str, int]:
@@ -69,11 +86,11 @@ def check_span_invariant(out_dir: str, input_uri: str) -> Dict[str, int]:
     # reconstruct from output (bucket-parallel)
     from .kg import read_final_triples
 
-    recon: Dict[str, List[Tuple[int, SpanTuple]]] = {}
+    slots: Dict[Tuple[str, int], Dict[str, object]] = {}
     for batch in read_final_triples(out_dir).iter_batches(
             batch_size=200_000, batch_format="pyarrow"):
-        for doc_id, items in spans_from_triples(batch).items():
-            recon.setdefault(doc_id, []).extend(items)
+        accumulate_span_slots(batch, slots)
+    recon = finalize_span_slots(slots)
 
     checked = 0
     for batch in rd.read_parquet(LanceShim(input_uri).fragment_paths()) \

@@ -27,24 +27,44 @@ def partitioned_hash_join(left, right, left_on: str, right_on: str,
     bucket-partitioned hash join. Returns a Dataset of merged rows
     (pandas-merge semantics; overlapping column names suffixed _r)."""
 
-    def tag(side: str, key_col: str):
+    # Record each side's columns ONCE from the dataset schemas (inferring
+    # per bucket via dropna(all-null) dropped genuinely-all-null data
+    # columns — bucket-dependent schemas — or even the join key on empty
+    # sides). Sides must not share data column names; overlapping names
+    # would collide in the unioned exchange schema.
+    left_schema = left.schema().base_schema
+    right_schema = right.schema().base_schema
+    left_cols: List[str] = list(left_schema.names)
+    right_cols: List[str] = list(right_schema.names)
+    overlap = (set(left_cols) & set(right_cols))
+    if overlap:
+        raise ValueError(f"column names must be disjoint, got {overlap}")
+
+    def tag(side: str, key_col: str, other_schema: pa.Schema):
         def fn(batch: pa.Table) -> pa.Table:
             keys = batch.column(key_col).to_numpy(zero_copy_only=False)
             jb = (keys.astype(np.int64) % n_buckets).astype(np.int32)
             n = batch.num_rows
-            return (batch
-                    .append_column("_jb", pa.array(jb, pa.int32()))
-                    .append_column("_side",
-                                   pa.array(np.full(n, side), pa.string())))
+            out = (batch
+                   .append_column("_jb", pa.array(jb, pa.int32()))
+                   .append_column("_side",
+                                  pa.array(np.full(n, side), pa.string())))
+            # pad with the OTHER side's columns as typed nulls so every
+            # exchange block shares one schema — a bucket whose rows all
+            # came from one side otherwise lacks the other's columns
+            for f in other_schema:
+                out = out.append_column(f.name, pa.nulls(n, f.type))
+            return out.select(left_cols + right_cols + ["_jb", "_side"])
         return fn
 
-    tagged = (left.map_batches(tag("l", left_on), batch_format="pyarrow")
-              .union(right.map_batches(tag("r", right_on),
+    tagged = (left.map_batches(tag("l", left_on, right_schema),
+                               batch_format="pyarrow")
+              .union(right.map_batches(tag("r", right_on, left_schema),
                                        batch_format="pyarrow")))
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["_side"] == "l"].drop(columns=["_side", "_jb"]).dropna(axis=1, how="all")
-        r = g[g["_side"] == "r"].drop(columns=["_side", "_jb"]).dropna(axis=1, how="all")
+        l = g.loc[g["_side"] == "l", left_cols]
+        r = g.loc[g["_side"] == "r", right_cols]
         if l.empty or (r.empty and how == "inner"):
             return pd.DataFrame()
         out = l.merge(r, left_on=left_on, right_on=right_on, how=how,
@@ -87,6 +107,8 @@ def revenue_by_region_shuffle(sf_dir: str):
                                    "l_orderkey", "o_orderkey", n_buckets=16)
 
     import ray
+
+    from ..functions.broadcast import cached_get
     cr_ref = ray.put(cust_region)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -94,7 +116,7 @@ def revenue_by_region_shuffle(sf_dir: str):
         if df.empty:
             return pa.table({"r_name": pa.array([], pa.string()),
                              "revenue_c4": pa.array([], pa.int64())})
-        df = df.merge(ray.get(cr_ref), left_on="o_custkey",
+        df = df.merge(cached_get(cr_ref), left_on="o_custkey",
                       right_on="c_custkey")
         rev = np.floor(df["l_extendedprice"].to_numpy()
                        * (1.0 - df["l_discount"].to_numpy()) * 10_000

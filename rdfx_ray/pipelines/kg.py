@@ -99,7 +99,12 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
     for s, paths in enumerate(shards):
         unit = f"stage1-shard-{s:05d}"
         committed = ledger.read(unit)
-        if committed is not None:
+        # A shard is reusable only if it covered the SAME fragment set:
+        # after extend_documents appends fragments, a shard that was
+        # previously the (short) tail gains fragments and must be
+        # recomputed — mirroring stage-2's input_fragments comparison.
+        # Skipping on existence alone silently dropped the appended docs.
+        if committed is not None and committed.get("input_paths") == paths:
             shard_stats.append(committed)
             docs_processed += committed["docs"]
             triples_written += committed["triples"]

@@ -217,3 +217,63 @@ def test_incremental_append(tmp_path_factory, ray_session):
         want |= golden_triples_for_doc(spec, r)
     assert _triple_set(out) == want
     assert job2["n_docs"] == 900
+
+
+def test_span_slots_straddle_batches():
+    """A span node whose triples straddle a batch boundary must
+    reconstruct to ONE complete tuple (ADVICE round 1, medium): slots
+    accumulate across batches and tuples are built only at the end."""
+    import pyarrow as pa
+
+    from rdfx_ray.pipelines.invariant import (
+        accumulate_span_slots,
+        finalize_span_slots,
+        spans_from_triples,
+    )
+    from rdfx_ray.sources import vocab
+
+    s = "urn:skolem:doc-00000007:s0"
+    tbl = pa.table({
+        "subj": [s, s, s],
+        "pred": [vocab.RDF_TYPE, vocab.SDO + "text", vocab.SDO + "position"],
+        "obj_value": [vocab.SPAN_CLASSES["text"], "hello", "0"],
+    })
+    whole = spans_from_triples(tbl)
+    acc = {}
+    accumulate_span_slots(tbl.slice(0, 2), acc)   # type+text in batch 1
+    accumulate_span_slots(tbl.slice(2), acc)      # position in batch 2
+    assert finalize_span_slots(acc) == whole
+    (doc_id, items), = whole.items()
+    assert items == [(0, ("text", "hello", "", 0))]
+
+
+def test_incremental_append_regrouped_shards(tmp_path_factory, ray_session):
+    """Append with shard_fragments>1: a previously-committed TAIL shard
+    gains fragments after the append (the shard-index → fragment-set
+    mapping shifts) and must be recomputed, not skipped — skipping on
+    ledger existence alone silently dropped the appended docs
+    (ADVICE round 1, high)."""
+    from rdfx_ray.sources.documents import extend_documents
+    root = tmp_path_factory.mktemp("incr2")
+    uri = str(root / "input")
+    # 600 docs @200/frag = 3 fragments → shards [f0,f1], [f2]
+    generate_documents(uri, n_docs=600, n_entities=200, fragment_rows=200)
+    out = str(root / "out")
+    cfg = KGConfig(n_buckets=4, n_entities=200, batch_size=200,
+                   shard_fragments=2)
+    run_kg_pipeline(uri, out, cfg)
+
+    # +400 docs → 5 fragments → shards [f0,f1], [f2,f3], [f4]:
+    # shard 1 changed (gained f3), shard 0 unchanged
+    extend_documents(uri, n_total=1000, n_entities=200, fragment_rows=200)
+    job2 = run_kg_pipeline(uri, out, cfg)
+    assert job2["n_docs"] == 1000
+
+    ref = str(root / "out_ref")
+    run_kg_pipeline(uri, ref, cfg)
+    assert _triple_set(out) == _triple_set(ref)
+    spec = CorpusSpec(1000, seed=42, n_entities=200)
+    want = set()
+    for r in range(1000):
+        want |= golden_triples_for_doc(spec, r)
+    assert _triple_set(out) == want
