@@ -10,10 +10,11 @@
   :mod:`rdfx_ray.functions.similarity`)
 
 Per-batch kernels are numpy-vectorized; the only shuffles are the
-groupbys over hash/band/bucket keys. Candidate verification joins
-text back via a broadcast lookup (``ray.put`` once) — at 100 TB this
-becomes a bucket-wise join on doc_id ranges instead (documented on
-each function).
+groupbys over hash/band/bucket keys and the bucket-partitioned hash
+joins of the verify stage. Nothing corpus-sized ever lands on the
+driver or in a broadcast: candidate generation runs as map_groups
+over hot buckets, verification joins the pair set to per-candidate
+shingle arrays, and only pair/candidate-bounded tables are collected.
 """
 
 from __future__ import annotations
@@ -42,16 +43,9 @@ def exact_dedup(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        h = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
-        return pa.table({
-            "text_hash": pa.array(h, pa.string()),
-            "doc_id": batch.column("doc_id"),
-        })
-
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
+        ds.map_batches(_text_hash_kernel, batch_format="pyarrow",
+                       batch_size=8192)
           .groupby("text_hash")
           .aggregate(Min("doc_id", alias_name="keeper_doc_id"),
                      Count(alias_name="dup_count"))
@@ -180,9 +174,18 @@ class MinHashBands:
         sh, starts = self._doc_shingles(texts)
 
         a, b = self.hasher.a, self.hasher.b
-        # (num_perm, total_shingles) universal hashes, then per-doc min
-        hashed = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
-        sig = np.minimum.reduceat(hashed, starts, axis=1)  # (perm, docs)
+        # (num_perm, total_shingles) universal hashes, then per-doc min.
+        # Permutations are processed in chunks so temporaries stay tens
+        # of MB instead of one ~GB matrix — large first-touch
+        # allocations stall for SECONDS per fresh worker process (page
+        # faults / THP compaction), dwarfing the arithmetic itself.
+        num_perm = self.hasher.num_perm
+        sig = np.empty((num_perm, n_docs), dtype=np.uint64)
+        chunk = max(1, min(num_perm, (1 << 22) // max(1, len(sh))))
+        for p0 in range(0, num_perm, chunk):
+            p1 = min(p0 + chunk, num_perm)
+            hashed = (a[p0:p1, None] * sh[None, :] + b[p0:p1, None]) % _MERSENNE
+            sig[p0:p1] = np.minimum.reduceat(hashed, starts, axis=1)
 
         # band hashes: mix rows_per_band signature values per band
         sig = sig.T.reshape(n_docs, self.bands, self.rows_per_band)
@@ -205,36 +208,63 @@ def _bands_kernel(batch: pa.Table, *, num_perm: int, bands: int,
                         shingle_k=shingle_k)(batch)
 
 
-_VERIFY_STATE: Dict[str, Dict] = {}
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    sa, sb = set(a.tolist()), set(b.tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
 
 
-def _verify_kernel(batch: pa.Table, *, texts_ref, threshold: float,
-                   shingle_k: int) -> pa.Table:
-    """Stateless verify task; the broadcast doc→text dict is fetched
-    once per worker process (object-store local) and shingle sets are
-    cached per process."""
-    import ray
+def _candidate_shingle_rows(batch: pa.Table, *, cand_ref,
+                            shingle_k: int) -> pa.Table:
+    """Corpus filter + shingle computation: keep only candidate docs
+    (semi-join against the broadcast candidate-id array — bounded by
+    the PAIR set, not the corpus) and emit each one's sorted-unique
+    shingle-hash array. Runs where the corpus lives; only candidate
+    shingles enter the verify exchange."""
+    from .broadcast import cached_get
 
-    key = texts_ref.hex()
-    state = _VERIFY_STATE.get(key)
-    if state is None:
-        state = {"texts": ray.get(texts_ref), "shingles": {}}
-        _VERIFY_STATE.clear()
-        _VERIFY_STATE[key] = state
-    texts, cache = state["texts"], state["shingles"]
+    cand_ids = cached_get(cand_ref)
+    doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+    mask = np.isin(doc_ids, cand_ids)
+    if not mask.any():
+        return pa.schema([("doc_id", pa.int64()),
+                          ("sh", pa.binary())]).empty_table()
+    texts = batch.column("text").to_pylist()
+    kept = np.flatnonzero(mask)
+    out_ids, out_sh = [], []
+    for i in kept:
+        out_ids.append(int(doc_ids[i]))
+        # packed uint64 bytes: survives the pandas round-trip of the
+        # bucket join as a plain binary scalar (list columns would be
+        # re-wrapped as tensor structs and break schema casts)
+        out_sh.append(np.unique(
+            _word_shingles(texts[i] or "", shingle_k)).tobytes())
+    return pa.table({
+        "doc_id": pa.array(out_ids, pa.int64()),
+        "sh": pa.array(out_sh, pa.binary()),
+    })
 
-    def sh(doc: int) -> np.ndarray:
-        s = cache.get(doc)
-        if s is None:
-            s = _word_shingles(texts.get(doc, "") or "", shingle_k)
-            cache[doc] = s
-        return s
 
-    import polars as pl
-    df = pl.from_arrow(batch).unique(subset=["doc_a", "doc_b"]).to_pandas()
+def _verify_joined_pairs(batch: pa.Table, *, threshold: float) -> pa.Table:
+    """Verify kernel over pairs ALREADY joined to both shingle arrays
+    (sh_a, sh_b sorted-unique): exact Jaccard via merge-intersection."""
+    doc_a = batch.column("doc_a").to_pylist()
+    doc_b = batch.column("doc_b").to_pylist()
+    sh_a = batch.column("sh_a").to_pylist()
+    sh_b = batch.column("sh_b").to_pylist()
     keep_a, keep_b, jac = [], [], []
-    for a, b in zip(df["doc_a"], df["doc_b"]):
-        j = jaccard(sh(int(a)), sh(int(b)))
+    for a, b, sa, sb in zip(doc_a, doc_b, sh_a, sh_b):
+        if sa is None or sb is None:
+            continue
+        va = np.frombuffer(sa, dtype=np.uint64)
+        vb = np.frombuffer(sb, dtype=np.uint64)
+        na, nb = len(va), len(vb)
+        if na == 0 and nb == 0:
+            j = 1.0
+        else:
+            inter = len(np.intersect1d(va, vb, assume_unique=True))
+            j = inter / (na + nb - inter)
         if j >= threshold:
             keep_a.append(int(a))
             keep_b.append(int(b))
@@ -246,38 +276,43 @@ def _verify_kernel(batch: pa.Table, *, texts_ref, threshold: float,
     })
 
 
-def jaccard(a: np.ndarray, b: np.ndarray) -> float:
-    sa, sb = set(a.tolist()), set(b.tolist())
-    if not sa and not sb:
-        return 1.0
-    return len(sa & sb) / len(sa | sb)
-
-
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6,
                       num_perm: int = 128, bands: int = 32,
-                      shingle_k: int = 3):
+                      shingle_k: int = 3, join_buckets: int = 16,
+                      pairgen_rows_cutoff: int = 4_000_000,
+                      verify_broadcast_cutoff: int = 500_000):
     """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verify.
 
-    Pipeline: signature+banding (actor pool) → groupby(band,
-    band_hash) → candidate pairs within each bucket → verify true
-    n-gram Jaccard ≥ threshold against a broadcast doc→text lookup.
-    Returns (doc_a, doc_b, jaccard_pct) with doc_a < doc_b, exact
-    percentage as int (stable hashing).
+    Pipeline (every corpus-sized step distributed):
+    signature+banding (vectorized map_batches) → singleton-bucket
+    prefilter (partial counts + broadcast hot keys) → pair generation
+    over the HOT rows only → verify true n-gram Jaccard against
+    per-candidate shingle sets computed where the corpus lives (a
+    semi-join filter pass — the full doc→text mapping is NEVER
+    broadcast or collected).
 
-    Scale path: the broadcast verify lookup is the small-side-join
-    pattern; at 10^12 docs, verification becomes a join of candidate
-    pairs against the corpus bucketed by doc_id range.
+    Pair-gen and verify each pick between two physical strategies
+    using EXACT counts computed beforehand (the hot-row total and the
+    candidate count), because Ray's sort-based exchanges carry seconds
+    of fixed cost that dwarf small hot sets:
+
+    - hot rows ≤ ``pairgen_rows_cutoff``: one vectorized polars pass;
+      above: distributed ``groupby(band, band_hash).map_groups``.
+    - candidates ≤ ``verify_broadcast_cutoff``: broadcast the
+      candidate-bounded shingle table, verify pairs in one map stage;
+      above: two bucket-partitioned hash joins (no node holds all
+      candidate shingles).
+
+    Returns (doc_a, doc_b, jaccard_pct) with doc_a < doc_b, exact
+    Jaccard percentage as int (stable hashing).
     """
     import ray
     import ray.data as rd
 
+    from ..pipelines.joins import partitioned_hash_join
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    # broadcast doc→text lookup for the verify stage (ray.put ONCE;
-    # actors ray.get in __init__ — never re-shipped per batch)
-    lookup_tbl = _dataset_to_table(ds)
-    texts_ref = ray.put(dict(zip(lookup_tbl.column("doc_id").to_pylist(),
-                                 lookup_tbl.column("text").to_pylist())))
 
     import polars as pl
 
@@ -305,52 +340,130 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6,
 
     parts = _dataset_to_table(
         banded.map_batches(partial_counts, batch_format="pyarrow"))
-    hot = (pl.from_arrow(parts).group_by(["band", "band_hash"])
-             .agg(pl.col("n").sum()).filter(pl.col("n") > 1)
-             .select(["band", "band_hash"]))
-    if hot.height == 0:
-        return pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                          ("jaccard_pct", pa.int64())]).empty_table()
+    hot_all = (pl.from_arrow(parts).group_by(["band", "band_hash"])
+               .agg(pl.col("n").sum()).filter(pl.col("n") > 1))
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("jaccard_pct", pa.int64())])
+    if hot_all.height == 0:
+        return out_schema.empty_table()
+    hot = hot_all.select(["band", "band_hash"])
+    hot_row_total = int(hot_all["n"].sum())  # EXACT size of the hot set
     hot_ref = ray.put(hot.to_arrow())
 
     def keep_hot(batch: pa.Table) -> pa.Table:
-        hot_keys = pl.from_arrow(ray.get(hot_ref))
+        from .broadcast import cached_get
+        hot_keys = pl.from_arrow(cached_get(hot_ref))
         return (pl.from_arrow(batch)
                   .join(hot_keys, on=["band", "band_hash"], how="semi")
                   .to_arrow().cast(batch.schema))
 
-    # candidate rows = band rows in hot buckets: small by construction
-    cand_rows = pl.from_arrow(_dataset_to_table(
-        banded.map_batches(keep_hot, batch_format="pyarrow")))
-    pairs = set()
-    for (_, _), grp in cand_rows.group_by(["band", "band_hash"]):
-        ids = sorted(set(grp["doc_id"].to_list()))
-        for i, x in enumerate(ids):
-            for y in ids[i + 1:]:
-                pairs.add((x, y))
-    if not pairs:
-        return pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                          ("jaccard_pct", pa.int64())]).empty_table()
-    spairs = sorted(pairs)
-    candidates = rd.from_arrow(pa.table({
-        "doc_a": pa.array([a for a, _ in spairs], pa.int64()),
-        "doc_b": pa.array([b for _, b in spairs], pa.int64()),
-    }))
+    hot_rows = banded.map_batches(keep_hot, batch_format="pyarrow")
 
-    verified = candidates.map_batches(
-        _verify_kernel,
-        fn_kwargs={"texts_ref": texts_ref, "threshold": threshold,
-                   "shingle_k": shingle_k},
-        batch_format="pyarrow", batch_size=8192,
+    # Pair generation, strategy picked by the EXACT hot-row count just
+    # computed (never a guess). Small: the hot set is collision-bounded
+    # and tiny → one vectorized polars/numpy pass beats a Ray sort's
+    # fixed all-to-all cost by seconds. Large (true near-dup-heavy
+    # corpora at scale): distributed groupby over hot buckets.
+    def bucket_pairs_np(ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        ids = np.unique(ids)
+        if len(ids) < 2:
+            z = np.empty(0, dtype=np.int64)
+            return z, z
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return ids[ai], ids[bi]
+
+    if hot_row_total <= pairgen_rows_cutoff:
+        hot_tbl = pl.from_arrow(_dataset_to_table(hot_rows))
+        acc_a, acc_b = [], []
+        for _, grp in hot_tbl.group_by(["band", "band_hash"]):
+            a, b = bucket_pairs_np(grp["doc_id"].to_numpy())
+            acc_a.append(a)
+            acc_b.append(b)
+        raw_pairs = pa.table({
+            "doc_a": pa.array(np.concatenate(acc_a), pa.int64()),
+            "doc_b": pa.array(np.concatenate(acc_b), pa.int64()),
+        })
+    else:
+        def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            a, b = bucket_pairs_np(g["doc_id"].to_numpy())
+            return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+        raw_pairs = _dataset_to_table(
+            hot_rows.groupby(["band", "band_hash"])
+            .map_groups(bucket_pairs, batch_format="pandas"))
+
+    # cross-band repeats dedup AT COLLECT time: the pair set is
+    # output-sized and lands on the driver regardless
+    if raw_pairs.num_rows == 0:
+        return out_schema.empty_table()
+    pairs_tbl = (pl.from_arrow(raw_pairs).unique(subset=["doc_a", "doc_b"])
+                 .to_arrow().cast(pair_schema))
+
+    # candidate doc ids (≤ 2·|pairs|) broadcast once; corpus semi-join
+    # computes each candidate's shingle set where the data lives
+    cand_ids = np.unique(np.concatenate([
+        np.asarray(pairs_tbl.column("doc_a").to_pylist(), dtype=np.int64),
+        np.asarray(pairs_tbl.column("doc_b").to_pylist(), dtype=np.int64),
+    ]))
+    cand_ref = ray.put(cand_ids)
+    sh_ds = ds.map_batches(
+        _candidate_shingle_rows,
+        fn_kwargs={"cand_ref": cand_ref, "shingle_k": shingle_k},
+        batch_format="pyarrow", batch_size=4096,
     )
-    # candidate pairs can repeat across bands → final exact dedup
-    import polars as pl
+
+    # Verify: again by exact count. Small candidate sets broadcast the
+    # (candidate-bounded, NOT corpus-bounded) shingle table and verify
+    # pairs in one map stage; large sets use two bucket-partitioned
+    # hash joins so no single node ever holds all candidate shingles.
+    if len(cand_ids) <= verify_broadcast_cutoff:
+        sh_tbl = _dataset_to_table(sh_ds)
+        sh_ref = ray.put(dict(zip(
+            sh_tbl.column("doc_id").to_pylist(),
+            sh_tbl.column("sh").to_pylist())))
+
+        def verify_broadcast(batch: pa.Table) -> pa.Table:
+            from .broadcast import cached_get
+            shingles = cached_get(sh_ref)
+            da = batch.column("doc_a").to_pylist()
+            db = batch.column("doc_b").to_pylist()
+            joined = pa.table({
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "sh_a": pa.array([shingles.get(a) for a in da], pa.binary()),
+                "sh_b": pa.array([shingles.get(b) for b in db], pa.binary()),
+            })
+            return _verify_joined_pairs(joined, threshold=threshold)
+
+        verified = rd.from_arrow(pairs_tbl).map_batches(
+            verify_broadcast, batch_format="pyarrow", batch_size=8192)
+    else:
+        sh_a = sh_ds.map_batches(
+            lambda b: b.rename_columns(["da", "sh_a"]),
+            batch_format="pyarrow")
+        sh_b = sh_ds.map_batches(
+            lambda b: b.rename_columns(["db", "sh_b"]),
+            batch_format="pyarrow")
+        sh_a_schema = pa.schema([("da", pa.int64()), ("sh_a", pa.binary())])
+        sh_b_schema = pa.schema([("db", pa.int64()), ("sh_b", pa.binary())])
+        j1 = partitioned_hash_join(rd.from_arrow(pairs_tbl), sh_a,
+                                   "doc_a", "da", n_buckets=join_buckets,
+                                   left_schema=pair_schema,
+                                   right_schema=sh_a_schema)
+        j2 = partitioned_hash_join(
+            j1, sh_b, "doc_b", "db", n_buckets=join_buckets,
+            left_schema=pa.schema(list(pair_schema) + list(sh_a_schema)),
+            right_schema=sh_b_schema)
+        verified = j2.map_batches(
+            _verify_joined_pairs, fn_kwargs={"threshold": threshold},
+            batch_format="pyarrow", batch_size=8192)
 
     tbl = _dataset_to_table(verified)
     if tbl.num_rows == 0:
-        return tbl
-    return (pl.from_arrow(tbl).unique(subset=["doc_a", "doc_b"])
-              .sort(["doc_a", "doc_b"]).to_arrow().cast(tbl.schema))
+        return out_schema.empty_table()
+    return (pl.from_arrow(tbl.select(["doc_a", "doc_b", "jaccard_pct"]))
+              .sort(["doc_a", "doc_b"]).to_arrow().cast(out_schema))
 
 
 def _collect_columns(ds, cols):
@@ -369,36 +482,74 @@ def _dataset_to_table(ds) -> pa.Table:
 # -- simhash -----------------------------------------------------------------
 
 
+_POP16: Optional[np.ndarray] = None
+
+
+def _pop16() -> np.ndarray:
+    """65536-entry popcount lookup, built lazily once per process."""
+    global _POP16
+    if _POP16 is None:
+        _POP16 = np.array([bin(i).count("1") for i in range(1 << 16)],
+                          dtype=np.uint8)
+    return _POP16
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via 4×16-bit lookups."""
+    t = _pop16()
+    x = x.astype(np.uint64, copy=False)
+    m = np.uint64(0xFFFF)
+    return (t[(x & m).astype(np.int64)].astype(np.int64)
+            + t[((x >> np.uint64(16)) & m).astype(np.int64)]
+            + t[((x >> np.uint64(32)) & m).astype(np.int64)]
+            + t[((x >> np.uint64(48)) & m).astype(np.int64)])
+
+
 class SimHash:
     """64-bit simhash over word unigram hashes; blocked into 4×16-bit
     keys for Hamming-neighbor candidate generation (docs within
-    Hamming distance ≤3 share at least one block)."""
+    Hamming distance ≤3 share at least one block).
 
-    def __init__(self, seed: int = 11):
-        self.seed = seed
+    Batch-vectorized: ONE pandas siphash call over every word in the
+    batch (the MinHashBands trick — no per-word Python/md5), then a
+    single (words × 64) sign matrix reduced per doc with
+    ``np.add.reduceat``."""
 
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
     _SHIFTS = np.arange(64, dtype=np.uint64)
 
-    def _hash64(self, words: List[str]) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        one = np.uint64(1)
-        for w in words:
-            h = np.uint64(int.from_bytes(
-                hashlib.md5(f"{self.seed}:{w}".encode()).digest()[:8],
-                "little"))
-            bits = (h >> self._SHIFTS) & one
-            acc += np.where(bits == one, 1, -1)
-        return int(((acc > 0).astype(np.uint64) << self._SHIFTS).sum(
-            dtype=np.uint64))
+    def __init__(self, seed: int = 11):
+        self.seed = np.uint64(0xD6E8FEB86659FD93) * np.uint64(seed + 1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        hashes = []
-        for t in texts:
-            words = [w for w in _WS.split((t or "").lower()) if w]
-            hashes.append(self._hash64(words))
-        h = np.array(hashes, dtype=np.uint64)
+        words_per_doc = [[w for w in _WS.split((t or "").lower()) if w]
+                         for t in texts]
+        counts = np.array([len(ws) for ws in words_per_doc], dtype=np.int64)
+        n_docs = len(doc_ids)
+        h = np.zeros(n_docs, dtype=np.uint64)
+        nonempty = counts > 0
+        if nonempty.any():
+            all_words = [w for ws in words_per_doc for w in ws]
+            wh = pd.util.hash_pandas_object(
+                pd.Series(all_words, dtype="object"),
+                index=False).to_numpy().astype(np.uint64)
+            wh = (wh ^ self.seed) * self._MIX  # seed mixing, vectorized
+            # (words, 64) ±1 sign matrix via unpackbits on the LE byte
+            # view (64 bytes/word — bounded), reduced per doc at doc
+            # starts; bitorder='little' makes column j == (wh >> j) & 1
+            bits = np.unpackbits(wh.view(np.uint8).reshape(-1, 8),
+                                 axis=1, bitorder="little")
+            pm = bits.astype(np.int8)
+            pm = pm * 2 - 1
+            starts_all = np.concatenate(
+                [[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+            starts_ne = starts_all[nonempty]
+            sums = np.add.reduceat(pm, starts_ne, axis=0, dtype=np.int32)
+            h_ne = ((sums > 0).astype(np.uint64)
+                    << self._SHIFTS[None, :]).sum(axis=1, dtype=np.uint64)
+            h[nonempty] = h_ne
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.int64()),
             "simhash": pa.array(h, pa.uint64()),
@@ -420,31 +571,84 @@ def simhash_signatures(sf_dir: str):
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     """Near-dup pairs: candidates share a 16-bit block, verified by
-    exact Hamming distance. Signatures are computed distributed
-    (map_batches); the block-bucket candidate scan runs driver-side on
-    the collected signature table — 16 bytes/doc, fine to ~10^8 docs;
-    beyond that the same block keys drive 4 small groupby shuffles."""
-    import polars as pl
+    exact Hamming distance — all distributed.
 
-    sig = _dataset_to_table(simhash_signatures(sf_dir))
-    df = pl.from_arrow(sig)
-    pairs = set()
-    h = dict(zip(df["doc_id"].to_list(),
-                 [int(x) for x in df["simhash"].to_list()]))
-    for blk in ("block0", "block1", "block2", "block3"):
-        for _, grp in df.group_by(blk):
-            ids = sorted(grp["doc_id"].to_list())
-            for i, a in enumerate(ids):
-                for b in ids[i + 1:]:
-                    if (a, b) in pairs:
-                        continue
-                    if bin(h[a] ^ h[b]).count("1") <= max_hamming:
-                        pairs.add((a, b))
-    out = sorted(pairs)
-    return pa.table({
-        "doc_a": pa.array([a for a, _ in out], pa.int64()),
-        "doc_b": pa.array([b for _, b in out], pa.int64()),
-    })
+    Shape: signatures (vectorized map_batches) → unpivot to one row
+    per (block_id, block_value) key (4/doc) → singleton-key prefilter
+    (partial counts + broadcast hot keys, same trick as the LSH path —
+    almost every block value is unique) → ``groupby(block_id,
+    block_value).map_groups`` doing the all-pairs Hamming check with a
+    vectorized 16-bit-lookup popcount → cross-block distinct. The
+    driver only ever holds the hot-key table and the output pair set.
+    """
+    import polars as pl
+    import ray
+    import ray.data as rd
+
+    sig_ds = simhash_signatures(sf_dir).materialize()
+
+    def unpivot(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        parts = []
+        for bi, col in enumerate(("block0", "block1", "block2", "block3")):
+            parts.append(pa.table({
+                "blk": pa.array(np.full(n, bi, dtype=np.int32), pa.int32()),
+                "val": batch.column(col),
+                "doc_id": batch.column("doc_id"),
+                "simhash": pa.array(
+                    batch.column("simhash").to_numpy(
+                        zero_copy_only=False).view(np.int64), pa.int64()),
+            }))
+        return pa.concat_tables(parts)
+
+    rows = sig_ds.map_batches(unpivot, batch_format="pyarrow",
+                              batch_size=8192).materialize()
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        return (pl.from_arrow(batch).group_by(["blk", "val"])
+                  .len().rename({"len": "n"})
+                  .to_arrow().cast(pa.schema([
+                      ("blk", pa.int32()), ("val", pa.int64()),
+                      ("n", pa.int64())])))
+
+    parts = _dataset_to_table(
+        rows.map_batches(partial_counts, batch_format="pyarrow"))
+    hot = (pl.from_arrow(parts).group_by(["blk", "val"])
+             .agg(pl.col("n").sum()).filter(pl.col("n") > 1)
+             .select(["blk", "val"]))
+    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    if hot.height == 0:
+        return schema.empty_table()
+    hot_ref = ray.put(hot.to_arrow())
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        from .broadcast import cached_get
+        hot_keys = pl.from_arrow(cached_get(hot_ref))
+        return (pl.from_arrow(batch)
+                  .join(hot_keys, on=["blk", "val"], how="semi")
+                  .to_arrow().cast(batch.schema))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sub = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = sub["doc_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64)})
+        hs = sub["simhash"].to_numpy().view(np.uint64)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        dist = popcount64(hs[ai] ^ hs[bi])
+        keep = dist <= max_hamming
+        return pd.DataFrame({"doc_a": ids[ai[keep]], "doc_b": ids[bi[keep]]})
+
+    pairs_ds = (rows.map_batches(keep_hot, batch_format="pyarrow")
+                .groupby(["blk", "val"])
+                .map_groups(bucket_pairs, batch_format="pandas"))
+    # cross-block repeats dedup at collect time (output-sized set)
+    tbl = _dataset_to_table(pairs_ds)
+    if tbl.num_rows == 0:
+        return schema.empty_table()
+    return (pl.from_arrow(tbl).unique(subset=["doc_a", "doc_b"])
+              .sort(["doc_a", "doc_b"]).to_arrow().cast(schema))
 
 
 # -- embedding near-dup ------------------------------------------------------
@@ -472,7 +676,8 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.40):
     ref = ray.put((ids, mat))
 
     def block_pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
+        from .broadcast import cached_get
+        all_ids, all_mat = cached_get(ref)
         bid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         bm = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
         bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
@@ -498,21 +703,68 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.40):
 # -- end-to-end corpus dedup -------------------------------------------------
 
 
+def _text_hash_kernel(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    h = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    return pa.table({
+        "text_hash": pa.array(h, pa.string()),
+        "doc_id": batch.column("doc_id"),
+    })
+
+
+def _exact_edge_kernel(batch: pa.Table, *, keeper_ref) -> pa.Table:
+    """Emit (doc_id, keeper) edges for docs whose text hash belongs to
+    a duplicated group — everything corpus-sized stays in the workers;
+    only the duplicate-hash → keeper dict (bounded by the dup-group
+    count) is broadcast."""
+    from .broadcast import cached_get
+
+    keepers: Dict[str, int] = cached_get(keeper_ref)
+    hashed = _text_hash_kernel(batch)
+    doc_ids = hashed.column("doc_id").to_pylist()
+    out_a, out_b = [], []
+    for d, th in zip(doc_ids, hashed.column("text_hash").to_pylist()):
+        k = keepers.get(th)
+        if k is not None and k != d:
+            out_a.append(int(d))
+            out_b.append(int(k))
+    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                     "doc_b": pa.array(out_b, pa.int64())})
+
+
 def dedup_corpus(sf_dir: str, threshold: float = 0.6):
     """Full dedup decision for every document: exact duplicates
     (identical text) ∪ near-duplicates (MinHash-LSH verified) are
     merged into components; each doc maps to its component's keeper
-    (min doc_id). Returns (doc_id, keeper_doc_id, is_dup).
+    (min doc_id). Returns a Dataset of (doc_id, keeper_doc_id, is_dup).
 
-    Components are built by union-find over the verified pair set —
-    driver-side because that set is provably small (bounded by the
-    near-dup rate, not the corpus; ray_guide's condition for doing
-    exactly this). At 10^12 docs the same pair set feeds a few rounds
-    of distributed min-label propagation instead."""
-    import pyarrow.parquet as pq
+    Distributed shape: exact edges come from the hash groupby (keeper
+    per duplicated hash, broadcast back as a small dict — no driver
+    re-read/re-hash of the corpus); near edges from
+    ``minhash_lsh_pairs``. Union-find over the combined EDGE set runs
+    driver-side because that set is bounded by the dup rate, not the
+    corpus (ray_guide's condition for doing exactly this; at 10^12
+    docs it becomes a few rounds of distributed min-label
+    propagation). The final doc→keeper assignment is a broadcast of
+    the component map, applied in map_batches."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
 
-    ids = pq.read_table(f"{sf_dir}/documents.parquet",
-                        columns=["doc_id"]).column("doc_id").to_pylist()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    # keeper per DUPLICATED text hash only (distributed filter first:
+    # the collected table is bounded by dup-group count, not corpus)
+    groups = (ds.map_batches(_text_hash_kernel, batch_format="pyarrow",
+                             batch_size=8192)
+              .groupby("text_hash")
+              .aggregate(Min("doc_id", alias_name="keeper_doc_id"),
+                         Count(alias_name="dup_count")))
+    dup_groups = groups.map_batches(
+        lambda b: b.filter(pa.compute.greater(b.column("dup_count"), 1)),
+        batch_format="pyarrow")
+    dup_tbl = _dataset_to_table(dup_groups)
 
     parent: Dict[int, int] = {}
 
@@ -531,30 +783,39 @@ def dedup_corpus(sf_dir: str, threshold: float = 0.6):
                 ra, rb = rb, ra
             parent[rb] = ra
 
-    exact = exact_dedup(sf_dir).to_pandas()
-    # re-derive members of each exact group from the hash → need the
-    # full mapping; group rows with dup_count>1 only
-    if (exact["dup_count"] > 1).any():
-        h = pq.read_table(f"{sf_dir}/documents.parquet",
-                          columns=["doc_id", "text"])
-        df = pd.DataFrame({
-            "doc_id": h.column("doc_id").to_pylist(),
-            "text_hash": [hashlib.md5((t or "").encode()).hexdigest()
-                          for t in h.column("text").to_pylist()],
-        })
-        for _, grp in df.groupby("text_hash"):
-            members = sorted(grp["doc_id"])
-            for m in members[1:]:
-                union(members[0], m)
+    if dup_tbl.num_rows:
+        keeper_ref = ray.put(dict(zip(
+            dup_tbl.column("text_hash").to_pylist(),
+            (int(x) for x in dup_tbl.column("keeper_doc_id").to_pylist()))))
+        exact_edges = _dataset_to_table(ds.map_batches(
+            _exact_edge_kernel, fn_kwargs={"keeper_ref": keeper_ref},
+            batch_format="pyarrow", batch_size=8192))
+        for a, b in zip(exact_edges.column("doc_a").to_pylist(),
+                        exact_edges.column("doc_b").to_pylist()):
+            union(int(a), int(b))
 
     near = minhash_lsh_pairs(sf_dir, threshold=threshold)
     for a, b in zip(near.column("doc_a").to_pylist(),
                     near.column("doc_b").to_pylist()):
         union(int(a), int(b))
 
-    keeper = [find(int(d)) for d in ids]
-    return pa.table({
-        "doc_id": pa.array(ids, pa.int64()),
-        "keeper_doc_id": pa.array(keeper, pa.int64()),
-        "is_dup": pa.array([k != d for d, k in zip(ids, keeper)], pa.bool_()),
-    })
+    # component map: only docs that belong to some dup component
+    comp = {d: find(d) for d in list(parent.keys())}
+    comp_ref = ray.put(comp)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from .broadcast import cached_get
+        m: Dict[int, int] = cached_get(comp_ref)
+        doc_ids = np.asarray(batch.column("doc_id").to_pylist(),
+                             dtype=np.int64)
+        keeper = np.array([m.get(int(d), int(d)) for d in doc_ids],
+                          dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "keeper_doc_id": pa.array(keeper, pa.int64()),
+            "is_dup": pa.array(keeper != doc_ids, pa.bool_()),
+        })
+
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+            .map_batches(assign, batch_format="pyarrow", batch_size=65536))

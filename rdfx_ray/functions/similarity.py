@@ -2,29 +2,28 @@
 
 - ``brute_topk``: exact cosine top-k — numpy matmul per batch against
   a broadcast query matrix (``ray.put`` once). The correctness
-  baseline.
-- ``ivf_topk``: IVF-bucketed approximate variant — deterministic
-  k-means-ish centroids (fixed seed, few Lloyd iterations), vectors
-  assigned to nearest centroid via one map_batches pass, queries probe
-  the ``nprobe`` nearest lists. The scale path: the corpus never
-  gathers on one node; only centroid stats do.
+  baseline: per-batch partial top-k, tiny driver merge.
+- ``ivf_topk``: IVF-bucketed approximate variant, fully distributed.
+  Centroids train on a BOUNDED sample (driver holds k×d + sample
+  only); assignment runs as one map_batches pass that also persists
+  the index as a partitioned-parquet artifact (one fragment set per
+  inverted list + a JSON manifest with the centroids) so later
+  searches skip the build; search reads ONLY the probed lists'
+  fragments (prune-at-read) and merges per-batch partial top-k. The
+  corpus never gathers on the driver.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import hashlib
+import json
+import os
+import uuid
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
-
-
-def _load_matrix(sf_dir: str) -> Tuple[np.ndarray, np.ndarray]:
-    import pyarrow.parquet as pq
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float32)
-    return ids, mat
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -32,9 +31,26 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def default_queries(sf_dir: str, n_queries: int = 4) -> np.ndarray:
-    """Deterministic query vectors: the first n embeddings."""
-    _, mat = _load_matrix(sf_dir)
-    return mat[:n_queries].copy()
+    """Deterministic query vectors: the first n embeddings (bounded
+    read — only the first row group's head rows leave storage)."""
+    import pyarrow.parquet as pq
+    f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    head = next(f.iter_batches(batch_size=n_queries, columns=["embedding"]))
+    return np.asarray(head.column("embedding").to_pylist(), dtype=np.float32)
+
+
+def _merge_partial_topk(partials_ds, k: int) -> pa.Table:
+    """Driver merge of per-batch partial top-k rows (tiny: ≤ k rows per
+    query per batch)."""
+    import polars as pl
+
+    tbl = pa.concat_tables(list(partials_ds.iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow")))
+    df = (pl.from_arrow(tbl)
+            .sort(["query_id", "cos_1e6", "vec_id"],
+                  descending=[False, True, False])
+            .group_by("query_id", maintain_order=True).head(k))
+    return df.to_arrow().cast(tbl.schema)
 
 
 def brute_topk(sf_dir: str, queries: Optional[np.ndarray] = None,
@@ -55,7 +71,8 @@ def brute_topk(sf_dir: str, queries: Optional[np.ndarray] = None,
                          columns=["vec_id", "embedding"])
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        q = ray.get(qref)
+        from .broadcast import cached_get
+        q = cached_get(qref)
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         m = _normalize(np.asarray(batch.column("embedding").to_pylist(),
                                   dtype=np.float32))
@@ -77,62 +94,212 @@ def brute_topk(sf_dir: str, queries: Optional[np.ndarray] = None,
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow",
                               batch_size=4096)
-    import polars as pl
-    tbl = pa.concat_tables(list(partials.iter_batches(
-        batch_size=1 << 20, batch_format="pyarrow")))
-    df = (pl.from_arrow(tbl)
-            .sort(["query_id", "cos_1e6", "vec_id"],
-                  descending=[False, True, False])
-            .group_by("query_id", maintain_order=True).head(k))
-    return df.to_arrow().cast(tbl.schema)
+    return _merge_partial_topk(partials, k)
+
+
+_LIST_SCHEMA = pa.schema([
+    ("vec_id", pa.int64()),
+    ("embedding", pa.list_(pa.float32())),
+    ("list_id", pa.int32()),
+])
 
 
 class IvfIndex:
-    """Deterministic IVF index built once (actor/driver state)."""
+    """Distributed IVF index persisted as a parquet artifact.
 
-    def __init__(self, sf_dir: str, n_lists: int = 16, iters: int = 5,
-                 seed: int = 3):
-        ids, mat = _load_matrix(sf_dir)
-        self.ids = ids
-        self.mat = _normalize(mat)
+    Layout under ``index_dir``: flat files ``list-{c:05d}-{uuid}.parquet``
+    (vec_id, NORMALIZED embedding, list_id) + ``manifest.json`` holding
+    centroids and the list → files map. Flat names (no ``list=``
+    hive dirs) avoid partition-column inference on read.
+
+    Build: centroid training on a bounded sample (``max_train`` rows on
+    the driver — k-means state is k×d floats, never the corpus), then
+    ONE map_batches pass assigns every vector to its nearest centroid
+    and writes per-(task, list) fragments — the corpus streams through
+    workers and lands partitioned; only fragment stats return to the
+    driver. Search reads just the probed lists' fragments.
+    """
+
+    def __init__(self, index_dir: str, centroids: np.ndarray,
+                 files: Dict[int, List[str]]):
+        self.index_dir = Path(index_dir)
+        self.centroids = centroids
+        self.files = files
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def load(cls, index_dir: str) -> "IvfIndex":
+        man = json.loads((Path(index_dir) / "manifest.json").read_text())
+        cent = np.asarray(man["centroids"], dtype=np.float32)
+        files = {int(c): paths for c, paths in man["files"].items()}
+        return cls(index_dir, cent, files)
+
+    @classmethod
+    def build(cls, sf_dir: str, index_dir: str, n_lists: int = 16,
+              iters: int = 5, seed: int = 3,
+              max_train: int = 65536) -> "IvfIndex":
+        import ray
+        import ray.data as rd
+
+        out = Path(index_dir)
+        out.mkdir(parents=True, exist_ok=True)
+
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+
+        # bounded, deterministic training sample (first max_train rows)
+        sample = pa.concat_tables(list(
+            ds.limit(max_train).iter_batches(batch_size=1 << 20,
+                                             batch_format="pyarrow")))
+        mat = _normalize(np.asarray(sample.column("embedding").to_pylist(),
+                                    dtype=np.float32))
         rng = np.random.default_rng(seed)
-        init = rng.choice(len(self.mat), size=min(n_lists, len(self.mat)),
+        init = rng.choice(len(mat), size=min(n_lists, len(mat)),
                           replace=False)
-        cent = self.mat[np.sort(init)].copy()
+        cent = mat[np.sort(init)].copy()
         for _ in range(iters):
-            assign = np.argmax(self.mat @ cent.T, axis=1)
+            assign = np.argmax(mat @ cent.T, axis=1)
             for c in range(len(cent)):
-                members = self.mat[assign == c]
+                members = mat[assign == c]
                 if len(members):
                     cent[c] = members.mean(axis=0)
             cent = _normalize(cent)
-        self.centroids = cent
-        self.assign = np.argmax(self.mat @ cent.T, axis=1)
+
+        cent_ref = ray.put(cent)
+
+        def assign_write(batch: pa.Table) -> pa.Table:
+            from .broadcast import cached_get
+            centroids = cached_get(cent_ref)
+            ids = np.asarray(batch.column("vec_id").to_pylist(),
+                             dtype=np.int64)
+            m = _normalize(np.asarray(batch.column("embedding").to_pylist(),
+                                      dtype=np.float32))
+            lst = np.argmax(m @ centroids.T, axis=1).astype(np.int32)
+            order = np.argsort(lst, kind="stable")
+            stats = {"list_id": [], "path": [], "rows": []}
+            bounds = np.flatnonzero(np.diff(lst[order])) + 1
+            starts = np.concatenate([[0], bounds])
+            stops = np.concatenate([bounds, [len(order)]])
+            for lo, hi in zip(starts, stops):
+                if hi == lo:
+                    continue
+                sel = order[lo:hi]
+                c = int(lst[sel[0]])
+                part = pa.table({
+                    "vec_id": pa.array(ids[sel], pa.int64()),
+                    "embedding": pa.array(
+                        [m[i].tolist() for i in sel],
+                        pa.list_(pa.float32())),
+                    "list_id": pa.array(np.full(len(sel), c, np.int32),
+                                        pa.int32()),
+                })
+                path = out / f"list-{c:05d}-{uuid.uuid4().hex}.parquet"
+                import pyarrow.parquet as pq
+                pq.write_table(part, path, compression="snappy")
+                stats["list_id"].append(c)
+                stats["path"].append(path.name)
+                stats["rows"].append(len(sel))
+            return pa.table({
+                "list_id": pa.array(stats["list_id"], pa.int32()),
+                "path": pa.array(stats["path"], pa.string()),
+                "rows": pa.array(stats["rows"], pa.int64()),
+            })
+
+        stats = ds.map_batches(assign_write, batch_format="pyarrow",
+                               batch_size=8192).to_pandas()  # tiny stats
+        files: Dict[int, List[str]] = {}
+        for _, row in stats.iterrows():
+            files.setdefault(int(row["list_id"]), []).append(row["path"])
+        manifest = {
+            "n_lists": int(len(cent)),
+            "centroids": cent.tolist(),
+            "files": {str(c): sorted(ps) for c, ps in files.items()},
+            "rows": int(stats["rows"].sum()),
+        }
+        tmp = out / "manifest.json.tmp"
+        tmp.write_text(json.dumps(manifest))
+        tmp.rename(out / "manifest.json")  # atomic commit
+        return cls.load(index_dir)
+
+    # -- search --------------------------------------------------------------
 
     def search(self, queries: np.ndarray, k: int = 10,
                nprobe: int = 4) -> pa.Table:
+        import ray
+        import ray.data as rd
+
         qn = _normalize(np.asarray(queries, dtype=np.float32))
+        n_lists = len(self.centroids)
+        nprobe = min(nprobe, n_lists)
         probe = np.argsort(-(qn @ self.centroids.T), axis=1)[:, :nprobe]
-        rows = {"query_id": [], "vec_id": [], "cos_1e6": []}
+        allow = np.zeros((len(qn), n_lists), dtype=bool)
         for qi in range(len(qn)):
-            mask = np.isin(self.assign, probe[qi])
-            cand_ids = self.ids[mask]
-            sims = self.mat[mask] @ qn[qi]
-            order = np.argsort(-sims)[:k]
-            for j in order:
-                rows["query_id"].append(qi)
-                rows["vec_id"].append(int(cand_ids[j]))
-                rows["cos_1e6"].append(int(np.floor(float(sims[j]) * 1_000_000 + 0.5)))
-        return pa.table({
-            "query_id": pa.array(rows["query_id"], pa.int64()),
-            "vec_id": pa.array(rows["vec_id"], pa.int64()),
-            "cos_1e6": pa.array(rows["cos_1e6"], pa.int64()),
-        })
+            allow[qi, probe[qi]] = True
+
+        needed = sorted({int(c) for c in probe.ravel()})
+        paths = [str(self.index_dir / p)
+                 for c in needed for p in self.files.get(c, [])]
+        if not paths:
+            return pa.schema([("query_id", pa.int64()),
+                              ("vec_id", pa.int64()),
+                              ("cos_1e6", pa.int64())]).empty_table()
+        qref = ray.put((qn, allow))
+
+        ds = rd.read_parquet(paths,
+                             columns=["vec_id", "embedding", "list_id"])
+
+        def partial_topk(batch: pa.Table) -> pa.Table:
+            from .broadcast import cached_get
+            q, allowed = cached_get(qref)
+            ids = np.asarray(batch.column("vec_id").to_pylist(),
+                             dtype=np.int64)
+            lists = np.asarray(batch.column("list_id").to_pylist(),
+                               dtype=np.int64)
+            m = np.asarray(batch.column("embedding").to_pylist(),
+                           dtype=np.float32)  # stored normalized
+            sims = q @ m.T                                # (nq, batch)
+            sims = np.where(allowed[:, lists], sims, -2.0)
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = {"query_id": [], "vec_id": [], "cos_1e6": []}
+            for qi in range(sims.shape[0]):
+                for j in idx[qi]:
+                    if sims[qi, j] < -1.5:  # masked (non-probed list)
+                        continue
+                    rows["query_id"].append(qi)
+                    rows["vec_id"].append(int(ids[j]))
+                    rows["cos_1e6"].append(int(np.floor(
+                        float(sims[qi, j]) * 1_000_000 + 0.5)))
+            return pa.table({
+                "query_id": pa.array(rows["query_id"], pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                "cos_1e6": pa.array(rows["cos_1e6"], pa.int64()),
+            })
+
+        partials = ds.map_batches(partial_topk, batch_format="pyarrow",
+                                  batch_size=4096)
+        return _merge_partial_topk(partials, k)
+
+
+_IVF_CACHE_ROOT = os.environ.get("RAY_GRAFT_IVF_DIR", "/tmp/rdfx_ray_ivf")
+
+
+def ivf_index_for(sf_dir: str, n_lists: int = 16) -> IvfIndex:
+    """Load (or build+persist) the IVF index artifact for a corpus.
+    The artifact is keyed by corpus path + list count; a wiped /tmp
+    just triggers a rebuild (the build is resumable-from-nothing and
+    deterministic)."""
+    key = hashlib.md5(str(Path(sf_dir).resolve()).encode()).hexdigest()[:12]
+    index_dir = Path(_IVF_CACHE_ROOT) / f"{key}-L{n_lists}"
+    if (index_dir / "manifest.json").exists():
+        return IvfIndex.load(str(index_dir))
+    return IvfIndex.build(sf_dir, str(index_dir), n_lists=n_lists)
 
 
 def ivf_topk(sf_dir: str, queries: Optional[np.ndarray] = None,
              k: int = 10, n_lists: int = 16, nprobe: int = 4) -> pa.Table:
     if queries is None:
         queries = default_queries(sf_dir)
-    return IvfIndex(sf_dir, n_lists=n_lists).search(queries, k=k,
-                                                    nprobe=nprobe)
+    return ivf_index_for(sf_dir, n_lists=n_lists).search(queries, k=k,
+                                                         nprobe=nprobe)

@@ -21,27 +21,46 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _dataset_pa_schema(ds) -> pa.Schema:
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    raise ValueError(
+        "dataset is not Arrow-backed (pandas blocks); pass an explicit "
+        "left_schema/right_schema to partitioned_hash_join")
+
+
 def partitioned_hash_join(left, right, left_on: str, right_on: str,
-                          n_buckets: int = 32, how: str = "inner"):
+                          n_buckets: int = 32, how: str = "inner",
+                          left_schema: Optional[pa.Schema] = None,
+                          right_schema: Optional[pa.Schema] = None):
     """Join two Ray Datasets on integer keys via an explicit
     bucket-partitioned hash join. Returns a Dataset of merged rows
-    (pandas-merge semantics; overlapping column names suffixed _r)."""
+    (pandas-merge semantics). Column names must be disjoint across
+    sides; schemas are taken from the datasets (pass ``left_schema`` /
+    ``right_schema`` for pandas-backed inputs, e.g. a chained join)."""
 
-    # Record each side's columns ONCE from the dataset schemas (inferring
-    # per bucket via dropna(all-null) dropped genuinely-all-null data
-    # columns — bucket-dependent schemas — or even the join key on empty
-    # sides). Sides must not share data column names; overlapping names
-    # would collide in the unioned exchange schema.
-    left_schema = left.schema().base_schema
-    right_schema = right.schema().base_schema
+    # Record each side's columns ONCE from the schemas (inferring per
+    # bucket via dropna(all-null) dropped genuinely-all-null data
+    # columns — bucket-dependent schemas — or even the join key on
+    # empty sides).
+    left_schema = left_schema or _dataset_pa_schema(left)
+    right_schema = right_schema or _dataset_pa_schema(right)
     left_cols: List[str] = list(left_schema.names)
     right_cols: List[str] = list(right_schema.names)
     overlap = (set(left_cols) & set(right_cols))
     if overlap:
         raise ValueError(f"column names must be disjoint, got {overlap}")
+    canonical = pa.schema(
+        list(left_schema) + list(right_schema)
+        + [pa.field("_jb", pa.int32()), pa.field("_side", pa.string())])
 
     def tag(side: str, key_col: str, other_schema: pa.Schema):
         def fn(batch: pa.Table) -> pa.Table:
+            # schema-less empty blocks (e.g. out of an upstream join's
+            # empty buckets) normalize to the canonical empty table
+            if batch.num_rows == 0 or key_col not in batch.schema.names:
+                return canonical.empty_table()
             keys = batch.column(key_col).to_numpy(zero_copy_only=False)
             jb = (keys.astype(np.int64) % n_buckets).astype(np.int32)
             n = batch.num_rows
@@ -54,7 +73,9 @@ def partitioned_hash_join(left, right, left_on: str, right_on: str,
             # came from one side otherwise lacks the other's columns
             for f in other_schema:
                 out = out.append_column(f.name, pa.nulls(n, f.type))
-            return out.select(left_cols + right_cols + ["_jb", "_side"])
+            # cast: pandas round-trips upstream may have widened types
+            # (int64-with-nulls → float64); the exchange needs ONE schema
+            return out.select(canonical.names).cast(canonical)
         return fn
 
     tagged = (left.map_batches(tag("l", left_on, right_schema),
@@ -66,7 +87,8 @@ def partitioned_hash_join(left, right, left_on: str, right_on: str,
         l = g.loc[g["_side"] == "l", left_cols]
         r = g.loc[g["_side"] == "r", right_cols]
         if l.empty or (r.empty and how == "inner"):
-            return pd.DataFrame()
+            # keep the output column set stable even for empty buckets
+            return pd.DataFrame(columns=left_cols + right_cols)
         out = l.merge(r, left_on=left_on, right_on=right_on, how=how,
                       suffixes=("", "_r"))
         return out
