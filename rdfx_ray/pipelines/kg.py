@@ -152,6 +152,12 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
                 str(b): grp["path"].tolist()
                 for b, grp in stats.groupby("bucket")
             },
+            # per-bucket row totals: finalize sizes its strategy from
+            # these instead of re-parsing every shuffle-file footer
+            "fragment_rows": {
+                str(b): int(grp["rows"].sum())
+                for b, grp in stats.groupby("bucket")
+            },
             "input_paths": paths,
         }
         ledger.commit(unit, payload)
@@ -166,12 +172,16 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
 
     # -- stage 2: bucket finalize (dedup + materialize) ----------------------
     bucket_files: Dict[int, List[str]] = {b: [] for b in range(cfg.n_buckets)}
+    bucket_rows: Dict[int, int] = {b: 0 for b in range(cfg.n_buckets)}
     for st in shard_stats:
         for b, paths in st["fragments"].items():
             bucket_files[int(b)].extend(paths)
+        for b, nrows in st.get("fragment_rows", {}).items():
+            bucket_rows[int(b)] += int(nrows)
 
     control = rd.from_items([
-        {"bucket": b, "paths": paths} for b, paths in bucket_files.items()
+        {"bucket": b, "paths": paths, "rows_est": bucket_rows[b]}
+        for b, paths in bucket_files.items()
     ])
     fin_kwargs = {
         "out_dir": str(out),

@@ -1,13 +1,15 @@
 """Partitioned triple materialization: the engine's only shuffle.
 
-Stage 1 (map side): each extract task splits its output batch by
-``bucket = hash(subj) % P`` and appends one parquet fragment per
-bucket under ``stage1/shard=<s>/bucket=<b>/`` — a write-side exchange
-(map-side shuffle files) instead of an in-memory all-to-all, chosen
-because it makes every shard independently checkpointable and
-restartable (SURVEY.md §4). Task retries may leave orphan duplicate
-fragments; that is safe by construction because stage 2 performs exact
-dedup and only reads fragments listed in committed shard manifests.
+Stage 1 (map side): each extract task sorts its output batch by
+``bucket = hash(subj) % P`` and writes ONE consolidated parquet file
+under ``stage1/shard=<s>/`` with one row group per bucket — a
+write-side exchange (map-side shuffle files, Spark-style consolidated)
+instead of an in-memory all-to-all, chosen because it makes every
+shard independently checkpointable and restartable (SURVEY.md §4).
+Fragments are addressed as ``path#rg=<i>``; stage 2 reads only its
+bucket's row groups. Task retries may leave orphan duplicate files;
+that is safe by construction because stage 2 performs exact dedup and
+only reads fragments listed in committed shard manifests.
 
 Stage 2 (reduce side): one task per bucket reads that bucket's
 fragments across all shards, exact-dedups on the full triple key
@@ -24,7 +26,7 @@ from __future__ import annotations
 import time
 import uuid
 from pathlib import Path
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -43,10 +45,16 @@ STATS_SCHEMA = pa.schema([
 
 def write_partitioned_batch(batch: pa.Table, *, out_dir: str,
                             shard_id: int) -> pa.Table:
-    """map_batches kernel: split one triple batch by bucket and write a
-    parquet fragment per bucket. Fragment names are unique per task
+    """map_batches kernel: sort one triple batch by bucket and write
+    ONE consolidated parquet file with one row group per bucket
+    (Spark-style shuffle-file consolidation). Stage 2 reads just its
+    bucket's row groups, addressed as ``path#rg=<i>`` fragment refs —
+    so the file count per shard is P_tasks, not P_tasks × P_buckets
+    (~6.3k tiny files at bench scale before), writes are large and
+    sequential, and reads stay pruned. File names are unique per task
     attempt (uuid) — idempotency comes from manifest-listed reads +
     stage-2 dedup, not from overwrites."""
+    _cap_worker_threads(2)
     out = Path(out_dir)
     buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
     order = np.argsort(buckets, kind="stable")
@@ -56,23 +64,48 @@ def write_partitioned_batch(batch: pa.Table, *, out_dir: str,
     starts = np.concatenate([[0], bounds])
     stops = np.concatenate([bounds, [len(sorted_buckets)]])
 
+    d = out / "stage1" / f"shard={shard_id:05d}"
+    d.mkdir(parents=True, exist_ok=True)
+    path = d / f"{uuid.uuid4().hex}.parquet"
+    rel = str(path.relative_to(out))
+
     stats: Dict[str, List[Any]] = {"bucket": [], "path": [], "rows": []}
-    for lo, hi in zip(starts, stops):
-        if hi == lo:
-            continue
-        b = int(sorted_buckets[lo])
-        part = sorted_tbl.slice(lo, hi - lo).drop_columns(["bucket"])
-        d = out / "stage1" / f"shard={shard_id:05d}" / f"bucket={b:05d}"
-        d.mkdir(parents=True, exist_ok=True)
-        path = d / f"{uuid.uuid4().hex}.parquet"
-        # snappy: stage-1 fragments are transient shuffle files; cheap
-        # encode/decode beats ratio here (zstd compress was the
-        # dominant CPU in the sink)
-        pq.write_table(part, path, compression="snappy")
-        stats["bucket"].append(b)
-        stats["path"].append(str(path.relative_to(out)))
-        stats["rows"].append(part.num_rows)
+    # snappy: stage-1 fragments are transient shuffle files; cheap
+    # encode/decode beats ratio here (zstd compress was the dominant
+    # CPU in the sink)
+    # statistics off: these are transient shuffle files addressed by
+    # explicit (file, row-group) refs — nobody predicate-pushes into
+    # them, and 64-row-group footers with per-column stats made every
+    # stage-2 footer parse measurably expensive
+    writer = pq.ParquetWriter(path, TRIPLES_SCHEMA, compression="snappy",
+                              write_statistics=False)
+    try:
+        rg = 0
+        for lo, hi in zip(starts, stops):
+            if hi == lo:
+                continue
+            b = int(sorted_buckets[lo])
+            part = (sorted_tbl.slice(lo, hi - lo).drop_columns(["bucket"])
+                    .cast(TRIPLES_SCHEMA))
+            # one write_table call per bucket slice = one row group
+            # (slices are far below the default row-group size cap)
+            writer.write_table(part)
+            stats["bucket"].append(b)
+            stats["path"].append(f"{rel}#rg={rg}")
+            stats["rows"].append(part.num_rows)
+            rg += 1
+    finally:
+        writer.close()
     return pa.Table.from_pydict(stats, schema=STATS_SCHEMA)
+
+
+def _split_fragment_ref(ref: str) -> Tuple[str, Optional[int]]:
+    """``path#rg=<i>`` → (path, i); bare paths (pre-consolidation
+    layout) → (path, None) meaning 'all row groups'."""
+    if "#rg=" in ref:
+        p, _, i = ref.rpartition("#rg=")
+        return p, int(i)
+    return ref, None
 
 
 class BucketFinalizer:
@@ -119,7 +152,47 @@ class BucketFinalizer:
         # polars emits large_string; normalize back to the engine schema
         return out.cast(table.schema)
 
-    def _finalize_streaming(self, paths: List[str], b: int, d: Path):
+    def _fragment_plan(self, refs: List[str]) -> List[Tuple[str, Optional[List[int]]]]:
+        """Fragment refs → per-file read plan: (abs path, row-group ids
+        or None for 'whole file')."""
+        plan: Dict[str, Optional[List[int]]] = {}
+        for ref in refs:
+            p, rg = _split_fragment_ref(ref)
+            full = str(self.out / p)
+            if rg is None:
+                plan[full] = None
+            else:
+                cur = plan.get(full)
+                if full not in plan:
+                    plan[full] = [rg]
+                elif cur is not None:
+                    cur.append(rg)
+        return [(p, (sorted(r) if r is not None else None))
+                for p, r in plan.items()]
+
+    @staticmethod
+    def _plan_rows(plan: List[Tuple[str, Optional[List[int]]]]) -> int:
+        total = 0
+        for p, rgs in plan:
+            meta = pq.ParquetFile(p).metadata
+            if rgs is None:
+                total += meta.num_rows
+            else:
+                total += sum(meta.row_group(i).num_rows for i in rgs)
+        return total
+
+    @staticmethod
+    def _iter_plan_tables(plan: List[Tuple[str, Optional[List[int]]]],
+                          columns: List[str]):
+        """Yield one table per row group of the plan (row-group-pruned
+        reads: only this bucket's groups leave the consolidated
+        shuffle files)."""
+        for p, rgs in plan:
+            f = pq.ParquetFile(p)
+            for rg in (range(f.num_row_groups) if rgs is None else rgs):
+                yield f.read_row_group(rg, columns=columns)
+
+    def _finalize_streaming(self, plan, b: int, d: Path, est_rows: int):
         """Memory-bounded finalize for buckets larger than worker heap
         (the 10^12-doc path): spill rows into salt-chunk files keyed by
         full-triple hash (identical triples colocate ⇒ per-chunk dedup
@@ -130,7 +203,6 @@ class BucketFinalizer:
         import polars as pl
 
         columns = [f.name for f in TRIPLES_SCHEMA]
-        est_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
         n_chunks = max(2, (est_rows + self.salt_chunk_rows - 1)
                        // self.salt_chunk_rows)
 
@@ -138,10 +210,7 @@ class BucketFinalizer:
         spill.mkdir(parents=True, exist_ok=True)
         writers = {}
         try:
-            for p in paths:
-                f = pq.ParquetFile(p)
-                for rg in range(f.num_row_groups):
-                    t = f.read_row_group(rg, columns=columns)
+            for t in self._iter_plan_tables(plan, columns):
                     df = pl.from_arrow(t)
                     df = df.with_columns(
                         (pl.struct(TRIPLE_KEY_COLUMNS).hash(seed=0)
@@ -206,21 +275,26 @@ class BucketFinalizer:
                 results["seconds"].append(0.0)
                 continue
             t0 = time.time()
-            paths = [str(self.out / p) for p in row["paths"]]
+            plan = self._fragment_plan(row["paths"])
             d = self.out / "final" / f"bucket={b:05d}"
             d.mkdir(parents=True, exist_ok=True)
             n = 0
             nt_size = 0
-            est_rows = sum(pq.ParquetFile(p).metadata.num_rows
-                           for p in paths) if paths else 0
+            # manifest-carried row count (stage-1 stats) saves a footer
+            # parse per file per bucket; metadata fallback for old runs
+            est_rows = int(row.get("rows_est") or 0)
+            if not est_rows:
+                est_rows = self._plan_rows(plan) if plan else 0
             if est_rows and (self.streaming_rows is not None
                              and est_rows > self.streaming_rows):
-                n, nt_size = self._finalize_streaming(paths, b, d)
+                n, nt_size = self._finalize_streaming(plan, b, d, est_rows)
             elif est_rows:
                 # explicit column list: keeps hive-style dir names from
-                # being inferred as extra partition columns
-                table = pq.read_table(
-                    paths, columns=[f.name for f in TRIPLES_SCHEMA])
+                # being inferred as extra partition columns (row-group
+                # pruned: only this bucket's groups are read)
+                cols = [f.name for f in TRIPLES_SCHEMA]
+                table = pa.concat_tables(
+                    list(self._iter_plan_tables(plan, cols)))
                 deduped = self._dedup(table)
                 n = deduped.num_rows
                 pq.write_table(deduped, d / "triples.parquet",
@@ -249,12 +323,17 @@ _THREADS_CAPPED = False
 
 
 def _cap_worker_threads(n: int = 2) -> None:
-    """Cap Arrow's per-process thread pools inside Ray workers. Many
-    concurrent tasks each spawning a machine-width zstd/IO pool
-    oversubscribes the node by an order of magnitude; per-task
-    parallelism belongs to Ray, not to nested pools. Override or
-    disable (0) via RAY_GRAFT_ARROW_THREADS."""
+    """Cap Arrow's AND polars' per-process thread pools inside Ray
+    workers. Many concurrent tasks each spawning a machine-width
+    zstd/IO/sort pool oversubscribes the node by an order of magnitude
+    (measured: 16 concurrent finalizes × a 32-thread polars pool each
+    inflated per-bucket time ~5×); per-task parallelism belongs to
+    Ray, not to nested pools. Override or disable (0) via
+    RAY_GRAFT_ARROW_THREADS. POLARS_MAX_THREADS only takes effect if
+    polars has not been imported yet in this process — kernels call
+    this BEFORE their first polars import."""
     import os
+    import sys
 
     global _THREADS_CAPPED
     if not _THREADS_CAPPED:
@@ -262,6 +341,8 @@ def _cap_worker_threads(n: int = 2) -> None:
         if n > 0:
             pa.set_cpu_count(n)
             pa.set_io_thread_count(max(2, n))
+            if "polars" not in sys.modules:
+                os.environ.setdefault("POLARS_MAX_THREADS", str(n))
         _THREADS_CAPPED = True
 
 

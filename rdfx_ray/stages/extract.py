@@ -89,10 +89,13 @@ class ExtractLink:
             self.alias: Dict[str, int] = ray.get(alias_ref)
         else:
             self.alias = vocab.build_alias_index(n_entities)
+        self.n_entities = n_entities
         self.n_buckets = n_buckets
         self.mention_re = re.compile(MENTION_RE)
         self.canon = IriCanonicalizer(prefixes=prefixes)
         self._entity_cache: Dict[int, List] = {}
+        self._person_lut: Optional[np.ndarray] = None
+        self._ent_cols: Optional[Dict[str, np.ndarray]] = None
 
     # -- helpers -------------------------------------------------------------
     def _entity_triples(self, k: int) -> List:
@@ -110,6 +113,35 @@ class ExtractLink:
             ]
             self._entity_cache[k] = t
         return t
+
+    _ENT_ROWS = 5  # entity_triples emits exactly 5 rows per entity
+
+    def _entity_table(self) -> Dict[str, np.ndarray]:
+        """Columnar table of ALL entities' attribute triples (5 rows
+        per entity, contiguous) — built once per process so per-batch
+        emission is a pure numpy take instead of a Python loop."""
+        if self._ent_cols is None:
+            cols = {c: [] for c in ("subj", "pred", "obj_kind",
+                                    "obj_value", "obj_datatype")}
+            for k in range(self.n_entities):
+                rows = self._entity_triples(k)
+                assert len(rows) == self._ENT_ROWS
+                for (s, p, ok, ov, dt, lg) in rows:
+                    cols["subj"].append(s)
+                    cols["pred"].append(p)
+                    cols["obj_kind"].append(ok)
+                    cols["obj_value"].append(ov)
+                    cols["obj_datatype"].append(dt)
+            self._ent_cols = {c: np.array(v, dtype=object)
+                              for c, v in cols.items()}
+        return self._ent_cols
+
+    def _person_iris(self) -> np.ndarray:
+        if self._person_lut is None:
+            self._person_lut = np.array(
+                [vocab.person_iri(k) for k in range(self.n_entities)],
+                dtype=object)
+        return self._person_lut
 
     # -- batch kernel --------------------------------------------------------
     @staticmethod
@@ -164,8 +196,13 @@ class ExtractLink:
             pc.cast(pa.array(span_j), pa.string()), "").to_numpy(
                 zero_copy_only=False)
 
+        # kind masks via Arrow C kernels (object-dtype == is a Python
+        # loop per element); masks reused for media/text selection too
+        kind_arr = flat.field("kind")
+        kind_masks = {k: pc.equal(kind_arr, k).to_numpy(zero_copy_only=False)
+                      for k in vocab.SPAN_CLASSES}
         kind_class = np.select(
-            [kind == k for k in vocab.SPAN_CLASSES],
+            list(kind_masks.values()),
             [np.str_(v) for v in vocab.SPAN_CLASSES.values()],
             default="",
         )
@@ -197,58 +234,77 @@ class ExtractLink:
                 span_node[xi], SDO + "text", "literal", text[xi],
                 None, doc_rank_span[xi], span_j[xi]))
 
-        # mention detection + linking (regex over text spans; alias dict
-        # lookup; entity attribute triples emitted once per batch)
-        findall = self.mention_re.findall
-        alias = self.alias
-        seen_entities: Dict[int, tuple] = {}
-        mention_edges = set()
-        rows = {k: [] for k in ("subj", "pred", "obj_kind", "obj_value",
-                                "obj_datatype", "obj_lang", "doc_rank",
-                                "span_idx")}
+        # mention detection + linking: ONE regex pass over the whole
+        # batch (text spans joined on \x00, which the mention shape
+        # cannot span), match offsets mapped back to spans with a
+        # vectorized searchsorted — no per-span Python loop. Dedup
+        # (first (doc, entity) edge; first occurrence per entity) is
+        # order-preserving drop_duplicates over the global match order,
+        # identical to the old per-span iteration order.
+        ti = np.nonzero(kind_masks["text"])[0]
+        n_matches = 0
+        if len(ti):
+            texts_t = [text[i] or "" for i in ti]
+            big = "\x00".join(texts_t)
+            names: List[str] = []
+            positions: List[int] = []
+            for m in self.mention_re.finditer(big):
+                names.append(m.group())
+                positions.append(m.start())
+            n_matches = len(names)
+        if n_matches:
+            lens = np.fromiter((len(t) for t in texts_t), dtype=np.int64,
+                               count=len(texts_t))
+            starts_char = np.zeros(len(texts_t), dtype=np.int64)
+            np.cumsum(lens[:-1] + 1, out=starts_char[1:]
+                      if len(texts_t) > 1 else starts_char[:0])
+            pos = np.asarray(positions, dtype=np.int64)
+            rowi = np.searchsorted(starts_char, pos, side="right") - 1
+            span_rows = ti[rowi]
+            alias = self.alias
+            ks = np.fromiter((alias.get(nm, -1) for nm in names),
+                             dtype=np.int64, count=n_matches)
+            keep = ks >= 0
+            if keep.any():
+                ks = ks[keep]
+                span_rows = span_rows[keep]
+                dfm = pd.DataFrame({
+                    "rank": doc_rank_span[span_rows],
+                    "k": ks,
+                    "j": span_j[span_rows],
+                    "row": span_rows,
+                })
+                edges = dfm.drop_duplicates(["rank", "k"], keep="first")
+                ents = dfm.drop_duplicates(["k"], keep="first")
 
-        def emit(s, p, ok, ov, dt, lg, rank, j):
-            rows["subj"].append(s)
-            rows["pred"].append(p)
-            rows["obj_kind"].append(ok)
-            rows["obj_value"].append(ov)
-            rows["obj_datatype"].append(dt)
-            rows["obj_lang"].append(lg)
-            rows["doc_rank"].append(rank)
-            rows["span_idx"].append(j)
+                erow = edges["row"].to_numpy()
+                families.append(self._family(
+                    doc_node_span[erow], SDO + "mentions", "iri",
+                    self._person_iris()[edges["k"].to_numpy()], None,
+                    edges["rank"].to_numpy(),
+                    edges["j"].to_numpy().astype(np.int32)))
 
-        ti = np.nonzero(kind == "text")[0]
-        for i in ti:
-            t = text[i]
-            if not t:
-                continue
-            for name in findall(t):
-                k = alias.get(name)
-                if k is None:
-                    continue
-                edge = (doc_rank_span[i], k)
-                if edge not in mention_edges:
-                    mention_edges.add(edge)
-                    emit(str(doc_node_span[i]), SDO + "mentions", "iri",
-                         vocab.person_iri(k), None, None,
-                         int(doc_rank_span[i]), int(span_j[i]))
-                if k not in seen_entities:
-                    seen_entities[k] = (int(doc_rank_span[i]), int(span_j[i]))
-        for k, (rank, j) in seen_entities.items():
-            for (s, p, ok, ov, dt, lg) in self._entity_triples(k):
-                emit(s, p, ok, ov, dt, lg, rank, j)
-
-        if rows["subj"]:
-            families.append(pa.table({
-                "subj": pa.array(rows["subj"], pa.string()),
-                "pred": pa.array(rows["pred"], pa.string()),
-                "obj_kind": pa.array(rows["obj_kind"], pa.string()),
-                "obj_value": pa.array(rows["obj_value"], pa.string()),
-                "obj_datatype": pa.array(rows["obj_datatype"], pa.string()),
-                "obj_lang": pa.array(rows["obj_lang"], pa.string()),
-                "doc_rank": pa.array(rows["doc_rank"], pa.int64()),
-                "span_idx": pa.array(rows["span_idx"], pa.int32()),
-            }).cast(_FAMILY_SCHEMA))
+                ent = self._entity_table()
+                K = ents["k"].to_numpy()
+                idx = (K[:, None] * self._ENT_ROWS
+                       + np.arange(self._ENT_ROWS)).ravel()
+                n_ent_rows = len(idx)
+                families.append(pa.table({
+                    "subj": pa.array(ent["subj"][idx], pa.string()),
+                    "pred": pa.array(ent["pred"][idx], pa.string()),
+                    "obj_kind": pa.array(ent["obj_kind"][idx], pa.string()),
+                    "obj_value": pa.array(ent["obj_value"][idx], pa.string()),
+                    "obj_datatype": pa.array(ent["obj_datatype"][idx],
+                                             pa.string()),
+                    "obj_lang": pa.nulls(n_ent_rows, pa.string()),
+                    "doc_rank": pa.array(
+                        np.repeat(ents["rank"].to_numpy(), self._ENT_ROWS),
+                        pa.int64()),
+                    "span_idx": pa.array(
+                        np.repeat(ents["j"].to_numpy(),
+                                  self._ENT_ROWS).astype(np.int32),
+                        pa.int32()),
+                }).cast(_FAMILY_SCHEMA))
 
         out = pa.concat_tables(families)
 
@@ -280,6 +336,8 @@ def extract_link_kernel(batch: pa.Table, *, n_entities: int = 10_000,
     """Stateless-task wrapper: one ExtractLink instance per worker
     process (keyed by config), so tasks stay elastic while the alias
     dict / regex / entity cache amortize like actor state."""
+    from ..sinks.partitioned import _cap_worker_threads
+    _cap_worker_threads(2)
     key = (n_entities, n_buckets,
            alias_ref.hex() if alias_ref is not None else None)
     inst = _KERNEL_CACHE.get(key)

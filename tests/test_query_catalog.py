@@ -127,8 +127,11 @@ def test_pipeline_spec(tmp_path, ray_session):
     assert stats["rows"].sum() > 0
     assert set(stats["bucket"]) <= {0, 1, 2, 3}
     import glob
-    frags = glob.glob(str(tmp_path / "o" / "stage1" / "*" / "*" / "*.parquet"))
-    assert len(frags) == len(stats)
+    # consolidated layout: one FILE per write task (stats rows address
+    # row groups inside it as path#rg=<i>)
+    frags = glob.glob(str(tmp_path / "o" / "stage1" / "*" / "*.parquet"))
+    assert len(frags) == stats["path"].str.split("#rg=").str[0].nunique()
+    assert (stats["path"].str.contains("#rg=")).all()
 
 
 def test_create_manifest_and_file(tmp_path):
