@@ -156,7 +156,7 @@ class S3(PersistenceSystem):
     §2.1)."""
 
     def __init__(self, bucket: str, aws_key: str, aws_secret: str,
-                 region: str = "ap-southeast-2"):
+                 region: str = "ap-southeast-2", client=None):
         for item in [bucket, aws_key, aws_secret, region]:
             if not isinstance(item, str):
                 raise ValueError(
@@ -166,8 +166,14 @@ class S3(PersistenceSystem):
         self.aws_key = aws_key
         self.aws_secret = aws_secret
         self.region = region
+        # injectable client (boto3-shaped: get_object/put_object/
+        # head_object) — carries the read/write round-trip tests the
+        # reference runs under moto (tests/test_persistence_system_s3.py)
+        self._injected = client
 
     def _client(self):
+        if self._injected is not None:
+            return self._injected
         try:
             import boto3  # noqa: F401
         except ImportError as e:
@@ -212,11 +218,24 @@ class S3(PersistenceSystem):
 
 
 class GraphDB(PersistenceSystem):
-    """Registry stub, as in the reference (``:312-356``)."""
+    """Registry stub, as in the reference (``:312-356``): constructor
+    signature + validation are real (location must be http*, repo_id
+    required); write validates the graph IRI then raises, exactly like
+    the reference's NotImplemented stub."""
 
-    def __init__(self, system_iri: str, repo_id: str):
-        self.system_iri = system_iri
+    def __init__(self, location: str, repo_id: str,
+                 username: Optional[str] = None,
+                 password: Optional[str] = None):
+        if not isinstance(location, str) or not location.startswith("http"):
+            raise ValueError(
+                f'The value you supplied for location ({location}) must '
+                'start with "http" or "https"')
+        if repo_id is None:
+            raise ValueError("A repo_id must be supplied")
+        self.location = location
         self.repo_id = repo_id
+        self.username = username
+        self.password = password
 
     def read(self, graph_name, rdf_format, *args):
         raise NotImplementedError
@@ -230,11 +249,22 @@ class GraphDB(PersistenceSystem):
 
 
 class Fuseki(PersistenceSystem):
-    """Registry stub, as in the reference (``:359-399``)."""
+    """Registry stub, as in the reference (``:359-399``); same
+    constructor surface as GraphDB."""
 
-    def __init__(self, system_iri: str, dataset: str):
-        self.system_iri = system_iri
-        self.dataset = dataset
+    def __init__(self, location: str, repo_id: str,
+                 username: Optional[str] = None,
+                 password: Optional[str] = None):
+        if not isinstance(location, str) or not location.startswith("http"):
+            raise ValueError(
+                f'The value you supplied for location ({location}) must '
+                'start with "http" or "https"')
+        if repo_id is None:
+            raise ValueError("A repo_id must be supplied")
+        self.location = location
+        self.repo_id = repo_id
+        self.username = username
+        self.password = password
 
     def read(self, graph_name, rdf_format, *args):
         raise NotImplementedError
@@ -248,17 +278,389 @@ class Fuseki(PersistenceSystem):
 
 
 class SOP(PersistenceSystem):
-    """SURROUND Ontology Platform system. The offline-testable pieces —
-    URN canonicalization (``graph_from_workflow`` ``:844-854``,
-    ``tag_from_workflow`` ``:856-865``) and IRI validation — are real;
-    network operations require a live server and raise RuntimeError
-    here. At scale this becomes a stateful HTTP sink actor pool."""
+    """SURROUND Ontology Platform system — the COMPLETE client logic
+    of the reference (read/write/query/asset lifecycle, cookie-auth
+    handshake), written against an injectable HTTP client so the whole
+    surface is offline-testable with a fake transport.
 
-    def __init__(self, system_iri: str = "http://localhost:8083",
-                 username: str = "Administrator", password: str = ""):
-        self.system_iri = system_iri
+    Reference parity (all /root/reference/rdfx/persistence_systems.py):
+    cookie auth + ``j_security_check`` form login and the ``/tbl``
+    suffix (``:821-842``); turtle multipart upload via
+    ``importFileUpload`` with master-vs-workflow projectGraph/tag
+    resolution and ``message`` response parsing (``:453-488``); export
+    URL shapes master ``/service/{dg}/tbs/exportRDFFile`` vs workflow
+    ``/service/{dg}.{wf}/tbs/exportRDFFile`` and the legacy
+    ``sparqlmotion`` params (``:510-556``); general SPARQL SELECT
+    passthrough returning ``list[dict]`` bindings (``:558-580``);
+    COUNT/ASK wrappers (``:582-590,760-784``); CreateProjectService /
+    AddTagService / createRDFFile asset creation (``:592-758``).
+
+    ``client`` is any object with ``get(url, params=, headers=)`` /
+    ``post(url, data=, files=, headers=, cookies=)`` returning
+    ``.status_code``/``.text`` plus a ``.cookies`` attribute — httpx's
+    Client satisfies it; tests inject a fake server. Deviation from
+    the reference (documented): when no client is injected, the
+    connection handshake is LAZY (first network op) instead of in the
+    constructor, because this sandbox has no httpx/network and the
+    URN helpers must stay usable offline.
+
+    At scale this becomes a stateful HTTP sink actor pool
+    (``map_batches(SopSinkActor, concurrency=N)`` — client built once
+    per actor in ``__init__``)."""
+
+    def __init__(self, location: str = "http://localhost:8083",
+                 username: Optional[str] = "Administrator",
+                 auth_type: Optional[str] = "Basic",
+                 password: Optional[str] = None,
+                 timeout: Optional[int] = 60,
+                 client=None):
+        if not isinstance(location, str) or not location.startswith("http"):
+            raise ValueError(
+                f'The value you supplied for location ({location}) must '
+                'start with "http" or "https"')
+        self.location = location
+        self.auth_type = auth_type
         self.username = username
         self.password = password
+        self.timeout = timeout
+        self.local = location.startswith("http://localhost")
+        self.client = None
+        self._injected = client
+        if client is not None:
+            self._create_client()
+
+    # -- connection ----------------------------------------------------------
+
+    def _create_client(self, test_connection: bool = False):
+        """Handshake (reference ``:821-842``): append ``/tbl`` once,
+        GET it with the username cookie, and — unless local — POST the
+        ``j_security_check`` login form; any response body is an auth
+        error."""
+        if not self.location.endswith("/tbl"):
+            self.location += "/tbl"
+        self.client = self._injected if self._injected is not None \
+            else self._httpx_client()
+        self.client.get(self.location)
+        if self.location.startswith("http://localhost"):
+            return True
+        auth_response = self.client.post(
+            self.location + "/j_security_check",
+            data={"j_username": self.username,
+                  "j_password": self.password,
+                  "login": "LOGIN"},
+            headers={"Accept": "text/html"},
+        )
+        if auth_response.text:
+            if test_connection:
+                return auth_response.text
+            raise ValueError(auth_response.text)
+        return True
+
+    def _httpx_client(self):
+        try:
+            import httpx
+        except ImportError as e:
+            raise RuntimeError(
+                "SOP network operations need httpx (not available in this "
+                "environment) or an injected client") from e
+        return httpx.Client(cookies={"username": self.username})
+
+    def _ensure_client(self):
+        if not self.client:
+            self._create_client()
+
+    def _close(self):
+        self.client.get(self.location + "/purgeuser?app=edg")
+
+    # -- read / write / query ------------------------------------------------
+
+    def write(self, g: Graph, graph_iri: str,
+              leading_comments: Optional[List[str]] = None) -> str:
+        from urllib.parse import parse_qs
+
+        if not (graph_iri.startswith("http") or graph_iri.startswith("urn")):
+            raise ValueError(
+                f"The value you supplied for graph_iri ({graph_iri}) is "
+                "not valid")
+        self._ensure_client()
+        content = self.generate_string(g, "ttl", leading_comments)
+        headers = {}
+        if self.local:
+            headers["Cookie"] = "username=Administrator"
+        if graph_iri.startswith("urn:x-evn-tag"):
+            project_graph = SOP.graph_from_workflow(graph_iri)
+        else:
+            project_graph = graph_iri
+        form_data = {
+            "_viewClass": "http://topbraid.org/teamwork#ImportRDFFileService",
+            "projectGraph": project_graph,
+            "_base": graph_iri,
+            "format": "turtle",
+        }
+        if graph_iri.startswith("urn:x-evn-tag"):
+            form_data["tag"] = SOP.tag_from_workflow(graph_iri)
+        import io
+        response = self.client.post(
+            self.location + "/importFileUpload",
+            data=form_data,
+            files={"file": io.BytesIO(content.encode("utf-8"))},
+            headers=headers,
+            timeout=self.timeout,
+        )
+        if response.status_code != 200:
+            raise Exception(
+                f"Error writing to SOP. Status code: {response.status_code}. "
+                f"Response: {response.text}")
+        return parse_qs(response.text)["message"][0]
+
+    def read(self, graph_iri: str, rdf_format: str = "turtle",
+             legacy: bool = False):
+        self._ensure_client()
+        if not legacy:
+            if graph_iri.startswith("urn:x-evn-master"):
+                response = self.client.get(
+                    self.location
+                    + f"/service/{graph_iri.split(':')[2]}/tbs/exportRDFFile"
+                    + f"?format={rdf_format}",
+                    headers={"Cookie": "username=Administrator"})
+            elif graph_iri.startswith("urn:x-evn-tag"):
+                response = self.client.get(
+                    self.location
+                    + f"/service/{graph_iri.split(':')[2]}"
+                    + f".{graph_iri.split(':')[3]}/tbs/exportRDFFile"
+                    + f"?format={rdf_format}",
+                    headers={"Cookie": "username=Administrator"})
+            else:
+                raise NotImplementedError(
+                    "Only asset and workflow graphs are currently supported")
+        else:
+            if graph_iri.startswith("urn:x-evn-master"):
+                params = {
+                    "_base": graph_iri,
+                    "id": "ExportToRDF",
+                    "projectGraph": graph_iri,
+                    "serialization":
+                        "http://topbraid.org/sparqlmotionlib#Turtle",
+                }
+            else:
+                params = {
+                    "_base": graph_iri,
+                    "id": "ExportToRDF",
+                    "projectGraph": self.graph_from_workflow(graph_iri),
+                    "serialization":
+                        "http://topbraid.org/sparqlmotionlib#Turtle",
+                    "tag": self.tag_from_workflow(graph_iri),
+                }
+            response = self.client.get(self.location + "/sparqlmotion",
+                                       params=params)
+        text = response.text
+        leading_comments: List[str] = []
+        if rdf_format in ("turtle", "ttl"):
+            leading_comments, _ = strip_leading_comments(text)
+        return leading_comments, Graph().parse(data=text,
+                                               rdf_format=rdf_format)
+
+    def read_deprecated(self, query: str, graph_iri: str,
+                        return_format: str = "application/rdf+xml") -> Graph:
+        self._ensure_client()
+        response = self.client.post(
+            self.location + "/sparql",
+            data={"query": query, "with-imports": "false",
+                  "default-graph-uri": graph_iri},
+            headers={"Accept": return_format})
+        return Graph().parse(data=response.text, rdf_format="xml")
+
+    def query(self, query: str, graph_iri: str,
+              return_format: str = "application/json") -> List[dict]:
+        """General SPARQL SELECT passthrough: JSON bindings →
+        ``list[dict]`` (reference ``:558-580``)."""
+        import json
+
+        self._ensure_client()
+        response = self.client.post(
+            self.location + "/sparql",
+            data={"query": query, "with-imports": "false",
+                  "default-graph-uri": graph_iri},
+            headers={"Accept": return_format})
+        text_result = json.loads(response.text)
+        return [{str(k): v for k, v in row.items()}
+                for row in text_result["results"]["bindings"]]
+
+    def asset_collection_size(self, asset_iri: str) -> int:
+        query = (f"SELECT (COUNT(*) as ?count) WHERE "
+                 f"{{GRAPH <{asset_iri}> {{?s ?p ?o}} }}")
+        res = self.query(query, asset_iri,
+                         "application/sparql-results+json")
+        return int(res[0]["count"]["value"])
+
+    def asset_exists(self, graph_name: str) -> bool:
+        import json
+
+        self._ensure_client()
+        if graph_name.startswith("urn:x-evn-tag"):
+            return self.asset_exists(self.graph_from_workflow(graph_name))
+        query = f"ASK WHERE {{GRAPH <{graph_name}> {{?s ?p ?o}} }}"
+        response = self.client.post(
+            self.location + "/sparql",
+            data={"query": query},
+            headers={"Accept": "application/sparql-results+json"})
+        try:
+            return json.loads(response.text)["boolean"]
+        except json.JSONDecodeError:
+            raise Exception(response.text)
+
+    # -- asset creation ------------------------------------------------------
+
+    def create_datagraph(self, datagraph_name: Optional[str] = None,
+                         description: Optional[str] = None,
+                         subjectArea: Optional[str] = None,
+                         default_namespace: Optional[str] = None,
+                         headers: Optional[dict] = None) -> str:
+        import getpass
+        from datetime import datetime
+
+        if datagraph_name and datagraph_name.startswith("urn:x-evn-master"):
+            datagraph_name = datagraph_name.strip("urn:x-evn-master:")
+        if not datagraph_name:
+            datagraph_name = (f"Python_created_Datagraph_by_"
+                              f"{getpass.getuser()}_at_"
+                              f"{datetime.now().isoformat()}")
+        if not default_namespace:
+            default_namespace = (
+                "https://data.surroundaustralia.com/data/"
+                f"{datagraph_name}#").replace(" ", "_")
+        if self.local:
+            headers = {"Cookie": "username=Administrator"}
+        form_data = {
+            "_viewClass": "http://topbraid.org/teamwork#CreateProjectService",
+            "projectType": "http://teamwork.topbraidlive.org/datagraph/"
+                           "datagraphprojects#ProjectType",
+            "subjectArea": subjectArea or "",
+            "name": datagraph_name,
+            "defaultNamespace": default_namespace,
+            "comment": description or "",
+        }
+        response_dict = self._create_sop_asset(form_data, headers)
+        return f"urn:x-evn-master:{response_dict['id']}"
+
+    def create_workflow(self, graph_iri: str,
+                        workflow_name: Optional[str] = None,
+                        headers: Optional[dict] = None) -> str:
+        import getpass
+        from datetime import datetime
+
+        if not workflow_name:
+            workflow_name = (f"Python_created_Workflow_by_"
+                             f"{getpass.getuser()}_at_"
+                             f"{datetime.now().isoformat()}")
+        form_data = {
+            "_viewClass": "http://topbraid.org/teamwork#AddTagService",
+            "projectGraph": graph_iri,
+            "workflow": "http://topbraid.org/teamwork#"
+                        "DefaultTagWorkflowTemplate",
+            "name": workflow_name,
+            "comment": "",
+        }
+        response_dict = self._create_sop_asset(form_data, headers)
+        # use the name SOP returns for the workflow
+        workflow_name = response_dict["rootResource"].split(":")[2]
+        return (f"{graph_iri}:{workflow_name}:{self.username}"
+                .replace("urn:x-evn-master", "urn:x-evn-tag"))
+
+    def create_manifest(self, manifest_name: Optional[str] = None,
+                        description: Optional[str] = None,
+                        subjectArea: Optional[str] = None,
+                        default_namespace: Optional[str] = None,
+                        headers: Optional[dict] = None) -> str:
+        import getpass
+        from datetime import datetime
+
+        if manifest_name and manifest_name.startswith("urn:x-evn-master"):
+            manifest_name = manifest_name.strip("urn:x-evn-master:")
+        if not manifest_name:
+            manifest_name = (f"Python_created_Manifest_by_"
+                             f"{getpass.getuser()}_at_"
+                             f"{datetime.now().isoformat()}")
+        if not default_namespace:
+            default_namespace = (
+                "https://data.surroundaustralia.com/manifest/"
+                f"{manifest_name}#").replace(" ", "_")
+        form_data = {
+            "_viewClass": "http://topbraid.org/teamwork#CreateProjectService",
+            "projectType": "http://surroundaustralia.com/ns/platform/"
+                           "OntologyRegister",
+            "owlImports": [
+                "https://data.surroundaustralia.com/def/standards-baseline",
+            ],
+            "name": manifest_name,
+            "defaultNamespace": default_namespace,
+            "subjectArea": subjectArea or "",
+            "comment": description or "",
+        }
+        response_dict = self._create_sop_asset(form_data, headers)
+        return f"urn:x-evn-master:{response_dict['id']}"
+
+    def create_file(self, file_path: Path,
+                    description: Optional[str] = None,
+                    subjectArea: Optional[str] = None,
+                    default_namespace: Optional[str] = None,
+                    headers: Optional[dict] = None) -> str:
+        if not default_namespace:
+            default_namespace = (
+                f"https://data.surroundaustralia.com/file/{file_path}#"
+                .replace(" ", "_"))
+        file_name = file_path.name
+        base_uri = default_namespace[:-1]
+        form_data = {
+            "_viewClass": "http://topbraid.org/teamwork#createRDFFile",
+            "_plainErrors": "true",
+            "baseURI": base_uri,
+            "fileName": file_name,
+            "path": "/",
+            "prefix": "ex",
+            "namespace": default_namespace,
+        }
+        if not self.asset_exists(base_uri):
+            self._create_sop_asset(form_data, headers)
+        else:
+            raise ValueError(
+                f"Asset (probably a file) already exists with baseURI: "
+                f"{base_uri}")
+        # upload the local file's contents into the created skeleton
+        comments, graph = File(file_path.parent).read(file_name)
+        self.write(g=graph, graph_iri=base_uri, leading_comments=comments)
+        return base_uri
+
+    def _create_sop_asset(self, form_data: dict,
+                          headers: Optional[dict]):
+        import json
+
+        if not headers:
+            headers = {}
+        self._ensure_client()
+        response = self.client.post(
+            self.location + "/swp",
+            data=form_data,
+            headers=headers,
+            cookies=self.client.cookies)
+        response_dict = json.loads(response.text)
+        keys = response_dict.keys()
+        if "response" in keys:  # datagraph creation success
+            if response_dict["response"].startswith("Successfully"):
+                return response_dict
+        elif "changed" in keys:  # workflow creation success
+            if response_dict["changed"]:
+                return response_dict
+        elif "error" in keys:
+            raise ValueError(response_dict["error"])
+        else:
+            if response.status_code == 200:
+                return "Successful transaction - no response returned from EDG"
+            raise Exception(
+                f"Failed to create {form_data['name']} graph on SOP.\n"
+                f"Error: {response.text}")
+
+    # -- URN helpers ---------------------------------------------------------
 
     @staticmethod
     def graph_from_workflow(workflow_graph: str) -> str:
@@ -282,15 +684,6 @@ class SOP(PersistenceSystem):
                 "it does not look like a SOP Workflow"
             )
         return "urn:x-tags:" + workflow_graph.split(":")[3]
-
-    def read(self, graph_name, rdf_format="turtle", *args):
-        raise RuntimeError("SOP requires a live server (no network in sandbox)")
-
-    def write(self, g: Graph, graph_iri: str,
-              leading_comments: Optional[List[str]] = None):
-        if not (graph_iri.startswith("http") or graph_iri.startswith("urn")):
-            raise ValueError("graph_iri must start with 'http' or 'urn'")
-        raise RuntimeError("SOP requires a live server (no network in sandbox)")
 
 
 def prepare_files_list(file_or_dir: Union[str, Path, list]) -> List[Path]:

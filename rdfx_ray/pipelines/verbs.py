@@ -283,8 +283,15 @@ def read_nt_dataset(paths):
             "pred": pa.array(ext["p_iri"], pa.string()),
             "obj_kind": pa.array(obj_kind, pa.string()),
             "obj_value": pa.array(obj_value, pa.string()),
+            # explicit ^^xsd:string normalizes to a plain literal,
+            # matching terms.literal() (the tuple-plane constructor) so
+            # the same NT ingested via either path yields equal rows
             "obj_datatype": pa.array(
-                ext["o_dt"].where(ext["o_dt"].notna(), None), pa.string()),
+                ext["o_dt"].where(
+                    ext["o_dt"].notna()
+                    & (ext["o_dt"]
+                       != "http://www.w3.org/2001/XMLSchema#string"),
+                    None), pa.string()),
             "obj_lang": pa.array(
                 ext["o_lang"].where(ext["o_lang"].notna(), None), pa.string()),
         }).cast(COLUMNAR_SCHEMA)

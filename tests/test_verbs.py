@@ -174,3 +174,24 @@ def test_cli_extract_and_gen(tmp_path):
     job = json.loads(r.stdout.strip().splitlines()[-1])
     assert job["triples_final"] > 0
     assert len(list(out.glob("final/bucket=*/part-*.nt"))) == 4
+
+
+def test_nt_xsd_string_normalizes_like_literal(tmp_path, ray_session):
+    """An explicit ^^xsd:string in NT must ingest identically to a
+    plain literal via BOTH planes: the columnar read_nt_dataset and
+    the tuple-plane Graph.parse (ADVICE round 1: the two paths
+    disagreed, breaking cross-plane dedup)."""
+    from rdfx_ray.pipelines.verbs import read_nt_dataset
+    from rdfx_ray.rdf.graph import Graph
+
+    nt = ('<urn:s> <urn:p> "v"^^<http://www.w3.org/2001/XMLSchema#string> .\n'
+          '<urn:s2> <urn:p> "v" .\n')
+    f = tmp_path / "x.nt"
+    f.write_text(nt)
+    df = read_nt_dataset([f]).to_pandas().sort_values("subj")
+    assert df["obj_datatype"].isna().all()
+    g = Graph().parse(nt, "nt")
+    # tuple plane: object term = ("literal", lexical, datatype, lang);
+    # xsd:string drops to None there too
+    dts = {t[2][2] for t in g}
+    assert dts == {None}
