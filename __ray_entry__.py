@@ -116,7 +116,7 @@ def _kg_query_bgp(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdfx_ray.functions import dedup, doc_triples, similarity, text
-    from rdfx_ray.pipelines import analytics
+    from rdfx_ray.pipelines import analytics, analytics_ext
 
     def kg_extract(sf_dir: str):
         from rdfx_ray.pipelines.kg import read_final_triples
@@ -170,6 +170,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": lambda sf: analytics.sessionize(sf),
         "revenue_by_region": lambda sf: analytics.revenue_by_region(sf),
         "revenue_by_region_shuffle": _revenue_shuffle,
+        "events_topk_users": lambda sf: analytics_ext.events_topk_users(sf),
+        "events_distinct_users":
+            lambda sf: analytics_ext.events_distinct_users(sf),
+        "docs_lang_source_stats":
+            lambda sf: analytics_ext.docs_lang_source_stats(sf),
+        "supplier_balance_by_nation":
+            lambda sf: analytics_ext.supplier_balance_by_nation(sf),
+        "orders_priority_filter":
+            lambda sf: analytics_ext.orders_priority_filter(sf),
         # text analysis
         "text_token_stats": lambda sf: text.token_stats(sf),
         "text_fingerprints": lambda sf: text.fingerprints(sf),
@@ -189,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from rdfx_ray.functions.doc_triples import DOC_TRIPLES_SQL
+    from rdfx_ray.pipelines import analytics_ext as _EXT
     from rdfx_ray.pipelines.analytics import (
         REVENUE_BY_REGION_SQL as _REVENUE_SQL_REF,
         SESSIONIZE_SQL as _SESSIONIZE_SQL_REF,
@@ -237,6 +247,11 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _SESSIONIZE_SQL_REF,
         "revenue_by_region": _REVENUE_SQL_REF,
         "revenue_by_region_shuffle": _REVENUE_SQL_REF,
+        "events_topk_users": _EXT.EVENTS_TOPK_USERS_SQL,
+        "events_distinct_users": _EXT.EVENTS_DISTINCT_USERS_SQL,
+        "docs_lang_source_stats": _EXT.DOCS_LANG_SOURCE_SQL,
+        "supplier_balance_by_nation": _EXT.SUPPLIER_BALANCE_SQL,
+        "orders_priority_filter": _EXT.ORDERS_PRIORITY_SQL,
         "text_token_stats": r"""
             SELECT doc_id,
                    len(list_filter(regexp_split_to_array(text, '\s+'),

@@ -732,7 +732,8 @@ def _exact_edge_kernel(batch: pa.Table, *, keeper_ref) -> pa.Table:
                      "doc_b": pa.array(out_b, pa.int64())})
 
 
-def dedup_corpus(sf_dir: str, threshold: float = 0.6):
+def dedup_corpus(sf_dir: str, threshold: float = 0.6,
+                 propagate_edges_cutoff: int = 2_000_000):
     """Full dedup decision for every document: exact duplicates
     (identical text) ∪ near-duplicates (MinHash-LSH verified) are
     merged into components; each doc maps to its component's keeper
@@ -741,12 +742,15 @@ def dedup_corpus(sf_dir: str, threshold: float = 0.6):
     Distributed shape: exact edges come from the hash groupby (keeper
     per duplicated hash, broadcast back as a small dict — no driver
     re-read/re-hash of the corpus); near edges from
-    ``minhash_lsh_pairs``. Union-find over the combined EDGE set runs
-    driver-side because that set is bounded by the dup rate, not the
-    corpus (ray_guide's condition for doing exactly this; at 10^12
-    docs it becomes a few rounds of distributed min-label
-    propagation). The final doc→keeper assignment is a broadcast of
-    the component map, applied in map_batches."""
+    ``minhash_lsh_pairs``. Component resolution over the combined EDGE
+    set picks its strategy from the exact edge count: below
+    ``propagate_edges_cutoff`` a driver union-find (the set is bounded
+    by the dup rate, not the corpus — ray_guide's condition for doing
+    exactly this); above it, distributed min-label propagation
+    (:func:`rdfx_ray.functions.components.connected_components`) —
+    both produce the identical min-label-per-component mapping. The
+    final doc→keeper assignment is a broadcast of the component map,
+    applied in map_batches."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Count, Min
@@ -766,41 +770,30 @@ def dedup_corpus(sf_dir: str, threshold: float = 0.6):
         batch_format="pyarrow")
     dup_tbl = _dataset_to_table(dup_groups)
 
-    parent: Dict[int, int] = {}
-
-    def find(x: int) -> int:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
-
-    def union(a: int, b: int):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-
+    edge_tables = []
     if dup_tbl.num_rows:
         keeper_ref = ray.put(dict(zip(
             dup_tbl.column("text_hash").to_pylist(),
             (int(x) for x in dup_tbl.column("keeper_doc_id").to_pylist()))))
-        exact_edges = _dataset_to_table(ds.map_batches(
+        edge_tables.append(_dataset_to_table(ds.map_batches(
             _exact_edge_kernel, fn_kwargs={"keeper_ref": keeper_ref},
-            batch_format="pyarrow", batch_size=8192))
-        for a, b in zip(exact_edges.column("doc_a").to_pylist(),
-                        exact_edges.column("doc_b").to_pylist()):
-            union(int(a), int(b))
+            batch_format="pyarrow", batch_size=8192)))
 
     near = minhash_lsh_pairs(sf_dir, threshold=threshold)
-    for a, b in zip(near.column("doc_a").to_pylist(),
-                    near.column("doc_b").to_pylist()):
-        union(int(a), int(b))
+    if near.num_rows:
+        edge_tables.append(near.select(["doc_a", "doc_b"]))
 
-    # component map: only docs that belong to some dup component
-    comp = {d: find(d) for d in list(parent.keys())}
+    edge_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    edges = (pa.concat_tables([t.cast(edge_schema) for t in edge_tables])
+             if edge_tables else edge_schema.empty_table())
+
+    from .components import connected_components, union_find_components
+    if edges.num_rows > propagate_edges_cutoff:
+        labels, _ = connected_components(edges)
+    else:
+        labels = union_find_components(edges)
+    comp = dict(zip((int(x) for x in labels.column("node").to_pylist()),
+                    (int(x) for x in labels.column("label").to_pylist())))
     comp_ref = ray.put(comp)
 
     def assign(batch: pa.Table) -> pa.Table:

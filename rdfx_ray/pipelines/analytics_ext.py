@@ -1,0 +1,195 @@
+"""Additional oracled wide operations: top-k, exact distinct-count,
+filtered (predicate-pushdown) aggregation, dimension join, multi-key
+stats — each with the partial-pre-aggregation discipline of
+:mod:`rdfx_ray.pipelines.analytics` (integer-scaled monetary sums so
+the DuckDB oracle hash-matches exactly; deterministic tiebreaks so
+LIMIT yields the same row SET on both engines)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def events_topk_users(sf_dir: str, k: int = 20):
+    """Top-k users by event count. Per-batch partial counts make the
+    shuffle carry one row per (batch, user); the sort input is the
+    post-aggregate table (n_users rows), and the tiebreak on user_id
+    makes the top-k SET deterministic across engines."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas().groupby("user_id", as_index=False)
+              .size().rename(columns={"size": "n_events"}))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("user_id").aggregate(Sum("n_events",
+                                              alias_name="n_events"))
+            .sort(["n_events", "user_id"], descending=[True, False])
+            .limit(k))
+
+
+EVENTS_TOPK_USERS_SQL = """
+SELECT user_id, COUNT(*) AS n_events
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id LIMIT 20
+"""
+
+
+def events_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type, as two stacked
+    aggregations: batch-local distinct → groupby(type, user) — the
+    distinct shuffle — → groupby(type) count. (The groupby-aggregate
+    form, not map_groups: distinct groups are mostly singletons.)"""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        return (pl.from_arrow(batch).unique()
+                .to_arrow().cast(batch.schema))
+
+    return (ds.map_batches(local_distinct, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(["event_type", "user_id"])
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["event_type", "user_id"])
+            .groupby("event_type")
+            .aggregate(Count(alias_name="n_users")))
+
+
+EVENTS_DISTINCT_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def docs_lang_source_stats(sf_dir: str):
+    """Document counts + total characters per (lang, source) — the
+    two-key grouped profile a corpus-curation pipeline reports."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["sum_chars"] = g["sum_chars"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(["lang", "source"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("sum_chars", alias_name="sum_chars")))
+
+
+DOCS_LANG_SOURCE_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+def supplier_balance_by_nation(sf_dir: str):
+    """supplier ⋈ nation → account-balance sum per nation name: the
+    broadcast dimension join (nation is tiny) with integer-scaled
+    money."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.broadcast import cached_get
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    dim_ref = ray.put(nation)
+
+    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_nationkey", "s_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.merge(cached_get(dim_ref), left_on="s_nationkey",
+                      right_on="n_nationkey")
+        bal_c = np.floor(df["s_acctbal"].to_numpy() * 100 + 0.5
+                         ).astype(np.int64)
+        g = (pd.DataFrame({"n_name": df["n_name"], "bal_c": bal_c,
+                           "one": np.ones(len(df), dtype=np.int64)})
+             .groupby("n_name", as_index=False)
+             .agg(sum_acctbal_c=("bal_c", "sum"),
+                  n_suppliers=("one", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("n_name")
+            .aggregate(Sum("sum_acctbal_c", alias_name="sum_acctbal_c"),
+                       Sum("n_suppliers", alias_name="n_suppliers")))
+
+
+SUPPLIER_BALANCE_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_acctbal_c,
+       COUNT(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def orders_priority_filter(sf_dir: str):
+    """Counts + total price per priority for finished orders — the
+    filter is a pyarrow expression passed to ``read_parquet`` so it
+    pushes into the scan (row groups whose stats exclude 'F' never
+    leave storage)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+        filter=(pc.field("o_orderstatus") == "F"),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        price_c = np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5
+                           ).astype(np.int64)
+        g = (pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                           "price_c": price_c,
+                           "one": np.ones(len(df), dtype=np.int64)})
+             .groupby("o_orderpriority", as_index=False)
+             .agg(sum_price_c=("price_c", "sum"), n_orders=("one", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("o_orderpriority")
+            .aggregate(Sum("sum_price_c", alias_name="sum_price_c"),
+                       Sum("n_orders", alias_name="n_orders")))
+
+
+ORDERS_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_price_c,
+       COUNT(*) AS n_orders
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""

@@ -89,3 +89,41 @@ def test_nt_partitions_roundtrip_to_parquet_triples(tmp_path):
     from_pq = read_final_triples(out).to_pandas()[cols]
     key = lambda df: set(map(tuple, df[cols].fillna("∅").to_numpy()))
     assert key(from_nt) == key(from_pq)
+
+
+def test_distributed_components_match_union_find(ray_session):
+    """Min-label propagation (the 10^12-doc path) agrees exactly with
+    driver union-find on a random-ish edge set incl. chains (multi-
+    round convergence) and a star."""
+    import numpy as np
+    import pyarrow as pa
+    from rdfx_ray.functions.components import (
+        connected_components,
+        union_find_components,
+    )
+
+    rng = np.random.default_rng(17)
+    # chain 0-1-2-...-9 (diameter 9 → several rounds), star at 100,
+    # some random pairs
+    edges = [(i, i + 1) for i in range(9)]
+    edges += [(100, x) for x in (101, 102, 103)]
+    pairs = rng.integers(200, 260, size=(30, 2))
+    edges += [(int(x), int(y)) for x, y in pairs if x != y]
+    tbl = pa.table({
+        "doc_a": pa.array([min(a, b) for a, b in edges], pa.int64()),
+        "doc_b": pa.array([max(a, b) for a, b in edges], pa.int64()),
+    })
+    got, stats = connected_components(tbl)
+    want = union_find_components(tbl)
+    assert got.to_pydict() == want.to_pydict()
+    assert stats["rounds"] >= 2  # the chain forces real propagation
+    assert stats["changed"][-1] == 0
+
+
+def test_distributed_components_empty(ray_session):
+    import pyarrow as pa
+    from rdfx_ray.functions.components import connected_components
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+    got, stats = connected_components(empty)
+    assert got.num_rows == 0 and stats["rounds"] == 0
