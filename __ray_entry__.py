@@ -114,6 +114,16 @@ def _kg_query_bgp(sf_dir: str):
                     SDO + "isBasedOn")
 
 
+def _kg_query_bgp_native(sf_dir: str):
+    """Same BGP through Ray Data's native Dataset.join hash-shuffle
+    operator (both-sides-large strategy; identical oracle)."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import bgp_join_native
+
+    return bgp_join_native(doc_triples(sf_dir), SDO + "inLanguage",
+                           SDO + "isBasedOn")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdfx_ray.functions import dedup, doc_triples, similarity, text
     from rdfx_ray.pipelines import analytics, analytics_ext
@@ -164,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # query surface over the triple plane (SPARQL-shape analogues)
         "kg_query_filter": _kg_query_filter,
         "kg_query_bgp": _kg_query_bgp,
+        "kg_query_bgp_native": _kg_query_bgp_native,
         # wide-op analytics
         "pricing_summary": lambda sf: analytics.pricing_summary(sf),
         "events_hourly": lambda sf: analytics.events_hourly(sf),
@@ -220,6 +231,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE lang = 'en'
         """,
         "kg_query_bgp": """
+            SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj,
+                   lang AS va, source AS vb
+            FROM documents
+        """,
+        "kg_query_bgp_native": """
             SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj,
                    lang AS va, source AS vb
             FROM documents

@@ -654,48 +654,117 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
 # -- embedding near-dup ------------------------------------------------------
 
 
-def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.40):
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.40,
+                            method: str = "auto",
+                            broadcast_cutoff_rows: int = 200_000,
+                            n_lists: int = 16, assign_lists: int = 2):
     # NOTE: default threshold tuned to the synthetic testdata
     # embeddings (random-ish 64-dim; pairwise cosine tops out ~0.51)
     # so the operator demonstrably emits pairs; production corpora
     # with true near-dups use 0.9+.
-    """Pairs of embeddings with cosine ≥ threshold. Small scale:
-    blockwise matmul against the broadcast (normalized) matrix; the
-    100-TB path replaces the broadcast with IVF buckets
-    (functions.similarity.ivf_topk)."""
+    """Pairs of embeddings with cosine ≥ threshold. Two physical
+    strategies, picked by exact row count under ``method='auto'``:
+
+    - ``broadcast`` (corpus ≤ ``broadcast_cutoff_rows``): blockwise
+      matmul against the broadcast normalized matrix — exact, O(n²)
+      similarity work but one object-store copy per node.
+    - ``ivf`` (the 100-TB path): vectors are assigned to their
+      ``assign_lists`` nearest IVF centroids (multi-assignment covers
+      pairs that straddle one list boundary); candidate pairs arise
+      only within a shared list via ``groupby(list).map_groups`` with
+      an in-group matmul, so no node ever holds the matrix. Approximate
+      by construction (recall ≥ what multi-assignment covers) — the
+      standard ANN-blocked near-dup trade."""
     import ray
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    tbl = _dataset_to_table(ds)
-    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float32)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    mat = mat / np.maximum(norms, 1e-12)
-    ref = ray.put((ids, mat))
-
-    def block_pairs(batch: pa.Table) -> pa.Table:
-        from .broadcast import cached_get
-        all_ids, all_mat = cached_get(ref)
-        bid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        bm = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
-        bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
-        sims = bm @ all_mat.T
-        ai, bj = np.nonzero(sims >= threshold)
-        left, right = bid[ai], all_ids[bj]
-        keep = left < right
-        return pa.table({
-            "vec_a": pa.array(left[keep], pa.int64()),
-            "vec_b": pa.array(right[keep], pa.int64()),
-        })
-
     schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
-    out = _dataset_to_table(
-        ds.map_batches(block_pairs, batch_format="pyarrow", batch_size=2048))
+    import polars as pl
+
+    if method == "auto":
+        n_rows = ds.count()
+        method = "broadcast" if n_rows <= broadcast_cutoff_rows else "ivf"
+
+    if method == "broadcast":
+        tbl = _dataset_to_table(ds)
+        ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = np.asarray(tbl.column("embedding").to_pylist(),
+                         dtype=np.float32)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.maximum(norms, 1e-12)
+        ref = ray.put((ids, mat))
+
+        def block_pairs(batch: pa.Table) -> pa.Table:
+            from .broadcast import cached_get
+            all_ids, all_mat = cached_get(ref)
+            bid = np.asarray(batch.column("vec_id").to_pylist(),
+                             dtype=np.int64)
+            bm = np.asarray(batch.column("embedding").to_pylist(),
+                            dtype=np.float32)
+            bm = bm / np.maximum(
+                np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+            sims = bm @ all_mat.T
+            ai, bj = np.nonzero(sims >= threshold)
+            left, right = bid[ai], all_ids[bj]
+            keep = left < right
+            return pa.table({
+                "vec_a": pa.array(left[keep], pa.int64()),
+                "vec_b": pa.array(right[keep], pa.int64()),
+            })
+
+        out = _dataset_to_table(ds.map_batches(
+            block_pairs, batch_format="pyarrow", batch_size=2048))
+    else:
+        from .similarity import ivf_index_for
+        index = ivf_index_for(sf_dir, n_lists=n_lists)
+        cent_ref = ray.put(index.centroids)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            from .broadcast import cached_get
+            cent = cached_get(cent_ref)
+            bid = np.asarray(batch.column("vec_id").to_pylist(),
+                             dtype=np.int64)
+            bm = np.asarray(batch.column("embedding").to_pylist(),
+                            dtype=np.float32)
+            bm = bm / np.maximum(
+                np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+            k = min(assign_lists, len(cent))
+            near = np.argsort(-(bm @ cent.T), axis=1)[:, :k]
+            n = len(bid)
+            return pa.table({
+                "list_id": pa.array(near.ravel().astype(np.int32),
+                                    pa.int32()),
+                "vec_id": pa.array(np.repeat(bid, k), pa.int64()),
+                "emb": pa.array([bm[i].tobytes() for i in range(n)
+                                 for _ in range(k)], pa.binary()),
+            })
+
+        dim = index.centroids.shape[1]
+
+        def list_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            sub = g.drop_duplicates("vec_id")
+            if len(sub) < 2:
+                return pd.DataFrame({
+                    "vec_a": pd.Series([], dtype=np.int64),
+                    "vec_b": pd.Series([], dtype=np.int64)})
+            ids_g = sub["vec_id"].to_numpy()
+            m = np.frombuffer(b"".join(sub["emb"]),
+                              dtype=np.float32).reshape(-1, dim)
+            sims = m @ m.T
+            ai, bj = np.nonzero(sims >= threshold)
+            left, right = ids_g[ai], ids_g[bj]
+            keep = left < right
+            return pd.DataFrame({"vec_a": left[keep], "vec_b": right[keep]})
+
+        out = _dataset_to_table(
+            ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+              .groupby("list_id")
+              .map_groups(list_pairs, batch_format="pandas"))
+
     if out.num_rows == 0:
         return schema.empty_table()
-    import polars as pl
     return (pl.from_arrow(out).unique().sort(["vec_a", "vec_b"])
               .to_arrow().cast(schema))
 

@@ -212,3 +212,24 @@ def test_embedding_neardup_planted(tmp_path):
     }), tmp_path / "embeddings.parquet")
     pairs = embedding_neardup_pairs(str(tmp_path), threshold=0.95).to_pandas()
     assert (0, 1) in set(zip(pairs["vec_a"], pairs["vec_b"]))
+
+
+def test_embedding_neardup_ivf_path_finds_planted(tmp_path):
+    """The IVF-bucketed scale path finds the planted near-dup pair
+    (multi-assignment to 2 nearest lists keeps boundary recall)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from rdfx_ray.functions.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=8).astype(np.float32)
+    near = base + rng.normal(scale=0.01, size=8).astype(np.float32)
+    others = rng.normal(size=(30, 8)).astype(np.float32)
+    vecs = [base, near] + list(others)
+    pq.write_table(pa.table({
+        "vec_id": list(range(len(vecs))),
+        "embedding": [v.tolist() for v in vecs],
+    }), tmp_path / "embeddings.parquet")
+    pairs = embedding_neardup_pairs(str(tmp_path), threshold=0.95,
+                                    method="ivf", n_lists=4).to_pandas()
+    assert (0, 1) in set(zip(pairs["vec_a"], pairs["vec_b"]))
