@@ -124,6 +124,21 @@ def _kg_query_bgp_native(sf_dir: str):
                            SDO + "isBasedOn")
 
 
+def _events_asof_orders(sf_dir: str):
+    """As-of join: each event ⋈ the latest deterministic order
+    snapshot at-or-before its timestamp (bucket exchange + per-bucket
+    merge_asof — the operator Ray Data lacks natively)."""
+    from rdfx_ray.pipelines.asof import events_asof_orders
+    return events_asof_orders(sf_dir)
+
+
+def _events_hll_users(sf_dir: str):
+    """HyperLogLog distinct-user estimate per event type (mergeable
+    sketch; approximate → rows-only check, error pinned by tests)."""
+    from rdfx_ray.functions.sketch import events_hll_users
+    return events_hll_users(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdfx_ray.functions import dedup, doc_triples, similarity, text
     from rdfx_ray.pipelines import analytics, analytics_ext
@@ -190,6 +205,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: analytics_ext.supplier_balance_by_nation(sf),
         "orders_priority_filter":
             lambda sf: analytics_ext.orders_priority_filter(sf),
+        "events_hopping_windows":
+            lambda sf: analytics_ext.events_hopping_windows(sf),
+        "events_asof_orders": _events_asof_orders,
+        "events_hll_users": _events_hll_users,
         # text analysis
         "text_token_stats": lambda sf: text.token_stats(sf),
         "text_fingerprints": lambda sf: text.fingerprints(sf),
@@ -210,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from rdfx_ray.functions.doc_triples import DOC_TRIPLES_SQL
     from rdfx_ray.pipelines import analytics_ext as _EXT
+    from rdfx_ray.pipelines.asof import EVENTS_ASOF_ORDERS_SQL as _ASOF_SQL
     from rdfx_ray.pipelines.analytics import (
         REVENUE_BY_REGION_SQL as _REVENUE_SQL_REF,
         SESSIONIZE_SQL as _SESSIONIZE_SQL_REF,
@@ -268,6 +288,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_source_stats": _EXT.DOCS_LANG_SOURCE_SQL,
         "supplier_balance_by_nation": _EXT.SUPPLIER_BALANCE_SQL,
         "orders_priority_filter": _EXT.ORDERS_PRIORITY_SQL,
+        "events_hopping_windows": _EXT.EVENTS_HOPPING_SQL,
+        "events_asof_orders": _ASOF_SQL,
         "text_token_stats": r"""
             SELECT doc_id,
                    len(list_filter(regexp_split_to_array(text, '\s+'),

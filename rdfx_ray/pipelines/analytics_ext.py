@@ -193,3 +193,62 @@ SELECT o_orderpriority,
 FROM orders WHERE o_orderstatus = 'F'
 GROUP BY o_orderpriority
 """
+
+
+def events_hopping_windows(sf_dir: str, size_hours: int = 2,
+                           hop_hours: int = 1):
+    """Hopping (sliding) window aggregate: size 2h, hop 1h → every
+    event contributes to size/hop windows. The window expansion is a
+    vectorized per-batch replication (concat of hop-shifted copies)
+    BEFORE the partial aggregation, so the shuffle still carries one
+    row per (batch, type, window). window_start is emitted as BIGINT
+    epoch-µs (the cross-engine-stable timestamp form)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    assert size_hours % hop_hours == 0
+    k = size_hours // hop_hours
+    hop_us = np.int64(hop_hours) * 3_600_000_000
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        base = (ts_us // hop_us) * hop_us  # floor to hop grid
+        val_c = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        etype = df["event_type"].to_numpy()
+        frames = []
+        for i in range(k):
+            frames.append(pd.DataFrame({
+                "event_type": etype,
+                "window_start_us": base - i * hop_us,
+                "val_c": val_c,
+                "one": np.ones(len(df), dtype=np.int64),
+            }))
+        g = (pd.concat(frames, ignore_index=True)
+             .groupby(["event_type", "window_start_us"], as_index=False)
+             .agg(sum_value_c=("val_c", "sum"), n_events=("one", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(["event_type", "window_start_us"])
+            .aggregate(Sum("sum_value_c", alias_name="sum_value_c"),
+                       Sum("n_events", alias_name="n_events")))
+
+
+EVENTS_HOPPING_SQL = """
+WITH w AS (
+    SELECT event_type, date_trunc('hour', ts) AS ws, value FROM events
+    UNION ALL
+    SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws,
+           value FROM events
+)
+SELECT event_type, CAST(epoch_us(ws) AS BIGINT) AS window_start_us,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_value_c,
+       COUNT(*) AS n_events
+FROM w GROUP BY event_type, ws
+"""

@@ -233,3 +233,37 @@ def test_embedding_neardup_ivf_path_finds_planted(tmp_path):
     pairs = embedding_neardup_pairs(str(tmp_path), threshold=0.95,
                                     method="ivf", n_lists=4).to_pandas()
     assert (0, 1) in set(zip(pairs["vec_a"], pairs["vec_b"]))
+
+
+def test_hll_distinct_within_error():
+    """HLL estimate within the expected ~1.04/sqrt(m) band of the
+    exact distinct count (p=12 → ~1.6%; assert a loose 5%)."""
+    import ray.data as rd
+    import duckdb
+    from rdfx_ray.functions.sketch import hll_distinct
+
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    est = hll_distinct(ds, "user_id", p=12)
+    exact = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM "
+        f"read_parquet('{SF}/events.parquet')").fetchone()[0]
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_asof_join_matches_duckdb():
+    """Bucket-exchange as-of join vs DuckDB's set-based formulation of
+    the same semantics (latest snapshot ≤ ts + prior count)."""
+    import duckdb
+    from rdfx_ray.pipelines.asof import EVENTS_ASOF_ORDERS_SQL, events_asof_orders
+
+    got = (events_asof_orders(SF).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF}/{t}.parquet')")
+    want = (con.sql(EVENTS_ASOF_ORDERS_SQL).df()
+            .sort_values("event_id").reset_index(drop=True))
+    assert (got["event_id"] == want["event_id"]).all()
+    assert (got["last_snap_us"] == want["last_snap_us"]).all()
+    assert (got["n_prior"].to_numpy() == want["n_prior"].to_numpy()).all()
