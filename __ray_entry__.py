@@ -147,12 +147,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from rdfx_ray.pipelines.kg import read_final_triples
         return read_final_triples(_kg_output())
 
-    def kg_media_features(sf_dir: str):
-        from rdfx_ray.functions.multimodal import media_features
+    def _media_input() -> str:
         root = Path(_KG_CACHE) / "d2000-e500"
         if not (root / "input" / "_manifest" / "LATEST").exists():
             _kg_output()
-        return media_features(str(root / "input"))
+        return str(root / "input")
+
+    def kg_media_features(sf_dir: str):
+        from rdfx_ray.functions.multimodal import media_features
+        return media_features(_media_input())
+
+    def kg_media_thumbnails(sf_dir: str):
+        from rdfx_ray.functions.multimodal import media_thumbnails
+        return media_thumbnails(_media_input())
+
+    def kg_media_frames(sf_dir: str):
+        from rdfx_ray.functions.multimodal import media_frame_samples
+        return media_frame_samples(_media_input())
 
     def kg_convert_corpus(sf_dir: str):
         """Reference-corpus conversion round-trip: each golden file
@@ -184,6 +195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_extract_triples": kg_extract,
         "kg_span_invariant": _kg_span_invariant,
         "kg_media_features": kg_media_features,
+        "kg_media_thumbnails": kg_media_thumbnails,
+        "kg_media_frames": kg_media_frames,
         "kg_convert_roundtrip": kg_convert_corpus,
         "kg_distributed_merge": _kg_distributed_merge,
         # query surface over the triple plane (SPARQL-shape analogues)

@@ -31,8 +31,9 @@ def token_stats_batch(batch: pa.Table) -> pa.Table:
     """Per-doc token/char/alpha counts (whitespace tokenization)."""
     df = batch.to_pandas()
     text = df["text"].fillna("")
-    # vectorized: split on whitespace runs, count non-empty pieces
-    n_tokens = text.str.split(_WS).map(lambda ts: sum(1 for t in ts if t))
+    # vectorized: a token is a maximal \S+ run — one C regex count per
+    # row, identical to counting non-empty regexp_split(\s+) pieces
+    n_tokens = text.str.count(r"\S+")
     n_chars = text.str.len()
     n_alpha = text.str.count(r"[a-zA-Z]")
     return pa.table({
@@ -82,13 +83,30 @@ _LANG_PROFILES: Dict[str, set] = {
 
 class LangId:
     """Actor-pool language identifier: profiles compiled once per
-    actor; per batch a vectorized tokenize + stopword vote. Heuristic
-    (closed-profile); deterministic."""
+    actor; the batch path is fully vectorized — one pandas
+    ``str.count`` per language profile (stopwords as a
+    boundary-guarded alternation over the lowercased column) builds a
+    score matrix, argmax picks the language. ``_guess`` keeps the
+    per-string reference semantics (first-max tie-break, 'und' on zero
+    score, han-script → 'zh'); the vectorized path reproduces it
+    exactly (argmax returns the first maximum, same profile order)."""
+
+    _WORD_CLASS = "a-zA-Zäöüéèàç"
 
     def __init__(self):
-        self.word = re.compile(r"[a-zA-Zäöüéèàç]+")
+        self.word = re.compile(rf"[{self._WORD_CLASS}]+")
         self.han = re.compile(r"[一-鿿]")
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items() if v}
+        self.langs = list(self.profiles)
+        # one compiled counting regex per language: a stopword matches
+        # only as a MAXIMAL word (boundary lookarounds on the same word
+        # class the tokenizer uses), so counts equal token membership
+        self.lang_res = {
+            lang: re.compile(
+                rf"(?<![{self._WORD_CLASS}])(?:{'|'.join(sorted(stops))})"
+                rf"(?![{self._WORD_CLASS}])")
+            for lang, stops in self.profiles.items()
+        }
 
     def _guess(self, text: str) -> str:
         if self.han.search(text):
@@ -105,10 +123,20 @@ class LangId:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        guess = [self._guess(t or "") for t in df["text"]]
+        text = df["text"].fillna("")
+        low = text.str.lower()
+        scores = np.stack(
+            [low.str.count(self.lang_res[lang]).to_numpy()
+             for lang in self.langs], axis=1)
+        best = np.argmax(scores, axis=1)       # first max = loop order
+        maxs = scores.max(axis=1)
+        pred = np.where(maxs > 0, np.asarray(self.langs, dtype=object)[best],
+                        "und")
+        has_han = text.str.contains(self.han).to_numpy()
+        pred = np.where(has_han, "zh", pred)
         return pa.table({
             "doc_id": pa.array(df["doc_id"], pa.int64()),
-            "lang_pred": pa.array(guess, pa.string()),
+            "lang_pred": pa.array(pred, pa.string()),
         })
 
 

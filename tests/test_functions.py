@@ -267,3 +267,44 @@ def test_asof_join_matches_duckdb():
     assert (got["event_id"] == want["event_id"]).all()
     assert (got["last_snap_us"] == want["last_snap_us"]).all()
     assert (got["n_prior"].to_numpy() == want["n_prior"].to_numpy()).all()
+
+
+def test_media_resize_and_frame_sample(tmp_path):
+    """Resize + frame-sample stages: real binary plumbing (w*h*3-byte
+    thumbnails), deterministic 1->N frame expansion, video-only
+    filtering; decode itself stays the declared stub."""
+    from rdfx_ray.functions.multimodal import (
+        media_frame_samples,
+        media_thumbnails,
+    )
+    from rdfx_ray.sources.documents import generate_documents
+
+    uri = str(tmp_path / "in")
+    generate_documents(uri, n_docs=200, n_entities=50, fragment_rows=100)
+
+    th = media_thumbnails(uri, width=8, height=8).to_pandas()
+    assert len(th) > 0
+    assert (th["thumbnail"].str.len() == 8 * 8 * 3).all()
+    assert set(th.columns) == {"media_ref", "width", "height", "thumbnail"}
+
+    fr = media_frame_samples(uri, every_ms=1000).to_pandas()
+    assert len(fr) > 0
+    # per-ref frame indices are 0..n-1 and t_ms = idx * every_ms
+    g = fr.groupby("media_ref")
+    assert (g["frame_idx"].max() + 1 == g["frame_idx"].count()).all()
+    assert (fr["t_ms"] == fr["frame_idx"] * 1000).all()
+    # deterministic across a second run
+    fr2 = media_frame_samples(uri, every_ms=1000).to_pandas()
+    key = ["media_ref", "frame_idx"]
+    assert fr.sort_values(key).reset_index(drop=True).equals(
+        fr2.sort_values(key).reset_index(drop=True))
+
+
+def test_media_resize_real_path_raises():
+    import pyarrow as pa
+    from rdfx_ray.functions.multimodal import MediaResize
+    import pytest
+    rs = MediaResize(fake=False)
+    batch = pa.table({"media_ref": ["m1"], "kind": ["image"]})
+    with pytest.raises(NotImplementedError, match="image library"):
+        rs(batch)
