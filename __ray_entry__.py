@@ -139,6 +139,20 @@ def _events_hll_users(sf_dir: str):
     return events_hll_users(sf_dir)
 
 
+def _kg_query_bgp3(sf_dir: str):
+    """Three-pattern star BGP with a constant filter pattern:
+    ?s inLanguage 'en' . ?s isBasedOn ?vb . ?s characterCount ?vc —
+    planned as const-first chained native hash joins."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import star_bgp
+
+    return star_bgp(doc_triples(sf_dir), [
+        (SDO + "inLanguage", "en"),
+        (SDO + "isBasedOn", "?vb"),
+        (SDO + "characterCount", "?vc"),
+    ])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdfx_ray.functions import dedup, doc_triples, similarity, text
     from rdfx_ray.pipelines import analytics, analytics_ext
@@ -203,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_query_filter": _kg_query_filter,
         "kg_query_bgp": _kg_query_bgp,
         "kg_query_bgp_native": _kg_query_bgp_native,
+        "kg_query_bgp3": _kg_query_bgp3,
         # wide-op analytics
         "pricing_summary": lambda sf: analytics.pricing_summary(sf),
         "events_hourly": lambda sf: analytics.events_hourly(sf),
@@ -272,6 +287,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj,
                    lang AS va, source AS vb
             FROM documents
+        """,
+        "kg_query_bgp3": """
+            SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj,
+                   source AS vb, CAST(n_chars AS VARCHAR) AS vc
+            FROM documents WHERE lang = 'en'
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -98,6 +98,95 @@ def bgp_join(triples_ds, pred_a: str, pred_b: str):
         join_batch, batch_format="pyarrow")
 
 
+def star_bgp(triples_ds, patterns, num_partitions: int = 16,
+             strategy: str = "broadcast"):
+    """N-pattern common-subject BGP planner: ``?s p1 o1 . ?s p2 ?v2 …``
+    — each pattern is ``(pred_iri, obj)`` where obj is a constant
+    (filter pattern, contributes selectivity only) or ``"?name"`` /
+    ``None`` (projected variable). Constant patterns are evaluated
+    FIRST (most selective → smallest intermediate). Returns (subj,
+    …vars in pattern order).
+
+    Two physical plans:
+
+    - ``broadcast`` (default): every side but ONE streamed var side is
+      collected and broadcast; the streamed side folds the chain with
+      in-batch polars hash joins — no shuffle at all. Right whenever
+      the pattern sides fit the object store (each side is bounded by
+      its pattern's selectivity, not the triple count); a Ray native
+      join costs ~seconds of fixed all-to-all per hop.
+    - ``shuffle``: left-fold through Ray Data's native hash-shuffle
+      ``Dataset.join`` — the both-sides-large plan.
+
+    Bag semantics like SPARQL: a subject matching a pattern k times
+    multiplies rows k× — with the engine's (subj, pred)-unique triple
+    streams each join is 1:1."""
+    consts = [(p, o) for p, o in patterns
+              if o is not None and not str(o).startswith("?")]
+    vars_ = [(i, p, (o[1:] if o else f"v{i}"))
+             for i, (p, o) in enumerate(patterns)
+             if o is None or str(o).startswith("?")]
+
+    def subj_only(pred, obj):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({"subj": batch.column("subj")})
+        return triple_pattern(triples_ds, pred=pred, obj_value=obj) \
+            .map_batches(fn, batch_format="pyarrow")
+
+    def subj_var(pred, var):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({"subj": batch.column("subj"),
+                             var: batch.column("obj_value")})
+        return triple_pattern(triples_ds, pred=pred) \
+            .map_batches(fn, batch_format="pyarrow")
+
+    const_sides = [subj_only(p, o) for p, o in consts]
+    var_sides = [subj_var(p, v) for _, p, v in vars_]
+    out_cols = ["subj"] + [v for _, _, v in vars_]
+    if not (const_sides or var_sides):
+        raise ValueError("star_bgp needs at least one pattern")
+
+    if strategy == "broadcast":
+        import polars as pl
+        import ray
+
+        # stream the FIRST var side (or a const side if no vars);
+        # broadcast the rest once
+        stream = var_sides[0] if var_sides else const_sides[0]
+        others = const_sides + var_sides[1:] if var_sides \
+            else const_sides[1:]
+        refs = []
+        for side in others:
+            tbl = pa.concat_tables(list(side.iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow")))
+            refs.append(ray.put(tbl))
+
+        def fold(batch: pa.Table) -> pa.Table:
+            from ..functions.broadcast import cached_get
+            acc = pl.from_arrow(batch)
+            for ref in refs:
+                other = pl.from_arrow(cached_get(ref))
+                how = "semi" if other.width == 1 else "inner"
+                acc = acc.join(other, on="subj", how=how)
+            out = acc.to_arrow()
+            return out.select(out_cols).cast(pa.schema(
+                [(c, pa.string()) for c in out_cols]))
+
+        return stream.map_batches(fold, batch_format="pyarrow")
+
+    acc = (const_sides + var_sides)[0]
+    for side in (const_sides + var_sides)[1:]:
+        renamed = side.map_batches(
+            lambda b: b.rename_columns(
+                ["_subj_r"] + list(b.schema.names[1:])),
+            batch_format="pyarrow")
+        acc = acc.join(renamed, "inner", num_partitions,
+                       on=("subj",), right_on=("_subj_r",))
+        acc = acc.select_columns(
+            [c for c in acc.schema().names if c != "_subj_r"])
+    return acc.select_columns(out_cols)
+
+
 def bgp_join_native(triples_ds, pred_a: str, pred_b: str,
                     num_partitions: int = 16):
     """Same BGP as :func:`bgp_join` but via Ray Data's NATIVE hash

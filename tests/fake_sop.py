@@ -228,3 +228,61 @@ class FakeS3Client:
         if (Bucket, Key) not in self.objects:
             raise KeyError(Key)
         return {}
+
+
+class RemoteFakeTransport:
+    """Client-side adapter that routes the SOP client's HTTP calls to
+    a shared FakeSOPServer living inside a Ray actor — so multiple
+    upload actors (separate processes) hit ONE stateful fake server,
+    like they would one real endpoint. File objects are drained to
+    bytes before crossing the process boundary."""
+
+    def __init__(self, handle):
+        import ray
+        self._ray = ray
+        self.handle = handle
+        self.cookies = {}
+
+    def get(self, url, params=None, headers=None, **kw):
+        return self._ray.get(self.handle.get.remote(url, params=params,
+                                                    headers=headers))
+
+    def post(self, url, data=None, files=None, headers=None, cookies=None,
+             timeout=None, **kw):
+        file_bytes = None
+        if files:
+            file_bytes = {k: v.read() for k, v in files.items()}
+        return self._ray.get(self.handle.post_raw.remote(
+            url, data=data, file_bytes=file_bytes, headers=headers))
+
+
+def make_fake_sop_actor():
+    """Spawn the shared fake-SOP Ray actor; returns its handle."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class FakeSOPActor:
+        def __init__(self):
+            self.server = FakeSOPServer()
+
+        def get(self, url, params=None, headers=None):
+            return self.server.get(url, params=params, headers=headers)
+
+        def post_raw(self, url, data=None, file_bytes=None, headers=None):
+            import io
+            files = ({k: io.BytesIO(v) for k, v in file_bytes.items()}
+                     if file_bytes else None)
+            return self.server.post(url, data=data, files=files,
+                                    headers=headers)
+
+        def graph_len(self, iri):
+            g = self.server.graphs.get(iri)
+            return -1 if g is None else len(g)
+
+        def graph_nt(self, iri):
+            return self.server.graphs[iri].serialize("nt")
+
+        def seed_graph(self, iri):
+            self.server.graphs.setdefault(iri, Graph())
+
+    return FakeSOPActor.remote()

@@ -152,3 +152,26 @@ def test_create_manifest_and_file(tmp_path):
     from rdfx_ray.rdf import Graph
     nt = next((tmp_path / "final").glob("graphfile=*/part.nt")).read_text()
     assert len(Graph().parse(nt, "nt")) == 6
+
+
+def test_star_bgp_strategies_agree(ray_session):
+    """3-pattern star BGP: broadcast fold and native shuffle joins
+    produce the identical binding set."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import star_bgp
+
+    SF = "/root/testdata/sf0.001"
+    pats = [(SDO + "inLanguage", "en"),
+            (SDO + "isBasedOn", "?vb"),
+            (SDO + "characterCount", "?vc")]
+    a = star_bgp(doc_triples(SF), pats, strategy="broadcast").to_pandas()
+    # num_partitions must stay ≤ the test session's CPU count: the
+    # native join's aggregator actors reserve CPUs (the stacked-pool
+    # starvation rule from CLAUDE.md)
+    b = star_bgp(doc_triples(SF), pats, strategy="shuffle",
+                 num_partitions=2).to_pandas()
+    key = ["subj", "vb", "vc"]
+    sa = a.sort_values(key).reset_index(drop=True)
+    sb = b[key].sort_values(key).reset_index(drop=True)
+    assert sa.equals(sb)
+    assert len(sa) > 0

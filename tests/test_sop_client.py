@@ -234,3 +234,49 @@ def test_s3_asset_exists():
 def test_s3_non_string_args_rejected():
     with pytest.raises(ValueError, match="must be a string"):
         S3("bucket", 123, "secret")
+
+
+def test_distributed_sop_upload(ray_session, tmp_path):
+    """Triples stream through the SopUpload actor pool into a SHARED
+    fake SOP server (a Ray actor): per-graph chunked uploads across
+    multiple client actors merge to exactly the source triple set —
+    the distributed plane of SOP.write."""
+    import ray
+
+    from tests.fake_sop import RemoteFakeTransport, make_fake_sop_actor
+    from rdfx_ray.functions.doc_triples import doc_triples
+    from rdfx_ray.rdf.graph import Graph
+    from rdfx_ray.sinks.sop_sink import upload_triples
+
+    handle = make_fake_sop_actor()
+    sf = "/root/testdata/sf0.001"
+    ds = doc_triples(sf).map_batches(   # attach the obj_lang column the
+        lambda b: b.append_column(      # sink schema expects
+            "obj_lang", __import__("pyarrow").nulls(b.num_rows,
+                                                    __import__("pyarrow").string())),
+        batch_format="pyarrow")
+    # the fake import endpoint accepts any graph; pre-seed not required
+    stats = upload_triples(
+        ds, client_factory=lambda: RemoteFakeTransport(handle),
+        concurrency=2, batch_size=2048).to_pandas()
+    assert (stats["triples"] > 0).all()
+    assert stats["message"].str.contains("imported successfully").all()
+
+    # server-side union across all chunks == source triple set
+    want = doc_triples(sf).to_pandas()
+    total_server = 0
+    for giri in sorted(want["graph_iri"].unique()):
+        n = ray.get(handle.graph_len.remote(giri))
+        assert n >= 0, f"graph {giri} missing on server"
+        total_server += n
+        # spot-check one graph's content exactly
+    g0 = sorted(want["graph_iri"].unique())[0]
+    nt = ray.get(handle.graph_nt.remote(g0))
+    got = Graph().parse(nt, "nt")
+    want0 = want[want["graph_iri"] == g0]
+    assert len(got) == len(want0.drop_duplicates(
+        ["subj", "pred", "obj_kind", "obj_value", "obj_datatype"]))
+    # no duplicates server-side (set-union semantics)
+    assert total_server == len(want.drop_duplicates(
+        ["subj", "pred", "obj_kind", "obj_value", "obj_datatype",
+         "graph_iri"]))
