@@ -30,16 +30,62 @@ def _dataset_pa_schema(ds) -> pa.Schema:
         "left_schema/right_schema to partitioned_hash_join")
 
 
+def detect_hot_keys(ds, key_col: str, top_k: int = 16,
+                    min_share: float = 0.05) -> np.ndarray:
+    """Approximate heavy-hitter detection for join salting: each block
+    contributes its local top-``top_k`` key counts (tiny partials);
+    the driver combines them and keeps keys holding ≥ ``min_share`` of
+    the sampled mass. Mirrors SURVEY §4's heavy-hitter pre-pass; a
+    count-min sketch replaces the local top-k at extreme key
+    cardinality."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = batch.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vals, counts = np.unique(ks, return_counts=True)
+        order = np.argsort(-counts)[:top_k]
+        return pa.table({"k": pa.array(vals[order], pa.int64()),
+                         "n": pa.array(counts[order], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536).iter_batches(
+                           batch_format="pyarrow")))
+    if parts.num_rows == 0:
+        return np.empty(0, dtype=np.int64)
+    df = (pd.DataFrame({"k": parts.column("k").to_pylist(),
+                        "n": parts.column("n").to_pylist()})
+          .groupby("k", as_index=False)["n"].sum())
+    total = df["n"].sum()
+    return df.loc[df["n"] >= min_share * total, "k"] \
+        .to_numpy(dtype=np.int64)
+
+
 def partitioned_hash_join(left, right, left_on: str, right_on: str,
                           n_buckets: int = 32, how: str = "inner",
                           left_schema: Optional[pa.Schema] = None,
-                          right_schema: Optional[pa.Schema] = None):
+                          right_schema: Optional[pa.Schema] = None,
+                          salt: int = 1,
+                          hot_keys: Optional[np.ndarray] = None):
     """Join two Ray Datasets on integer keys via an explicit
     bucket-partitioned hash join. Returns a Dataset of merged rows
     (pandas-merge semantics). Column names must be disjoint across
     sides; schemas are taken from the datasets (pass ``left_schema`` /
-    ``right_schema`` for pandas-backed inputs, e.g. a chained join)."""
+    ``right_schema`` for pandas-backed inputs, e.g. a chained join).
 
+    Skew handling (``salt > 1``): rows of ``hot_keys`` (detect with
+    :func:`detect_hot_keys`, or pass the known hubs) are SPLIT on the
+    probe (left) side across ``salt`` sub-buckets and REPLICATED
+    ``salt``× on the build (right) side — the classic salted join: a
+    hub key's work spreads over ``salt`` tasks at the cost of
+    duplicating only its (small) build rows. Non-hot keys pay
+    nothing."""
+
+    if salt > 1 and hot_keys is None:
+        raise ValueError("salt > 1 requires hot_keys (see detect_hot_keys)")
+    if salt > 1 and how != "inner":
+        # replicated build rows would duplicate unmatched outer rows
+        raise ValueError("salted joins support how='inner' only")
     # Record each side's columns ONCE from the schemas (inferring per
     # bucket via dropna(all-null) dropped genuinely-all-null data
     # columns — bucket-dependent schemas — or even the join key on
@@ -54,6 +100,9 @@ def partitioned_hash_join(left, right, left_on: str, right_on: str,
     canonical = pa.schema(
         list(left_schema) + list(right_schema)
         + [pa.field("_jb", pa.int32()), pa.field("_side", pa.string())])
+    hot = (np.asarray(hot_keys, dtype=np.int64)
+           if salt > 1 and hot_keys is not None and len(hot_keys)
+           else None)
 
     def tag(side: str, key_col: str, other_schema: pa.Schema):
         def fn(batch: pa.Table) -> pa.Table:
@@ -61,9 +110,36 @@ def partitioned_hash_join(left, right, left_on: str, right_on: str,
             # empty buckets) normalize to the canonical empty table
             if batch.num_rows == 0 or key_col not in batch.schema.names:
                 return canonical.empty_table()
-            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-            jb = (keys.astype(np.int64) % n_buckets).astype(np.int32)
+            if hot is not None and side == "r":
+                # replicate build-side hot rows once per salt bucket
+                keys0 = batch.column(key_col).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                is_hot = np.isin(keys0, hot)
+                if is_hot.any():
+                    hi = np.flatnonzero(is_hot)
+                    idx = np.concatenate(
+                        [np.flatnonzero(~is_hot)]
+                        + [hi] * salt)
+                    salt_col = np.concatenate(
+                        [np.zeros(len(keys0) - len(hi), np.int64)]
+                        + [np.full(len(hi), s, np.int64)
+                           for s in range(salt)])
+                    batch = batch.take(pa.array(idx))
+                else:
+                    salt_col = np.zeros(len(keys0), np.int64)
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
             n = batch.num_rows
+            base = keys % n_buckets
+            if hot is None:
+                jb = base.astype(np.int32)
+            else:
+                if side == "l":
+                    # spread probe-side hot rows evenly over salts
+                    salt_col = np.where(np.isin(keys, hot),
+                                        np.arange(n, dtype=np.int64) % salt,
+                                        0)
+                jb = (base * salt + salt_col).astype(np.int32)
             out = (batch
                    .append_column("_jb", pa.array(jb, pa.int32()))
                    .append_column("_side",

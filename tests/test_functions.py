@@ -308,3 +308,55 @@ def test_media_resize_real_path_raises():
     batch = pa.table({"media_ref": ["m1"], "kind": ["image"]})
     with pytest.raises(NotImplementedError, match="image library"):
         rs(batch)
+
+
+def test_salted_join_handles_hub_key():
+    """Salted partitioned hash join: a hub key holding ~90% of the
+    probe side joins correctly (probe split across salts, build rows
+    replicated per salt), result identical to the unsalted join and
+    to a local pandas merge."""
+    import pandas as pd
+    import ray.data as rd
+    from rdfx_ray.pipelines.joins import detect_hot_keys, partitioned_hash_join
+
+    n = 2000
+    keys = np.where(np.arange(n) % 10 < 9, 7, np.arange(n) % 50)  # hub=7
+    left = pd.DataFrame({"k": keys, "lv": np.arange(n)})
+    right = pd.DataFrame({"rk": np.arange(50), "rv": np.arange(50) * 100})
+    import pyarrow as pa
+    lds = rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False))
+    rds = rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False))
+
+    hot = detect_hot_keys(lds, "k")
+    assert 7 in set(hot.tolist())
+
+    got = partitioned_hash_join(lds, rds, "k", "rk", n_buckets=8,
+                                salt=4, hot_keys=hot).to_pandas()
+    plain = partitioned_hash_join(
+        rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)),
+        rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)),
+        "k", "rk", n_buckets=8).to_pandas()
+    want = left.merge(right, left_on="k", right_on="rk")
+    key = ["lv"]
+    for df in (got, plain, want):
+        df.sort_values(key, inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    assert len(got) == len(want)
+    assert (got["lv"].to_numpy() == want["lv"].to_numpy()).all()
+    assert (got["rv"].to_numpy() == want["rv"].to_numpy()).all()
+    assert (plain["rv"].to_numpy() == want["rv"].to_numpy()).all()
+
+
+def test_salted_join_guards():
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+    from rdfx_ray.pipelines.joins import partitioned_hash_join
+    import pyarrow as pa
+    l = rd.from_arrow(pa.table({"k": [1], "lv": [2]}))
+    r = rd.from_arrow(pa.table({"rk": [1], "rv": [3]}))
+    with pytest.raises(ValueError, match="requires hot_keys"):
+        partitioned_hash_join(l, r, "k", "rk", salt=2)
+    with pytest.raises(ValueError, match="inner"):
+        partitioned_hash_join(l, r, "k", "rk", salt=2,
+                              hot_keys=np.array([1]), how="left")
