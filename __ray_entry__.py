@@ -235,6 +235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: analytics_ext.orders_priority_filter(sf),
         "events_hopping_windows":
             lambda sf: analytics_ext.events_hopping_windows(sf),
+        "orders_price_quantiles":
+            lambda sf: analytics_ext.orders_price_quantiles(sf),
         "events_asof_orders": _events_asof_orders,
         "events_hll_users": _events_hll_users,
         # text analysis
@@ -322,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_balance_by_nation": _EXT.SUPPLIER_BALANCE_SQL,
         "orders_priority_filter": _EXT.ORDERS_PRIORITY_SQL,
         "events_hopping_windows": _EXT.EVENTS_HOPPING_SQL,
+        "orders_price_quantiles": _EXT.ORDERS_QUANTILES_SQL,
         "events_asof_orders": _ASOF_SQL,
         "text_token_stats": r"""
             SELECT doc_id,

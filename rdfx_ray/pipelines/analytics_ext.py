@@ -252,3 +252,58 @@ SELECT event_type, CAST(epoch_us(ws) AS BIGINT) AS window_start_us,
        COUNT(*) AS n_events
 FROM w GROUP BY event_type, ws
 """
+
+
+def orders_price_quantiles(sf_dir: str):
+    """Exact grouped quantiles (discrete): p50/p95 of integer-scaled
+    order price per priority. Index semantics pinned to DuckDB's
+    ``percentile_disc``: sorted[ceil(q·n) − 1]. Shape:
+    ``groupby(priority).map_groups`` with a vectorized in-group sort —
+    right while groups fit a worker (5 groups here); the 100-TB path
+    for huge groups is a distributed sort + rank select (or a t-digest
+    when approximation is acceptable)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_totalprice"])
+
+    def add_scaled(batch: pa.Table) -> pa.Table:
+        price_c = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "price_c": pa.array(price_c, pa.int64()),
+        })
+
+    def group_quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["price_c"].to_numpy())
+        n = len(v)
+
+        def disc(q: float) -> int:
+            return int(v[int(np.ceil(q * n)) - 1])
+
+        return pd.DataFrame({
+            "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+            "p50_price_c": [disc(0.5)],
+            "p95_price_c": [disc(0.95)],
+            "n_orders": [np.int64(n)],
+        })
+
+    return (ds.map_batches(add_scaled, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("o_orderpriority")
+            .map_groups(group_quantiles, batch_format="pandas"))
+
+
+ORDERS_QUANTILES_SQL = """
+SELECT o_orderpriority,
+       percentile_disc(0.5) WITHIN GROUP
+           (ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS p50_price_c,
+       percentile_disc(0.95) WITHIN GROUP
+           (ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS p95_price_c,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
