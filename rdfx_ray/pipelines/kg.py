@@ -142,6 +142,7 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
             batch_format="pyarrow",
         )
         stats = stats_ds.to_pandas()  # tiny: one row per (task, bucket)
+        _maybe_dump_stats(stats_ds, out, f"stage1-shard-{s:05d}")
         n_docs = sum(_parquet_rows(p) for p in paths)
         payload = {
             "shard": s,
@@ -190,19 +191,21 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
         "streaming_rows": cfg.streaming_rows,
     }
     if cfg.finalize_concurrency is None:
-        result = control.map_batches(
+        result_ds = control.map_batches(
             finalize_buckets_kernel, fn_kwargs=fin_kwargs,
             batch_format="pyarrow",
             batch_size=1,          # one bucket per call → per-bucket commit
             num_cpus=cfg.finalize_num_cpus,
-        ).to_pandas()
+        )
     else:
-        result = control.map_batches(
+        result_ds = control.map_batches(
             BucketFinalizer, fn_constructor_kwargs=fin_kwargs,
             batch_format="pyarrow", batch_size=1,
             concurrency=cfg.finalize_concurrency,
             num_cpus=cfg.finalize_num_cpus,
-        ).to_pandas()
+        )
+    result = result_ds.to_pandas()
+    _maybe_dump_stats(result_ds, out, "stage2-finalize")
 
     wall = time.time() - t_start
     final_triples = int(result["rows"].sum())
@@ -226,6 +229,23 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
 def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def _maybe_dump_stats(ds, out_dir: Path, name: str) -> None:
+    """RAY_GRAFT_STATS=1 → write the executed Dataset's per-operator
+    ``ds.stats()`` report under ``<out>/_stats/`` (the feedback loop
+    the tuning docs reference: wall time must be dominated by the
+    extract/finalize compute, not scheduling or IO waits)."""
+    import os
+
+    if os.environ.get("RAY_GRAFT_STATS") != "1":
+        return
+    try:
+        d = out_dir / "_stats"
+        d.mkdir(parents=True, exist_ok=True)
+        (d / f"{name}.txt").write_text(ds.stats())
+    except Exception:
+        pass  # stats are best-effort observability, never fail the job
 
 
 def read_final_triples(out_dir: str):
