@@ -277,3 +277,48 @@ def test_incremental_append_regrouped_shards(tmp_path_factory, ray_session):
     for r in range(1000):
         want |= golden_triples_for_doc(spec, r)
     assert _triple_set(out) == want
+
+
+def test_task_retry_orphan_fragments_ignored(tmp_path, ray_session):
+    """A retried stage-1 task leaves an orphan duplicate shuffle file;
+    stage 2 reads ONLY manifest-listed fragments, so the orphan never
+    reaches the output (the idempotent-sink contract the sink module
+    documents)."""
+    import pyarrow.parquet as pq
+    from rdfx_ray.sinks.partitioned import (
+        BucketFinalizer,
+        write_partitioned_batch,
+    )
+    from rdfx_ray.stages.extract import extract_link_kernel
+    from rdfx_ray.sources.documents import generate_documents
+    from rdfx_ray.store.lance_shim import LanceShim
+    import pyarrow as pa
+
+    uri = str(tmp_path / "in")
+    generate_documents(uri, n_docs=100, n_entities=30, fragment_rows=100)
+    frag = LanceShim(uri).fragment_paths()[0]
+    batch = pq.read_table(frag)
+    triples = extract_link_kernel(batch, n_entities=30, n_buckets=2)
+
+    out = tmp_path / "o"
+    stats1 = write_partitioned_batch(triples, out_dir=str(out), shard_id=0)
+    # simulated retry: SAME batch written again → orphan file on disk
+    write_partitioned_batch(triples, out_dir=str(out), shard_id=0)
+    files = list((out / "stage1" / "shard=00000").glob("*.parquet"))
+    assert len(files) == 2  # orphan present
+
+    fin = BucketFinalizer(str(out))
+    refs_b0 = [p for p, b in zip(stats1.column("path").to_pylist(),
+                                 stats1.column("bucket").to_pylist())
+               if b == 0]
+    control = pa.table({"bucket": [0], "paths": [refs_b0],
+                        "rows_est": [0]})
+    res = fin(control).to_pylist()[0]
+    # rows == the manifested write's bucket-0 rows after dedup — the
+    # orphan contributed nothing
+    import polars as pl
+    want = (pl.from_arrow(triples)
+            .filter(pl.col("bucket") == 0)
+            .unique(subset=["subj", "pred", "obj_kind", "obj_value",
+                            "obj_datatype", "obj_lang"]).height)
+    assert res["rows"] == want

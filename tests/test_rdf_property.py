@@ -150,3 +150,43 @@ def test_parsers_fail_cleanly_on_garbage(text):
         pass
     # rdfa: html.parser is lenient; must never raise
     Graph().parse(text, "html")
+
+
+def test_popcount64_matches_bit_count():
+    from hypothesis import given, strategies as st
+    import numpy as np
+    from rdfx_ray.functions.dedup import popcount64
+
+    @given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                    min_size=1, max_size=64))
+    def check(vals):
+        arr = np.array(vals, dtype=np.uint64)
+        got = popcount64(arr)
+        want = [bin(v).count("1") for v in vals]
+        assert got.tolist() == want
+    check()
+
+
+def test_hll_merge_is_order_insensitive():
+    """HLL registers merge by elementwise max: any batch split/order
+    gives the identical estimate (the property the distributed fold
+    relies on)."""
+    from hypothesis import given, settings, strategies as st
+    import numpy as np
+    from rdfx_ray.functions.sketch import _estimate, _registers_for
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                    min_size=1, max_size=200),
+           st.integers(min_value=1, max_value=199))
+    def check(vals, cut):
+        arr = np.array(vals, dtype=np.uint64)
+        whole = _registers_for(arr, 8)
+        cut = min(cut, len(arr))
+        a = _registers_for(arr[:cut], 8)
+        b = _registers_for(arr[cut:], 8) if cut < len(arr) else \
+            np.zeros_like(a)
+        merged = np.maximum(a, b)
+        assert (merged == whole).all()
+        assert _estimate(merged, 8) == _estimate(whole, 8)
+    check()
