@@ -129,11 +129,11 @@ class BucketFinalizer:
         import polars as pl
 
         df = pl.from_arrow(table)
-        # keep-first by lineage order → deterministic winner
-        df = df.sort(["doc_rank", "span_idx"])
         if df.height > self.salt_chunk_rows:
             # salt: split by full-triple hash; identical triples share a
-            # chunk, so per-chunk dedup is globally exact
+            # chunk, so per-chunk dedup is globally exact. Lineage sort
+            # first (deterministic winner), key re-sort after concat.
+            df = df.sort(["doc_rank", "span_idx"])
             n_chunks = (df.height + self.salt_chunk_rows - 1) // self.salt_chunk_rows
             df = df.with_columns(
                 (pl.struct(TRIPLE_KEY_COLUMNS).hash(seed=0) % n_chunks)
@@ -144,11 +144,17 @@ class BucketFinalizer:
                             maintain_order=True).drop("_salt")
                 for _, part in df.group_by("_salt")
             ]
-            df = pl.concat(parts).sort(["doc_rank", "span_idx"])
+            df = pl.concat(parts).sort(
+                ["subj", "pred", "obj_kind", "obj_value"])
         else:
-            df = df.unique(subset=TRIPLE_KEY_COLUMNS, keep="first",
-                           maintain_order=True)
-        out = df.sort(["subj", "pred", "obj_kind", "obj_value"]).to_arrow()
+            # ONE sort: key columns first (= the final output order),
+            # lineage last — so unique keep-first still picks the
+            # min-(doc_rank, span_idx) winner per triple key, and no
+            # second sort is needed
+            df = (df.sort(TRIPLE_KEY_COLUMNS + ["doc_rank", "span_idx"])
+                    .unique(subset=TRIPLE_KEY_COLUMNS, keep="first",
+                            maintain_order=True))
+        out = df.to_arrow()
         # polars emits large_string; normalize back to the engine schema
         return out.cast(table.schema)
 
