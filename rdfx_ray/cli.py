@@ -63,6 +63,32 @@ def main(argv=None):
     pg.add_argument("--entities", type=int, default=10_000)
     pg.add_argument("--seed", type=int, default=42)
 
+    # the reference's Streamlit app flow (app/rdfxWebApp.py:20-54) as a
+    # CLI: pick a read system → read a graph → preview → pick a write
+    # system + format + comments → write. Remote-system credentials
+    # resolve from the app's environment-variable convention
+    # ({READ|WRITE}_{SYSTEM}_{LOCATION,USERNAME,PASSWORD} —
+    # app/streamlitPS.py:58-99).
+    pp = sub.add_parser(
+        "pipe", help="read from one persistence system, write to another")
+    pp.add_argument("--read-system", required=True,
+                    choices=["String", "File", "SOP", "S3"])
+    pp.add_argument("--read-dir", help="File system: directory")
+    pp.add_argument("--read-name", required=True,
+                    help="filename / graph IRI / S3 key; for String, a "
+                         "path whose text is the RDF (or '-' for stdin)")
+    pp.add_argument("--read-format", default="turtle")
+    pp.add_argument("--write-system", required=True,
+                    choices=["String", "File", "SOP", "S3"])
+    pp.add_argument("--write-dir", help="File system: directory")
+    pp.add_argument("--write-name", help="output name / graph IRI / key")
+    pp.add_argument("--format", "-f", default="ttl")
+    pp.add_argument("--comments", default="from-input",
+                    help="'from-input' (default, the app's 'From input' "
+                         "radio), 'none', or literal comment text")
+    pp.add_argument("--preview", action="store_true",
+                    help="print the app's 1000-char turtle preview")
+
     args = parser.parse_args(argv)
 
     if args.method in ("convert", "merge", "clean"):
@@ -130,7 +156,77 @@ def main(argv=None):
                                   n_entities=args.entities, seed=args.seed)
         print(f"wrote {shim.count_rows()} docs to {args.output}")
         return 0
+
+    if args.method == "pipe":
+        return _pipe(args)
     return 1
+
+
+def _env_ps(system: str, role: str):
+    """Build a remote persistence system from the app's env-var
+    convention; same missing-variable message as streamlitPS.py:92-95."""
+    from .persistence import S3, SOP
+
+    location = os.getenv(f"{role}_{system.upper()}_LOCATION", "")
+    if not location:
+        raise ValueError(
+            f'Environment Variable "{role}_{system.upper()}_LOCATION" '
+            'not set')
+    username = os.getenv(f"{role}_{system.upper()}_USERNAME", "")
+    password = os.getenv(f"{role}_{system.upper()}_PASSWORD", "")
+    if system == "SOP":
+        return SOP(location=location,
+                   username=username or "Administrator",
+                   password=password or None)
+    return S3(location, username, password)  # location = bucket
+
+
+def _pipe(args) -> int:
+    from .persistence import File, String
+
+    # -- read ---------------------------------------------------------------
+    if args.read_system == "String":
+        text = (sys.stdin.read() if args.read_name == "-"
+                else Path(args.read_name).read_text(encoding="utf-8"))
+        comments, g = String().read(text, args.read_format)
+    elif args.read_system == "File":
+        directory = args.read_dir or os.getcwd()
+        comments, g = File(directory).read(args.read_name, args.read_format)
+    else:
+        ps = _env_ps(args.read_system, "READ")
+        comments, g = ps.read(args.read_name, args.read_format)
+
+    # -- comments policy (the app's 'From input' vs manual radio) -----------
+    if args.comments == "from-input":
+        out_comments = comments or None
+    elif args.comments == "none":
+        out_comments = None
+    else:
+        out_comments = [args.comments]
+    if args.format not in ("ttl", "turtle"):
+        out_comments = None  # comments are turtle-only (reference :66-76)
+
+    # -- preview ------------------------------------------------------------
+    if args.preview:
+        print(String().write(g, "turtle", out_comments
+                             if args.format in ("ttl", "turtle")
+                             else None)[:1000])
+
+    # -- write --------------------------------------------------------------
+    name = args.write_name or "piped"
+    if args.write_system == "String":
+        print(String().write(g, args.format, out_comments))
+    elif args.write_system == "File":
+        directory = args.write_dir or os.getcwd()
+        path = File(directory).write(g, name, args.format, out_comments)
+        print(path)
+    elif args.write_system == "SOP":
+        ps = _env_ps("SOP", "WRITE")
+        print(ps.write(g, name, out_comments))
+    else:
+        ps = _env_ps("S3", "WRITE")
+        print(ps.write(g, name, args.format, out_comments))
+    return 0
 
 
 if __name__ == "__main__":

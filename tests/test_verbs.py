@@ -195,3 +195,42 @@ def test_nt_xsd_string_normalizes_like_literal(tmp_path, ray_session):
     # xsd:string drops to None there too
     dts = {t[2][2] for t in g}
     assert dts == {None}
+
+
+def test_cli_pipe_file_to_file(tmp_path, capsys):
+    """The app-flow CLI: File read → preview → File write with
+    comments carried from input (rdfxWebApp semantics)."""
+    import shutil
+    from rdfx_ray.cli import main
+    from rdfx_ray.rdf import Graph, isomorphic
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    data = Path(__file__).parent / "data" / "file_01.ttl"
+    # prepend a comment block so 'from-input' has something to carry
+    (src_dir / "x.ttl").write_text("# hello\n\n" + data.read_text())
+    out_dir = tmp_path / "out"
+    rc = main(["pipe", "--read-system", "File", "--read-dir", str(src_dir),
+               "--read-name", "x.ttl", "--write-system", "File",
+               "--write-dir", str(out_dir), "--write-name", "y",
+               "-f", "ttl", "--preview"])
+    assert rc == 0
+    outp = capsys.readouterr().out
+    assert "# hello" in outp          # preview pane shows the comments
+    written = out_dir / "y.ttl"
+    assert written.exists()
+    comments, g2 = __import__("rdfx_ray.persistence",
+                              fromlist=["File"]).File(out_dir).read("y.ttl")
+    assert comments == ["hello"]
+    g1 = Graph().parse(data.read_text(), "turtle")
+    assert isomorphic(g1, g2)
+
+
+def test_cli_pipe_env_var_error(tmp_path):
+    import os
+    import pytest
+    from rdfx_ray.cli import main
+    os.environ.pop("READ_SOP_LOCATION", None)
+    with pytest.raises(ValueError, match='"READ_SOP_LOCATION" not set'):
+        main(["pipe", "--read-system", "SOP", "--read-name", "urn:x",
+              "--write-system", "String"])
