@@ -86,7 +86,9 @@ def bgp_join(triples_ds, pred_a: str, pred_b: str):
 
     def join_batch(batch: pa.Table) -> pa.Table:
         import polars as pl
-        right = pl.from_arrow(ray.get(bref))
+
+        from ..functions.broadcast import cached_get
+        right = pl.from_arrow(cached_get(bref))
         left = (pl.from_arrow(batch.select(["subj", "obj_value"]))
                   .rename({"obj_value": "va"}))
         out = left.join(right, on="subj", how="inner")
