@@ -244,6 +244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprints": lambda sf: text.fingerprints(sf),
         "text_quality": lambda sf: text.quality_scores(sf),
         "text_lang_id": lambda sf: text.lang_id(sf),
+        "text_winnow_fingerprints":
+            lambda sf: text.winnow_fingerprints(sf),
         # dedup family
         "dedup_exact": lambda sf: dedup.exact_dedup(sf),
         "dedup_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),

@@ -172,3 +172,66 @@ def quality_batch(batch: pa.Table) -> pa.Table:
 def quality_scores(sf_dir: str):
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         quality_batch, batch_format="pyarrow", batch_size=8192)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling hash) — MOSS-style content fingerprints
+# ---------------------------------------------------------------------------
+
+_WIN_BASE = np.uint64(1_000_003)
+
+
+def _kgram_rolling_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial rolling hashes of all k-byte grams, vectorized: k
+    shifted vector ops over the byte array (the MinHashBands stride
+    trick), no per-gram Python."""
+    n = len(data)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _WIN_BASE + data[j:n - k + 1 + j]
+    return acc
+
+
+def winnow_doc(text: str, k: int = 8, window: int = 16) -> np.ndarray:
+    """Winnowing (Schleimer/Wilkerson/Aiken): take the minimum k-gram
+    hash in every sliding window of ``window`` hashes; the selected
+    set is position-independent for shared substrings of length ≥
+    k + window - 1 — the guarantee the shared-substring test pins."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    h = _kgram_rolling_hashes(b, k)
+    if len(h) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if len(h) <= window:
+        return np.unique(h.min(keepdims=True))
+    from numpy.lib.stride_tricks import sliding_window_view
+    mins = sliding_window_view(h, window).min(axis=1)
+    return np.unique(mins)
+
+
+def winnow_fingerprints(sf_dir: str, k: int = 8, window: int = 16):
+    """(doc_id, fingerprint) rows — one row per selected winnowing
+    hash. Two docs sharing any substring of length ≥ k + window - 1
+    share at least one fingerprint, so a groupby(fingerprint) over
+    this output is a containment-style candidate generator (the same
+    hot-bucket pipeline as MinHash-LSH applies downstream)."""
+    import ray.data as rd
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def batch_fps(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_doc, out_fp = [], []
+        for d, t in zip(doc_ids, texts):
+            fps = winnow_doc(t or "", k, window)
+            out_doc.extend([int(d)] * len(fps))
+            out_fp.extend(fps.view(np.int64).tolist())
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "fingerprint": pa.array(out_fp, pa.int64()),
+        })
+
+    return ds.map_batches(batch_fps, batch_format="pyarrow",
+                          batch_size=4096)

@@ -360,3 +360,30 @@ def test_salted_join_guards():
     with pytest.raises(ValueError, match="inner"):
         partitioned_hash_join(l, r, "k", "rk", salt=2,
                               hot_keys=np.array([1]), how="left")
+
+
+def test_winnowing_shared_substring_guarantee(tmp_path):
+    """Winnowing guarantee: docs sharing a substring of length ≥
+    k + window - 1 share ≥1 fingerprint, regardless of where the
+    substring sits (position independence); unrelated docs share
+    none."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from rdfx_ray.functions.text import winnow_doc, winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = {
+        "doc_id": [0, 1, 2],
+        "text": ["PREFIX " * 5 + shared,
+                 shared + " SUFFIX suffix suffix",
+                 "completely different content entirely unrelated here ok"],
+    }
+    pq.write_table(pa.table(docs), tmp_path / "documents.parquet")
+    fps = winnow_fingerprints(str(tmp_path)).to_pandas()
+    by_doc = {d: set(g["fingerprint"]) for d, g in fps.groupby("doc_id")}
+    assert by_doc[0] & by_doc[1], "shared substring must share fingerprints"
+    assert not (by_doc[0] & by_doc[2])
+    # position independence of the selected set for the shared region
+    a = set(winnow_doc("X" * 40 + shared).tolist())
+    b = set(winnow_doc(shared + "Y" * 40).tolist())
+    assert a & b
