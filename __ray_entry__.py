@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": lambda sf: text.lang_id(sf),
         "text_winnow_fingerprints":
             lambda sf: text.winnow_fingerprints(sf),
+        "text_bpe_tokens": lambda sf: text.bpe_token_stats(sf),
         # dedup family
         "dedup_exact": lambda sf: dedup.exact_dedup(sf),
         "dedup_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
@@ -363,6 +364,9 @@ def oracle_sql() -> dict[str, str]:
                               THEN 10 ELSE 0 END)) AS quality_score
             FROM t
         """,
+        "text_bpe_tokens": __import__("rdfx_ray.functions.text",
+                                      fromlist=["BPE_TOKEN_STATS_SQL"]
+                                      ).BPE_TOKEN_STATS_SQL,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,
                    MIN(doc_id) AS keeper_doc_id,

@@ -235,3 +235,44 @@ def winnow_fingerprints(sf_dir: str, k: int = 8, window: int = 16):
 
     return ds.map_batches(batch_fps, batch_format="pyarrow",
                           batch_size=4096)
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting (pre-tokenizer regex)
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer shape restricted to constructs Python re
+# and DuckDB's RE2 count identically (no lookarounds, ASCII classes):
+# optional-space-prefixed letter runs / digit runs / punctuation runs,
+# plus whitespace runs.
+BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_stats(sf_dir: str):
+    """Per-doc BPE-ish pre-token counts (the unit an LLM tokenizer's
+    pre-split produces — the budget number a training-data pipeline
+    reports) alongside whitespace tokens, one vectorized regex count
+    each."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        text = df["text"].fillna("")
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"], pa.int64()),
+            "n_ws_tokens": pa.array(text.str.count(r"\S+"), pa.int64()),
+            "n_bpe_tokens": pa.array(text.str.count(BPE_RE), pa.int64()),
+        })
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow",
+                          batch_size=8192)
+
+
+BPE_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\s+'),
+                       x -> x <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(text,
+           ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS n_bpe_tokens
+FROM documents
+"""
