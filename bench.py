@@ -194,7 +194,11 @@ def run_scaling() -> None:
     repeats = int(os.environ.get("RAY_GRAFT_SCALE_REPEATS", "3"))
     runs = {}
     for n in levels:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR)
+        # single headline run per subprocess: this loop already does
+        # best-of-N itself — compounding with the suite's headline
+        # repeats would triple the wall for no extra signal
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR,
+                   RAY_GRAFT_HEADLINE_REPEATS="1")
         best = None
         for i in range(repeats):
             if i:
