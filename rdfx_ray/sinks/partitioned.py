@@ -32,7 +32,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..stages.schema import TRIPLE_KEY_COLUMNS, TRIPLES_SCHEMA
+from ..stages.schema import (STAGE1_TRIPLES_SCHEMA, TRIPLE_KEY_COLUMNS,
+                             TRIPLES_SCHEMA)
 from ..state.manifest import CheckpointLedger
 from .nt_lines import nt_bytes
 
@@ -77,7 +78,8 @@ def write_partitioned_batch(batch: pa.Table, *, out_dir: str,
     # explicit (file, row-group) refs — nobody predicate-pushes into
     # them, and 64-row-group footers with per-column stats made every
     # stage-2 footer parse measurably expensive
-    writer = pq.ParquetWriter(path, TRIPLES_SCHEMA, compression="snappy",
+    writer = pq.ParquetWriter(path, STAGE1_TRIPLES_SCHEMA,
+                              compression="snappy",
                               write_statistics=False)
     try:
         rg = 0
@@ -86,7 +88,7 @@ def write_partitioned_batch(batch: pa.Table, *, out_dir: str,
                 continue
             b = int(sorted_buckets[lo])
             part = (sorted_tbl.slice(lo, hi - lo).drop_columns(["bucket"])
-                    .cast(TRIPLES_SCHEMA))
+                    .cast(STAGE1_TRIPLES_SCHEMA))
             # one write_table call per bucket slice = one row group
             # (slices are far below the default row-group size cap)
             writer.write_table(part)
@@ -97,6 +99,16 @@ def write_partitioned_batch(batch: pa.Table, *, out_dir: str,
     finally:
         writer.close()
     return pa.Table.from_pydict(stats, schema=STATS_SCHEMA)
+
+
+def _attach_graph_iri(table: pa.Table, bucket: int) -> pa.Table:
+    """Re-attach the bucket-determined graph_iri as a constant column
+    (dropped from the shuffle plane — schema.py STAGE1 note) and order
+    columns to the final TRIPLES_SCHEMA."""
+    iri = f"urn:graph:bucket-{bucket:04d}"
+    out = table.append_column(
+        "graph_iri", pa.array(np.full(table.num_rows, iri), pa.string()))
+    return out.select([f.name for f in TRIPLES_SCHEMA]).cast(TRIPLES_SCHEMA)
 
 
 _PQFILE_CACHE: Dict[str, "pq.ParquetFile"] = {}
@@ -232,7 +244,7 @@ class BucketFinalizer:
         resume/rerun output is still deterministic)."""
         import polars as pl
 
-        columns = [f.name for f in TRIPLES_SCHEMA]
+        columns = [f.name for f in STAGE1_TRIPLES_SCHEMA]
         n_chunks = max(2, (est_rows + self.salt_chunk_rows - 1)
                        // self.salt_chunk_rows)
 
@@ -247,11 +259,12 @@ class BucketFinalizer:
                          % n_chunks).alias("_salt"))
                     for (salt,), part in df.group_by("_salt"):
                         w = writers.get(salt)
-                        pt = part.drop("_salt").to_arrow().cast(TRIPLES_SCHEMA)
+                        pt = part.drop("_salt").to_arrow().cast(
+                            STAGE1_TRIPLES_SCHEMA)
                         if w is None:
                             w = pq.ParquetWriter(
                                 spill / f"chunk-{salt:06d}.parquet",
-                                TRIPLES_SCHEMA, compression="snappy")
+                                STAGE1_TRIPLES_SCHEMA, compression="snappy")
                             writers[salt] = w
                         w.write_table(pt)
         finally:
@@ -271,7 +284,8 @@ class BucketFinalizer:
                         .unique(subset=TRIPLE_KEY_COLUMNS, keep="first",
                                 maintain_order=True)
                         .sort(["subj", "pred", "obj_kind", "obj_value"]))
-                part = df.to_arrow().cast(TRIPLES_SCHEMA)
+                part = _attach_graph_iri(
+                    df.to_arrow().cast(STAGE1_TRIPLES_SCHEMA), b)
                 out_writer.write_table(part)
                 total += part.num_rows
                 if nt_f is not None:
@@ -322,10 +336,10 @@ class BucketFinalizer:
                 # explicit column list: keeps hive-style dir names from
                 # being inferred as extra partition columns (row-group
                 # pruned: only this bucket's groups are read)
-                cols = [f.name for f in TRIPLES_SCHEMA]
+                cols = [f.name for f in STAGE1_TRIPLES_SCHEMA]
                 table = pa.concat_tables(
                     list(self._iter_plan_tables(plan, cols)))
-                deduped = self._dedup(table)
+                deduped = _attach_graph_iri(self._dedup(table), b)
                 n = deduped.num_rows
                 pq.write_table(deduped, d / "triples.parquet",
                                compression="snappy")

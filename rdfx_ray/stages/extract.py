@@ -25,13 +25,13 @@ import pyarrow.compute as pc
 
 from ..sources import vocab
 from .canonicalize import IriCanonicalizer
-from .schema import TRIPLES_SCHEMA
+from .schema import STAGE1_TRIPLES_SCHEMA
 
 # name shape of the closed vocabulary: "First Last-00042"
 MENTION_RE = r"[A-Z][a-z]+ [A-Z][a-zA-Z]+-\d{5}"
 
 
-EXTRACT_OUTPUT_SCHEMA = TRIPLES_SCHEMA.append(pa.field("bucket", pa.int32()))
+EXTRACT_OUTPUT_SCHEMA = STAGE1_TRIPLES_SCHEMA.append(pa.field("bucket", pa.int32()))
 
 # triple columns before partition assignment (bucket/graph added after
 # the local dedup so the hash runs over fewer rows)
@@ -320,9 +320,9 @@ class ExtractLink:
         out = df.to_arrow().cast(_FAMILY_SCHEMA)
 
         bucket = subject_bucket(out.column("subj").to_pandas(), self.n_buckets)
-        out = out.append_column(
-            "graph_iri", pa.array(graph_iri_for_bucket(bucket, self.n_buckets))
-        ).append_column("bucket", pa.array(bucket, pa.int32()))
+        # graph_iri is NOT materialized here: it is bucket-determined
+        # and re-attached as a constant at finalize (schema.py note)
+        out = out.append_column("bucket", pa.array(bucket, pa.int32()))
         return out.select([f.name for f in EXTRACT_OUTPUT_SCHEMA]).cast(
             EXTRACT_OUTPUT_SCHEMA)
 

@@ -31,6 +31,14 @@ TRIPLES_SCHEMA = pa.schema([
     pa.field("span_idx", pa.int32()),        # lineage
 ])
 
+# Stage-1 shuffle-file schema: graph_iri is a PURE FUNCTION of the
+# bucket (urn:graph:bucket-%04d), so carrying it as a ~22-byte string
+# column through extract output, the bucket sort/take, the shuffle
+# files and the finalize read is pure memory-bandwidth waste — it is
+# re-attached as a constant column at finalize.
+STAGE1_TRIPLES_SCHEMA = pa.schema(
+    [f for f in TRIPLES_SCHEMA if f.name != "graph_iri"])
+
 TRIPLE_KEY_COLUMNS = [
     "subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lang",
 ]
