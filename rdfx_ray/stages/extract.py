@@ -8,9 +8,11 @@ one batch traversal and no intermediate exchange (SURVEY.md §7 steps
 4-5; generalizes the reference's parse step, rdfx/rdfx_cli.py:70).
 
 Input batch (pyarrow, zero-copy): doc_id: string, spans:
-list<struct<kind,text,media_ref,offset>>. Output: TRIPLES_SCHEMA plus
-a ``bucket`` column (hash(subj) % n_buckets) that drives the
-partitioned shuffle-by-write.
+list<struct<kind,text,media_ref,offset>>. Output:
+STAGE1_TRIPLES_SCHEMA (graph_iri deliberately absent — it is
+bucket-determined and re-attached at finalize) plus a ``bucket``
+column (hash(subj) % n_buckets) that drives the partitioned
+shuffle-by-write.
 """
 
 from __future__ import annotations
