@@ -290,7 +290,19 @@ def ivf_index_for(sf_dir: str, n_lists: int = 16) -> IvfIndex:
     The artifact is keyed by corpus path + list count; a wiped /tmp
     just triggers a rebuild (the build is resumable-from-nothing and
     deterministic)."""
-    key = hashlib.md5(str(Path(sf_dir).resolve()).encode()).hexdigest()[:12]
+    # key includes a cheap content fingerprint (row count + mtime + file
+    # size) so a regenerated embeddings.parquet at the same path (new
+    # seed / doc count) rebuilds instead of silently serving stale
+    # vec_ids/centroids from the old artifact
+    emb = Path(sf_dir) / "embeddings.parquet"
+    try:
+        import pyarrow.parquet as pq
+        st = emb.stat()
+        fp = f"{pq.ParquetFile(emb).metadata.num_rows}-{int(st.st_mtime)}-{st.st_size}"
+    except (FileNotFoundError, OSError):
+        fp = "absent"
+    key = hashlib.md5(
+        f"{Path(sf_dir).resolve()}|{fp}".encode()).hexdigest()[:12]
     index_dir = Path(_IVF_CACHE_ROOT) / f"{key}-L{n_lists}"
     if (index_dir / "manifest.json").exists():
         return IvfIndex.load(str(index_dir))

@@ -280,13 +280,17 @@ def orders_price_quantiles(sf_dir: str):
         v = np.sort(g["price_c"].to_numpy())
         n = len(v)
 
-        def disc(q: float) -> int:
-            return int(v[int(np.ceil(q * n)) - 1])
+        def disc(q_pct: int) -> int:
+            # ceil(q·n) − 1 in exact integer arithmetic: float q·n can
+            # land a hair above an integral value (0.95·20 →
+            # 19.000000000000004) and ceil then overshoots DuckDB's
+            # percentile_disc rank by one
+            return int(v[-(-(q_pct * n) // 100) - 1])
 
         return pd.DataFrame({
             "o_orderpriority": [g["o_orderpriority"].iloc[0]],
-            "p50_price_c": [disc(0.5)],
-            "p95_price_c": [disc(0.95)],
+            "p50_price_c": [disc(50)],
+            "p95_price_c": [disc(95)],
             "n_orders": [np.int64(n)],
         })
 

@@ -185,11 +185,19 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
     # -- stage 2: bucket finalize (dedup + materialize) ----------------------
     bucket_files: Dict[int, List[str]] = {b: [] for b in range(cfg.n_buckets)}
     bucket_rows: Dict[int, int] = {b: 0 for b in range(cfg.n_buckets)}
+    # rows_est is only trustworthy if EVERY contributing shard carries
+    # fragment_rows; a resumed pre-upgrade output dir has shards without
+    # it, and a partial sum would undercount — letting an over-
+    # streaming_rows bucket take the in-memory path (OOM risk) and
+    # undersizing streaming n_chunks. Emit 0 → finalize falls back to
+    # _plan_rows (footer metadata).
+    rows_known = all("fragment_rows" in st for st in shard_stats)
     for st in shard_stats:
         for b, paths in st["fragments"].items():
             bucket_files[int(b)].extend(paths)
-        for b, nrows in st.get("fragment_rows", {}).items():
-            bucket_rows[int(b)] += int(nrows)
+        if rows_known:
+            for b, nrows in st["fragment_rows"].items():
+                bucket_rows[int(b)] += int(nrows)
 
     control = rd.from_items([
         {"bucket": b, "paths": paths, "rows_est": bucket_rows[b]}

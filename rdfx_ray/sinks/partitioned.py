@@ -89,9 +89,13 @@ def write_partitioned_batch(batch: pa.Table, *, out_dir: str,
             b = int(sorted_buckets[lo])
             part = (sorted_tbl.slice(lo, hi - lo).drop_columns(["bucket"])
                     .cast(STAGE1_TRIPLES_SCHEMA))
-            # one write_table call per bucket slice = one row group
-            # (slices are far below the default row-group size cap)
-            writer.write_table(part)
+            # one write_table call per bucket slice = exactly ONE row
+            # group: pass row_group_size explicitly, because above the
+            # default cap (~1M rows, reachable via write_batch_rows)
+            # ParquetWriter silently splits a table into several row
+            # groups, which would shift every subsequent #rg=<i>
+            # fragment ref and make stage 2 read the wrong buckets
+            writer.write_table(part, row_group_size=part.num_rows)
             stats["bucket"].append(b)
             stats["path"].append(f"{rel}#rg={rg}")
             stats["rows"].append(part.num_rows)
@@ -180,8 +184,14 @@ class BucketFinalizer:
                             maintain_order=True).drop("_salt")
                 for _, part in df.group_by("_salt")
             ]
+            # full key + lineage sort: polars sort is unstable and the
+            # group_by concat order is nondeterministic, so sorting by
+            # a 4-column prefix left rows differing only in
+            # obj_datatype/obj_lang in arbitrary relative order —
+            # breaking byte-identical reruns across the size-dependent
+            # strategy switch. Same key as the small path.
             df = pl.concat(parts).sort(
-                ["subj", "pred", "obj_kind", "obj_value"])
+                TRIPLE_KEY_COLUMNS + ["doc_rank", "span_idx"])
         else:
             # ONE sort: key columns first (= the final output order),
             # lineage last — so unique keep-first still picks the
@@ -283,7 +293,7 @@ class BucketFinalizer:
                 df = (pl.from_arrow(t).sort(["doc_rank", "span_idx"])
                         .unique(subset=TRIPLE_KEY_COLUMNS, keep="first",
                                 maintain_order=True)
-                        .sort(["subj", "pred", "obj_kind", "obj_value"]))
+                        .sort(TRIPLE_KEY_COLUMNS + ["doc_rank", "span_idx"]))
                 part = _attach_graph_iri(
                     df.to_arrow().cast(STAGE1_TRIPLES_SCHEMA), b)
                 out_writer.write_table(part)
