@@ -32,8 +32,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..stages.schema import (STAGE1_TRIPLES_SCHEMA, TRIPLE_KEY_COLUMNS,
-                             TRIPLES_SCHEMA)
+from ..stages.schema import (STAGE1_PLAIN_SCHEMA, STAGE1_TRIPLES_SCHEMA,
+                             TRIPLE_KEY_COLUMNS, TRIPLES_SCHEMA)
 from ..state.manifest import CheckpointLedger
 from .nt_lines import nt_bytes
 
@@ -238,11 +238,20 @@ class BucketFinalizer:
                           columns: List[str]):
         """Yield one table per row group of the plan (row-group-pruned
         reads: only this bucket's groups leave the consolidated
-        shuffle files)."""
+        shuffle files). Dictionary-encoded shuffle columns (pred/
+        obj_kind/obj_datatype — schema.py note) are decoded to plain
+        strings here, BEFORE any polars key hashing or sorting:
+        polars categoricals hash/sort by physical index, which is not
+        stable across chunks with different dictionaries. Pre-round-3
+        shuffle files are already plain and pass through the cast
+        unchanged."""
         for p, rgs in plan:
             f = _pqfile(p)
             for rg in (range(f.num_row_groups) if rgs is None else rgs):
-                yield f.read_row_group(rg, columns=columns)
+                t = f.read_row_group(rg, columns=columns)
+                if t.schema != STAGE1_PLAIN_SCHEMA:
+                    t = t.cast(STAGE1_PLAIN_SCHEMA)
+                yield t
 
     def _finalize_streaming(self, plan, b: int, d: Path, est_rows: int):
         """Memory-bounded finalize for buckets larger than worker heap
@@ -254,7 +263,7 @@ class BucketFinalizer:
         resume/rerun output is still deterministic)."""
         import polars as pl
 
-        columns = [f.name for f in STAGE1_TRIPLES_SCHEMA]
+        columns = [f.name for f in STAGE1_PLAIN_SCHEMA]
         n_chunks = max(2, (est_rows + self.salt_chunk_rows - 1)
                        // self.salt_chunk_rows)
 
@@ -270,11 +279,11 @@ class BucketFinalizer:
                     for (salt,), part in df.group_by("_salt"):
                         w = writers.get(salt)
                         pt = part.drop("_salt").to_arrow().cast(
-                            STAGE1_TRIPLES_SCHEMA)
+                            STAGE1_PLAIN_SCHEMA)
                         if w is None:
                             w = pq.ParquetWriter(
                                 spill / f"chunk-{salt:06d}.parquet",
-                                STAGE1_TRIPLES_SCHEMA, compression="snappy")
+                                STAGE1_PLAIN_SCHEMA, compression="snappy")
                             writers[salt] = w
                         w.write_table(pt)
         finally:
@@ -295,7 +304,7 @@ class BucketFinalizer:
                                 maintain_order=True)
                         .sort(TRIPLE_KEY_COLUMNS + ["doc_rank", "span_idx"]))
                 part = _attach_graph_iri(
-                    df.to_arrow().cast(STAGE1_TRIPLES_SCHEMA), b)
+                    df.to_arrow().cast(STAGE1_PLAIN_SCHEMA), b)
                 out_writer.write_table(part)
                 total += part.num_rows
                 if nt_f is not None:
@@ -310,6 +319,38 @@ class BucketFinalizer:
                 chunk_file.unlink()
             spill.rmdir()
         return total, nt_size
+
+    _WRITE_CHUNK_ROWS = 262_144
+
+    def _write_final(self, deduped: pa.Table, b: int, d: Path
+                     ) -> Tuple[int, int]:
+        """Write the final partition with NT rendering INTERLEAVED
+        with the parquet write: one ~256k-row slice at a time becomes
+        one row group + one appended NT block. The per-slice working
+        set (slice + its rendered lines) stays cache/heap-small instead
+        of holding the whole bucket's parquet encode state AND its full
+        NT byte string at once — this stage is memory-bandwidth-bound
+        under 16-way concurrency. Byte output is identical to the
+        whole-table form (NT rendering is row-wise; blocks concatenate
+        with their trailing newlines)."""
+        n = deduped.num_rows
+        nt_size = 0
+        writer = pq.ParquetWriter(d / "triples.parquet", TRIPLES_SCHEMA,
+                                  compression="snappy")
+        nt_f = (d / f"part-{b:05d}.nt").open("wb") if self.write_nt else None
+        try:
+            for lo in range(0, n, self._WRITE_CHUNK_ROWS):
+                part = deduped.slice(lo, self._WRITE_CHUNK_ROWS)
+                writer.write_table(part, row_group_size=part.num_rows)
+                if nt_f is not None:
+                    data = nt_bytes(part)
+                    nt_f.write(data)
+                    nt_size += len(data)
+        finally:
+            writer.close()
+            if nt_f is not None:
+                nt_f.close()
+        return n, nt_size
 
     def __call__(self, control: pa.Table) -> pa.Table:
         results = {"bucket": [], "rows": [], "skipped": [], "seconds": []}
@@ -346,17 +387,11 @@ class BucketFinalizer:
                 # explicit column list: keeps hive-style dir names from
                 # being inferred as extra partition columns (row-group
                 # pruned: only this bucket's groups are read)
-                cols = [f.name for f in STAGE1_TRIPLES_SCHEMA]
+                cols = [f.name for f in STAGE1_PLAIN_SCHEMA]
                 table = pa.concat_tables(
                     list(self._iter_plan_tables(plan, cols)))
                 deduped = _attach_graph_iri(self._dedup(table), b)
-                n = deduped.num_rows
-                pq.write_table(deduped, d / "triples.parquet",
-                               compression="snappy")
-                if self.write_nt:
-                    data = nt_bytes(deduped)
-                    (d / f"part-{b:05d}.nt").write_bytes(data)
-                    nt_size = len(data)
+                n, nt_size = self._write_final(deduped, b, d)
             secs = time.time() - t0
             self.ledger.commit(unit, {
                 "bucket": b,

