@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 
+from ..sinks.compact import compact_buckets_kernel
 from ..sinks.partitioned import (
     BucketFinalizer,
     finalize_buckets_kernel,
@@ -66,6 +67,15 @@ class KGConfig:
     # buckets above this use the spill-based streaming finalize
     # (peak memory = one salt chunk); None disables
     streaming_rows: Optional[int] = 8_000_000
+    # shuffle compaction tier (sinks/compact.py): buckets with more
+    # than this many UNCOMPACTED stage-1 fragments fold them into
+    # large run files before finalize; None disables. Default sits
+    # above the ~100-fragment bench point (where per-fragment overhead
+    # is still negligible) and well below the 2M-doc cliff (~490
+    # fragments/bucket, measured 0.78× per-doc efficiency).
+    compact_threshold: Optional[int] = 160
+    compact_run_rows: int = 4_000_000
+    compact_num_cpus: float = 1.0
     write_nt: bool = True
     broadcast_alias: bool = True  # ray.put the alias dict once per job
     # test-only failpoint: raise after committing this many shards, to
@@ -198,6 +208,25 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
         if rows_known:
             for b, nrows in st["fragment_rows"].items():
                 bucket_rows[int(b)] += int(nrows)
+
+    # -- compaction tier: bound fragments-per-bucket before the reduce --------
+    if cfg.compact_threshold is not None and any(
+            len(paths) > cfg.compact_threshold
+            for paths in bucket_files.values()):
+        comp_ctrl = rd.from_items([
+            {"bucket": b, "paths": paths, "rows_est": bucket_rows[b]}
+            for b, paths in bucket_files.items()
+        ])
+        comp = comp_ctrl.map_batches(
+            compact_buckets_kernel,
+            fn_kwargs={"out_dir": str(out),
+                       "threshold": cfg.compact_threshold,
+                       "max_run_rows": cfg.compact_run_rows},
+            batch_format="pyarrow", batch_size=1,
+            num_cpus=cfg.compact_num_cpus,
+        ).to_pandas()   # tiny: one row per bucket
+        bucket_files = {int(r.bucket): list(r.paths)
+                        for r in comp.itertuples()}
 
     control = rd.from_items([
         {"bucket": b, "paths": paths, "rows_est": bucket_rows[b]}

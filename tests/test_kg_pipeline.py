@@ -219,6 +219,73 @@ def test_incremental_append(tmp_path_factory, ray_session):
     assert job2["n_docs"] == 900
 
 
+def test_compaction_identical_output_and_resume(tmp_path_factory,
+                                                ray_session):
+    """The shuffle compaction tier (sinks/compact.py) is output-
+    transparent: NT bytes identical to an uncompacted run; reruns skip
+    compaction (run files untouched) and every bucket."""
+    root = tmp_path_factory.mktemp("compact")
+    uri = str(root / "input")
+    generate_documents(uri, n_docs=1000, n_entities=200, fragment_rows=100)
+    base = dict(n_buckets=4, n_entities=200, batch_size=100,
+                shard_fragments=2)
+    ref = str(root / "ref")
+    run_kg_pipeline(uri, ref, KGConfig(**base, compact_threshold=None))
+    out = str(root / "out")
+    run_kg_pipeline(uri, out, KGConfig(**base, compact_threshold=2))
+
+    assert _nt_hashes(out) == _nt_hashes(ref)
+    runs = json.loads(
+        (Path(out) / "_checkpoints" / "compact-bucket-00000.json")
+        .read_text())["runs"]
+    assert runs and all(r["rows"] > 0 for r in runs)
+    run_files = list(Path(out).glob("stage1-compact/**/*.parquet"))
+    assert run_files
+
+    mtimes = {p: p.stat().st_mtime_ns for p in run_files}
+    job2 = run_kg_pipeline(uri, out, KGConfig(**base, compact_threshold=2))
+    assert job2["buckets_skipped_resume"] == base["n_buckets"]
+    for p, m in mtimes.items():
+        assert p.stat().st_mtime_ns == m, "committed run was rewritten"
+
+
+def test_compaction_append_reuses_runs(tmp_path_factory, ray_session):
+    """Incremental append with compaction: committed runs are reused
+    byte-for-byte (work proportional to NEW data) and the final graph
+    equals a fresh full run."""
+    from rdfx_ray.sources.documents import extend_documents
+    root = tmp_path_factory.mktemp("compact_incr")
+    uri = str(root / "input")
+    generate_documents(uri, n_docs=600, n_entities=200, fragment_rows=100)
+    out = str(root / "out")
+    cfg = dict(n_buckets=4, n_entities=200, batch_size=100,
+               shard_fragments=1, compact_threshold=2)
+    run_kg_pipeline(uri, out, KGConfig(**cfg))
+    old_runs = {p: p.stat().st_mtime_ns
+                for p in Path(out).glob("stage1-compact/**/*.parquet")}
+    assert old_runs
+
+    extend_documents(uri, n_total=1000, n_entities=200, fragment_rows=100)
+    run_kg_pipeline(uri, out, KGConfig(**cfg))
+    for p, m in old_runs.items():
+        assert p.stat().st_mtime_ns == m, "old run recompacted"
+    # old runs still referenced by the ledger (not orphaned)
+    state = json.loads(
+        (Path(out) / "_checkpoints" / "compact-bucket-00000.json")
+        .read_text())
+    referenced = {Path(out) / r["output"] for r in state["runs"]}
+    assert any(p in referenced for p in old_runs)
+
+    ref = str(root / "ref")
+    run_kg_pipeline(uri, ref, KGConfig(**cfg))
+    assert _triple_set(out) == _triple_set(ref)
+    spec = CorpusSpec(1000, seed=42, n_entities=200)
+    want = set()
+    for r in range(1000):
+        want |= golden_triples_for_doc(spec, r)
+    assert _triple_set(out) == want
+
+
 def test_span_slots_straddle_batches():
     """A span node whose triples straddle a batch boundary must
     reconstruct to ONE complete tuple (ADVICE round 1, medium): slots
