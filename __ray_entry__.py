@@ -153,6 +153,30 @@ def _kg_query_bgp3(sf_dir: str):
     ])
 
 
+def _kg_query_bgp_var(sf_dir: str):
+    """Variable-predicate BGP: ?s inLanguage 'en' . ?s ?p ?o with ?p
+    projected — count-gated broadcast subject-set semi-filter (or
+    native hash semi-join when the subject set is large)."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import var_predicate_bgp
+
+    return var_predicate_bgp(doc_triples(sf_dir), SDO + "inLanguage", "en")
+
+
+def _kg_query_two_hop(sf_dir: str):
+    """Cross-subject BGP joined on a shared OBJECT variable:
+    ?a inLanguage 'de' . ?a isBasedOn ?v . ?b isBasedOn ?v — doc pairs
+    sharing a source (hot-key exchange; count-gated broadcast vs
+    salted partitioned hash join)."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import object_join_bgp
+
+    return object_join_bgp(doc_triples(sf_dir), SDO + "isBasedOn",
+                           SDO + "isBasedOn",
+                           filter_pred=SDO + "inLanguage",
+                           filter_obj="de")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdfx_ray.functions import dedup, doc_triples, similarity, text
     from rdfx_ray.pipelines import analytics, analytics_ext
@@ -218,6 +242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_query_bgp": _kg_query_bgp,
         "kg_query_bgp_native": _kg_query_bgp_native,
         "kg_query_bgp3": _kg_query_bgp3,
+        "kg_query_bgp_var": _kg_query_bgp_var,
+        "kg_query_two_hop": _kg_query_two_hop,
         # wide-op analytics
         "pricing_summary": lambda sf: analytics.pricing_summary(sf),
         "events_hourly": lambda sf: analytics.events_hourly(sf),
@@ -297,6 +323,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj,
                    source AS vb, CAST(n_chars AS VARCHAR) AS vc
             FROM documents WHERE lang = 'en'
+        """,
+        "kg_query_bgp_var": f"""
+            SELECT subj, pred AS p, obj_value AS o
+            FROM ({DOC_TRIPLES_SQL})
+            WHERE subj IN (SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR)
+                           FROM documents WHERE lang = 'en')
+        """,
+        "kg_query_two_hop": """
+            SELECT 'urn:doc:' || CAST(da.doc_id AS VARCHAR) AS a,
+                   'urn:doc:' || CAST(db.doc_id AS VARCHAR) AS b,
+                   da.source AS v
+            FROM documents da JOIN documents db ON da.source = db.source
+            WHERE da.lang = 'de'
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -188,22 +188,40 @@ def entity_degree(triples_ds, top_k: int = 20):
     )
 
 
-def revenue_by_region(sf_dir: str):
+# orders rows above which the orderkey→region lookup no longer belongs
+# on the driver (orders grows with lineitem, ~1/4 of it — a fact-scale
+# side at 100 TB): route through the partitioned hash join instead.
+# 5M rows ≈ ~100 MB of int64 pairs — comfortably broadcastable; the
+# count is EXACT and free (parquet footer only).
+BROADCAST_ORDERS_ROW_CUTOFF = 5_000_000
+
+
+def revenue_by_region(sf_dir: str,
+                      broadcast_cutoff_rows: int = BROADCAST_ORDERS_ROW_CUTOFF):
     """TPC-H Q5-shaped multi-table join: lineitem ⋈ orders ⋈ customer
     ⋈ nation ⋈ region → revenue per region name.
 
-    Join strategy: the dimension chain (orders→customer→nation→region)
-    is composed driver-side into ONE small lookup (orderkey →
-    region_name) and broadcast via ``ray.put``; the fact table
-    (lineitem) streams through map_batches doing a vectorized pandas
-    merge per batch — the canonical broadcast hash join (ray_guide
-    'Joins and lookups'). No shuffle of the fact table; the only
-    exchange is the final tiny groupby. Revenue is integer-scaled
-    (×10⁴) so the DuckDB oracle hash-matches exactly."""
+    Join strategy is COUNT-GATED, never guessed (the same discipline
+    as minhash_lsh_pairs): the orders row count comes exactly and for
+    free from the parquet footer. Small orders → the dimension chain
+    (orders→customer→nation→region) is composed driver-side into ONE
+    lookup (orderkey → region_name), broadcast via ``ray.put``, and
+    the fact table (lineitem) streams through map_batches doing a
+    vectorized pandas merge per batch — the canonical broadcast hash
+    join (ray_guide 'Joins and lookups'), no shuffle of the fact
+    table. Orders beyond the cutoff → delegate to
+    :func:`..joins.revenue_by_region_shuffle` (partitioned hash join;
+    identical SQL oracle). Revenue is integer-scaled (×10⁴) so the
+    DuckDB oracle hash-matches exactly."""
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
+
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    if n_orders > broadcast_cutoff_rows:
+        from .joins import revenue_by_region_shuffle
+        return revenue_by_region_shuffle(sf_dir)
 
     orders = pq.read_table(f"{sf_dir}/orders.parquet",
                            columns=["o_orderkey", "o_custkey"]).to_pandas()

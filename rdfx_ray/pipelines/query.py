@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -62,22 +63,33 @@ def subjects_of(triples_ds, pred: str, obj_value: str):
         .select_columns(["subj"])
 
 
-def bgp_join(triples_ds, pred_a: str, pred_b: str):
+# pattern-side rows above which a side is no longer collected to the
+# driver / broadcast: route through the native hash-shuffle join.
+# Counting is an extra streaming pass over the filtered pattern, but
+# EXACT — strategy picks are counted, never guessed (the LSH/embedding
+# discipline; a pattern like `?s inLanguage ?v` is corpus-sized and
+# must never be driver-collected by default).
+BGP_BROADCAST_ROW_CUTOFF = 2_000_000
+
+
+def bgp_join(triples_ds, pred_a: str, pred_b: str,
+             broadcast_cutoff_rows: int = BGP_BROADCAST_ROW_CUTOFF):
     """Two-pattern BGP joined on subject:
     ``?s pred_a ?va . ?s pred_b ?vb`` → (subj, va, vb).
 
-    Implementation: both patterns share the subject-hash partitioning
-    of the triple table (bucket = hash(subj)), so the join is
-    bucket-local — executed per batch-pair via a polars hash join
-    after a groupby on the already-materialized bucket column. For the
-    small patterns the reference uses this funnels through a broadcast
-    map-side join: the smaller side is collected and joined inside
-    map_batches (no shuffle)."""
+    Count-gated physical plan: the ``pred_b`` side's EXACT row count
+    decides. Under the cutoff it is collected once, broadcast via
+    ``ray.put``, and joined inside map_batches (no shuffle — right for
+    the reference's small patterns). Over the cutoff the query routes
+    through :func:`bgp_join_native` (hash-shuffle join, both sides
+    streaming) — no O(corpus) driver materialization on any path."""
     import polars as pl
 
     import ray
 
     side_b = triple_pattern(triples_ds, pred=pred_b)
+    if side_b.count() > broadcast_cutoff_rows:
+        return bgp_join_native(triples_ds, pred_a, pred_b)
     small = pa.concat_tables(list(side_b.iter_batches(
         batch_size=1 << 20, batch_format="pyarrow")))
     small_pl = (pl.from_arrow(small.select(["subj", "obj_value"]))
@@ -101,7 +113,8 @@ def bgp_join(triples_ds, pred_a: str, pred_b: str):
 
 
 def star_bgp(triples_ds, patterns, num_partitions: int = 16,
-             strategy: str = "broadcast"):
+             strategy: str = "auto",
+             broadcast_cutoff_rows: int = BGP_BROADCAST_ROW_CUTOFF):
     """N-pattern common-subject BGP planner: ``?s p1 o1 . ?s p2 ?v2 …``
     — each pattern is ``(pred_iri, obj)`` where obj is a constant
     (filter pattern, contributes selectivity only) or ``"?name"`` /
@@ -109,9 +122,14 @@ def star_bgp(triples_ds, patterns, num_partitions: int = 16,
     FIRST (most selective → smallest intermediate). Returns (subj,
     …vars in pattern order).
 
-    Two physical plans:
+    Physical plans:
 
-    - ``broadcast`` (default): every side but ONE streamed var side is
+    - ``auto`` (default): count every pattern side EXACTLY (one
+      streaming pass each — counted, never guessed), stream the
+      LARGEST side, and broadcast the rest only if they all fit under
+      ``broadcast_cutoff_rows``; otherwise fall through to shuffle.
+      No plan ever driver-collects an O(corpus) side.
+    - ``broadcast``: every side but ONE streamed var side is
       collected and broadcast; the streamed side folds the chain with
       in-batch polars hash joins — no shuffle at all. Right whenever
       the pattern sides fit the object store (each side is bounded by
@@ -148,15 +166,31 @@ def star_bgp(triples_ds, patterns, num_partitions: int = 16,
     if not (const_sides or var_sides):
         raise ValueError("star_bgp needs at least one pattern")
 
+    stream_idx = 0
+    if strategy == "auto":
+        sides = var_sides if var_sides else const_sides
+        counts = [s.count() for s in sides]
+        # stream the largest side; the collected remainder decides
+        stream_idx = max(range(len(counts)), key=counts.__getitem__)
+        collected = sum(counts) - counts[stream_idx] \
+            + sum(s.count() for s in (const_sides if var_sides else []))
+        strategy = ("broadcast" if collected <= broadcast_cutoff_rows
+                    else "shuffle")
+
     if strategy == "broadcast":
         import polars as pl
         import ray
 
-        # stream the FIRST var side (or a const side if no vars);
+        # stream the chosen var side (or a const side if no vars);
         # broadcast the rest once
-        stream = var_sides[0] if var_sides else const_sides[0]
-        others = const_sides + var_sides[1:] if var_sides \
-            else const_sides[1:]
+        if var_sides:
+            stream = var_sides[stream_idx]
+            others = const_sides + [s for i, s in enumerate(var_sides)
+                                    if i != stream_idx]
+        else:
+            stream = const_sides[stream_idx]
+            others = [s for i, s in enumerate(const_sides)
+                      if i != stream_idx]
         refs = []
         for side in others:
             tbl = pa.concat_tables(list(side.iter_batches(
@@ -187,6 +221,160 @@ def star_bgp(triples_ds, patterns, num_partitions: int = 16,
         acc = acc.select_columns(
             [c for c in acc.schema().names if c != "_subj_r"])
     return acc.select_columns(out_cols)
+
+
+def var_predicate_bgp(triples_ds, filter_pred: str, filter_obj: str,
+                      broadcast_cutoff_rows: int = BGP_BROADCAST_ROW_CUTOFF):
+    """Variable-PREDICATE BGP: ``?s filter_pred filter_obj . ?s ?p ?o``
+    with ``?p`` projected → (subj, p, o). The open pattern matches every
+    triple of each qualifying subject — including the filter triple
+    itself, SPARQL bag semantics.
+
+    Count-gated like every BGP plan here: the qualifying-subject set's
+    EXACT count decides. Small → the subject set broadcasts once via
+    ``ray.put`` and the full triple stream filters per batch with a
+    vectorized ``pc.is_in`` (no shuffle). Large → semi-join through
+    Ray Data's native hash-shuffle join."""
+    import ray
+
+    subs = triple_pattern(triples_ds, pred=filter_pred,
+                          obj_value=filter_obj) \
+        .map_batches(lambda b: pa.table({"subj": b.column("subj")}),
+                     batch_format="pyarrow")
+
+    out_schema = pa.schema([("subj", pa.string()), ("p", pa.string()),
+                            ("o", pa.string())])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"subj": batch.column("subj"),
+                         "p": batch.column("pred"),
+                         "o": batch.column("obj_value")}).cast(out_schema)
+
+    if subs.count() <= broadcast_cutoff_rows:
+        sub_tbl = pa.concat_tables(list(subs.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")))
+        sref = ray.put(sub_tbl.column("subj").combine_chunks())
+
+        def filt(batch: pa.Table) -> pa.Table:
+            from ..functions.broadcast import cached_get
+            keep = pc.is_in(batch.column("subj"),
+                            value_set=cached_get(sref))
+            return project(batch.filter(keep))
+
+        return triples_ds.map_batches(filt, batch_format="pyarrow")
+
+    subs_r = subs.map_batches(lambda b: b.rename_columns(["_subj_r"]),
+                              batch_format="pyarrow")
+    projected = triples_ds.map_batches(project, batch_format="pyarrow")
+    joined = projected.join(subs_r, "inner", 16,
+                            on=("subj",), right_on=("_subj_r",))
+    return joined.select_columns(["subj", "p", "o"])
+
+
+def object_join_bgp(triples_ds, pred_a: str, pred_b: str,
+                    filter_pred: Optional[str] = None,
+                    filter_obj: Optional[str] = None,
+                    broadcast_cutoff_rows: int = BGP_BROADCAST_ROW_CUTOFF,
+                    n_buckets: int = 16):
+    """CROSS-SUBJECT BGP joined on a shared OBJECT variable:
+    ``?a pred_a ?v . ?b pred_b ?v`` (optionally ``?a filter_pred
+    filter_obj``) → (a, b, v). Unlike the star shapes this join is NOT
+    subject-colocated — ``?v`` values (e.g. a shared source) are
+    low-cardinality hot keys, the classic skewed exchange.
+
+    Count-gated: the (filtered) ``?a`` side's EXACT count decides —
+    small → broadcast it and probe with the streaming ``?b`` side
+    (hot keys cost nothing in a map-side join); large → the salted
+    partitioned hash join (joins.py) whose heavy-hitter detection
+    exists for exactly this key distribution."""
+    import ray
+
+    side_a = triple_pattern(triples_ds, pred=pred_a)
+    if filter_pred is not None:
+        fsubs = triple_pattern(triples_ds, pred=filter_pred,
+                               obj_value=filter_obj) \
+            .map_batches(lambda b: pa.table({"subj": b.column("subj")}),
+                         batch_format="pyarrow")
+        fref = ray.put(pa.concat_tables(list(fsubs.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")))
+            .column("subj").combine_chunks())
+
+        def filt_a(batch: pa.Table) -> pa.Table:
+            from ..functions.broadcast import cached_get
+            return batch.filter(pc.is_in(batch.column("subj"),
+                                         value_set=cached_get(fref)))
+
+        side_a = side_a.map_batches(filt_a, batch_format="pyarrow")
+
+    a_schema = pa.schema([("a", pa.string()), ("v", pa.string())])
+    b_schema = pa.schema([("b", pa.string()), ("v", pa.string())])
+
+    def proj(name):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({name: batch.column("subj"),
+                             "v": batch.column("obj_value")})
+        return fn
+
+    side_a = side_a.map_batches(proj("a"), batch_format="pyarrow")
+    side_b = (triple_pattern(triples_ds, pred=pred_b)
+              .map_batches(proj("b"), batch_format="pyarrow"))
+    out_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                            ("v", pa.string())])
+
+    if side_a.count() <= broadcast_cutoff_rows:
+        import polars as pl
+        a_tbl = pa.concat_tables(list(side_a.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")))
+        aref = ray.put(a_tbl.cast(a_schema))
+
+        def probe(batch: pa.Table) -> pa.Table:
+            from ..functions.broadcast import cached_get
+            left = pl.from_arrow(cached_get(aref))
+            right = pl.from_arrow(batch.cast(b_schema))
+            return (left.join(right, on="v", how="inner")
+                    .select(["a", "b", "v"]).to_arrow().cast(out_schema))
+
+        return side_b.map_batches(probe, batch_format="pyarrow")
+
+    # large path: the exchange joins on an int64 hash of the string
+    # key (partitioned_hash_join's key contract), with an exact
+    # equality post-filter so a hash collision can never fabricate a
+    # pair; the b-side key string is carried as v_r for the filter
+    from .joins import partitioned_hash_join
+
+    def add_key(val_col: str, key_name: str, rename_to: Optional[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+            vk = pd.util.hash_pandas_object(
+                batch.column(val_col).to_pandas(), index=False) \
+                .to_numpy().astype(np.int64)
+            out = batch.append_column(key_name, pa.array(vk, pa.int64()))
+            if rename_to:
+                names = [rename_to if n == val_col else n
+                         for n in out.schema.names]
+                out = out.rename_columns(names)
+            return out
+        return fn
+
+    a_keyed = side_a.map_batches(add_key("v", "_vka", None),
+                                 batch_format="pyarrow")
+    b_keyed = side_b.map_batches(add_key("v", "_vkb", "v_r"),
+                                 batch_format="pyarrow")
+    ak_schema = a_schema.append(pa.field("_vka", pa.int64()))
+    bk_schema = pa.schema([("b", pa.string()), ("v_r", pa.string()),
+                           ("_vkb", pa.int64())])
+    joined = partitioned_hash_join(
+        a_keyed, b_keyed, "_vka", "_vkb", n_buckets=n_buckets,
+        left_schema=ak_schema, right_schema=bk_schema)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        t = t.filter(pc.equal(t.column("v"), t.column("v_r")))
+        return pa.table({"a": t.column("a"), "b": t.column("b"),
+                         "v": t.column("v")}).cast(out_schema)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def bgp_join_native(triples_ds, pred_a: str, pred_b: str,

@@ -175,3 +175,67 @@ def test_star_bgp_strategies_agree(ray_session):
     sb = b[key].sort_values(key).reset_index(drop=True)
     assert sa.equals(sb)
     assert len(sa) > 0
+    # "auto" counts the sides and must agree with both explicit plans
+    c = star_bgp(doc_triples(SF), pats, strategy="auto",
+                 num_partitions=2).to_pandas()
+    sc = c[key].sort_values(key).reset_index(drop=True)
+    assert sa.equals(sc)
+
+
+def test_count_gated_plans_agree(ray_session):
+    """Every count-gated BGP/join picks broadcast under the cutoff and
+    the shuffle twin above it (cutoff=0 forces it) — identical rows on
+    both routes, so no plan ever NEEDS the driver-collected side."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import (
+        bgp_join,
+        object_join_bgp,
+        var_predicate_bgp,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    ds = doc_triples(SF)
+
+    # bgp_join: cutoff 0 routes through bgp_join_native
+    a = bgp_join(ds, SDO + "inLanguage", SDO + "isBasedOn").to_pandas()
+    b = bgp_join(ds, SDO + "inLanguage", SDO + "isBasedOn",
+                 broadcast_cutoff_rows=0).to_pandas()
+    key = ["subj", "va", "vb"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b[key].sort_values(key).reset_index(drop=True))
+
+    # var_predicate_bgp: broadcast is_in filter vs native semi-join
+    a = var_predicate_bgp(ds, SDO + "inLanguage", "en").to_pandas()
+    b = var_predicate_bgp(ds, SDO + "inLanguage", "en",
+                          broadcast_cutoff_rows=0).to_pandas()
+    key = ["subj", "p", "o"]
+    assert len(a) > 0
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b[key].sort_values(key).reset_index(drop=True))
+
+    # object_join_bgp: broadcast probe vs hashed partitioned join
+    # (string key via int64 hash + exact equality post-filter)
+    kw = dict(filter_pred=SDO + "inLanguage", filter_obj="de")
+    a = object_join_bgp(ds, SDO + "isBasedOn", SDO + "isBasedOn",
+                        **kw).to_pandas()
+    b = object_join_bgp(ds, SDO + "isBasedOn", SDO + "isBasedOn",
+                        broadcast_cutoff_rows=0, n_buckets=4,
+                        **kw).to_pandas()
+    key = ["a", "b", "v"]
+    assert len(a) > 0
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b[key].sort_values(key).reset_index(drop=True))
+
+
+def test_revenue_by_region_count_gate(ray_session):
+    """Above the orders-row cutoff revenue_by_region must route through
+    the partitioned hash join (no driver collect of orders) and return
+    identical rows."""
+    from rdfx_ray.pipelines.analytics import revenue_by_region
+
+    SF = "/root/testdata/sf0.001"
+    a = revenue_by_region(SF).to_pandas()
+    b = revenue_by_region(SF, broadcast_cutoff_rows=0).to_pandas()
+    key = ["r_name"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))
