@@ -254,18 +254,74 @@ FROM w GROUP BY event_type, ws
 """
 
 
-def orders_price_quantiles(sf_dir: str):
+# total orders rows above which grouped quantiles switch to the
+# distributed value-counts rank-select (a whole group no longer fits
+# one worker's sort). Exact footer count, zero data read.
+QUANTILES_DISTRIBUTED_CUTOFF_ROWS = 20_000_000
+
+
+def grouped_quantiles_distributed(ds, group_col: str, val_col: str,
+                                  out_names=("p50_price_c", "p95_price_c"),
+                                  q_pcts=(50, 95),
+                                  count_col: str = "n_orders"):
+    """Exact grouped percentile_disc for groups too large to sort in
+    one worker: compress rows to (group, value) → count partials per
+    batch, reduce with a distributed groupby, then rank-select on each
+    group's DISTINCT-value histogram (sorted values + cumulative
+    counts). Equivalent to a distributed sort + rank select, but the
+    shuffle carries one row per distinct (group, value) — for
+    integer-scaled prices that is bounded by the value domain, not the
+    row count. (When even the distinct-value table outgrows a worker,
+    the same histogram recurses per value range — or a t-digest trades
+    exactness for O(1) state; not needed at any tested scale.)"""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas().groupby([group_col, val_col],
+                                        as_index=False)
+              .size().rename(columns={"size": "_n"}))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby([group_col, val_col])
+              .aggregate(Sum("_n", alias_name="_n")))
+
+    def rank_select(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g[val_col].to_numpy())
+        vals = g[val_col].to_numpy()[order]
+        cnt = g["_n"].to_numpy()[order]
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        row = {group_col: [g[group_col].iloc[0]]}
+        for name, qp in zip(out_names, q_pcts):
+            # percentile_disc rank ceil(q·n) − 1 in exact integer math
+            idx = -(-(qp * n) // 100) - 1
+            # first distinct value whose cumulative count covers idx+1
+            row[name] = [int(vals[np.searchsorted(cum, idx + 1)])]
+        row[count_col] = [np.int64(n)]
+        return pd.DataFrame(row)
+
+    return counts.groupby(group_col).map_groups(rank_select,
+                                                batch_format="pandas")
+
+
+def orders_price_quantiles(sf_dir: str,
+                           distributed_cutoff_rows: int =
+                           QUANTILES_DISTRIBUTED_CUTOFF_ROWS):
     """Exact grouped quantiles (discrete): p50/p95 of integer-scaled
     order price per priority. Index semantics pinned to DuckDB's
-    ``percentile_disc``: sorted[ceil(q·n) − 1]. Shape:
-    ``groupby(priority).map_groups`` with a vectorized in-group sort —
-    right while groups fit a worker (5 groups here); the 100-TB path
-    for huge groups is a distributed sort + rank select (or a t-digest
-    when approximation is acceptable)."""
+    ``percentile_disc``: sorted[ceil(q·n) − 1]. Count-gated shape:
+    under the cutoff, ``groupby(priority).map_groups`` with a
+    vectorized in-group sort (5 small groups here); above it, the
+    distributed value-counts rank-select
+    (:func:`grouped_quantiles_distributed`) — identical oracle."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_orderpriority", "o_totalprice"])
+    n_rows = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
 
     def add_scaled(batch: pa.Table) -> pa.Table:
         price_c = np.floor(
@@ -275,6 +331,12 @@ def orders_price_quantiles(sf_dir: str):
             "o_orderpriority": batch.column("o_orderpriority"),
             "price_c": pa.array(price_c, pa.int64()),
         })
+
+    scaled = ds.map_batches(add_scaled, batch_format="pyarrow",
+                            batch_size=65536)
+    if n_rows > distributed_cutoff_rows:
+        return grouped_quantiles_distributed(scaled, "o_orderpriority",
+                                             "price_c")
 
     def group_quantiles(g: pd.DataFrame) -> pd.DataFrame:
         v = np.sort(g["price_c"].to_numpy())
@@ -294,10 +356,8 @@ def orders_price_quantiles(sf_dir: str):
             "n_orders": [np.int64(n)],
         })
 
-    return (ds.map_batches(add_scaled, batch_format="pyarrow",
-                           batch_size=65536)
-            .groupby("o_orderpriority")
-            .map_groups(group_quantiles, batch_format="pandas"))
+    return (scaled.groupby("o_orderpriority")
+                  .map_groups(group_quantiles, batch_format="pandas"))
 
 
 ORDERS_QUANTILES_SQL = """

@@ -387,3 +387,42 @@ def test_winnowing_shared_substring_guarantee(tmp_path):
     a = set(winnow_doc("X" * 40 + shared).tolist())
     b = set(winnow_doc(shared + "Y" * 40).tolist())
     assert a & b
+
+
+def test_grouped_quantiles_distributed(ray_session):
+    """The huge-group quantile path (value-counts rank-select): a group
+    far exceeding one worker batch matches numpy percentile_disc
+    exactly, and the count-gate's two routes agree on the sf tables."""
+    import ray.data as rd
+
+    import numpy as np
+    import pyarrow as pa
+
+    from rdfx_ray.pipelines.analytics_ext import (
+        grouped_quantiles_distributed,
+        orders_price_quantiles,
+    )
+
+    rng = np.random.default_rng(7)
+    big = rng.integers(0, 1_000_000, 200_000)    # >> one 65536-row batch
+    small = rng.integers(0, 50, 999)             # heavy ties
+    tbl = pa.table({
+        "o_orderpriority": ["big"] * len(big) + ["small"] * len(small),
+        "price_c": pa.array(np.concatenate([big, small]), pa.int64()),
+    })
+    out = grouped_quantiles_distributed(
+        rd.from_arrow(tbl), "o_orderpriority", "price_c"
+    ).to_pandas().set_index("o_orderpriority")
+    for name, vals in (("big", big), ("small", small)):
+        v = np.sort(vals)
+        n = len(v)
+        assert out.loc[name, "p50_price_c"] == v[-(-(50 * n) // 100) - 1]
+        assert out.loc[name, "p95_price_c"] == v[-(-(95 * n) // 100) - 1]
+        assert out.loc[name, "n_orders"] == n
+
+    SF = "/root/testdata/sf0.001"
+    a = orders_price_quantiles(SF).to_pandas() \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    b = orders_price_quantiles(SF, distributed_cutoff_rows=0).to_pandas() \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    assert a.equals(b[a.columns.tolist()])
