@@ -184,14 +184,28 @@ def read_rdf_files(paths: List[Union[str, Path]]):
     return ds.map_batches(_parse_batch, batch_format="pyarrow", batch_size=1)
 
 
+# deduped triples above which an NT merge output streams batch-rendered
+# lines to the file instead of funnelling through a driver-side Graph
+# (a Graph holds every term as a Python object — ~100 bytes/term)
+MERGE_DRIVER_GRAPH_CUTOFF_ROWS = 2_000_000
+
+
 def merge_files(paths: List[Union[str, Path]], output_path: Union[str, Path],
                 output_format: str = "nt",
-                leading_comments: Optional[List[str]] = None) -> Path:
+                leading_comments: Optional[List[str]] = None,
+                driver_graph_cutoff_rows: int =
+                MERGE_DRIVER_GRAPH_CUTOFF_ROWS) -> Path:
     """Distributed merge: union per-file triple datasets, exact-dedup
     on the full triple key (Ray groupby shuffle), serialize once.
-    Output formats beyond nt funnel through the driver Graph (merge
-    output is assumed small relative to inputs once deduped; for huge
-    outputs use the KG pipeline's partitioned sink instead)."""
+
+    The deduped set is MATERIALIZED in the object store (distributed
+    blocks, spillable — not driver memory), so its exact count is free
+    and iteration never re-runs the shuffle. Count-gated output: an NT
+    result above ``driver_graph_cutoff_rows`` is globally sorted and
+    streamed to the file one vectorized ``nt_bytes`` batch at a time —
+    O(batch) driver memory, no Graph. Below the cutoff (and for every
+    non-NT format, whose serializers need whole-graph prefix/bnode
+    context) the reference-shaped driver-Graph path runs unchanged."""
     for f in [Path(p) for p in paths]:
         if not f.name.endswith(tuple(RDF_FILE_ENDINGS.keys())):
             raise ValueError(
@@ -223,6 +237,38 @@ def merge_files(paths: List[Union[str, Path]], output_path: Union[str, Path],
     from ..rdf.columnar import table_to_triples
     import pyarrow as pa
 
+    deduped = deduped.materialize()
+    output_path = Path(output_path)
+
+    if (output_format == "nt"
+            and deduped.count() > driver_graph_cutoff_rows):
+        # leading comments require turtle (leading_comment_validator) —
+        # mirror that contract before writing anything
+        from ..persistence import PersistenceSystem
+        PersistenceSystem.leading_comment_validator(leading_comments,
+                                                    output_format)
+        out_file = output_path.parent / f"{output_path.stem}.nt"
+        output_path.parent.mkdir(parents=True, exist_ok=True)
+
+        def render(b: pa.Table) -> pa.Table:
+            # render BEFORE the sort: distinct triples give distinct
+            # lines, and sorting one never-null string column avoids
+            # Ray sort choking on the all-null obj_datatype/obj_lang
+            # key columns
+            from ..sinks.nt_lines import nt_lines
+            return pa.table({"line": pa.array(
+                nt_lines(b.select(key)).to_numpy(), pa.string())})
+
+        sorted_ds = deduped.map_batches(
+            render, batch_format="pyarrow").sort("line")
+        with out_file.open("wb") as f:
+            for b in sorted_ds.iter_batches(batch_size=500_000,
+                                            batch_format="pyarrow"):
+                if b.num_rows:
+                    f.write(("\n".join(b.column("line").to_pylist())
+                             + "\n").encode("utf-8"))
+        return out_file
+
     batches = [b for b in deduped.iter_batches(batch_size=500_000,
                                                batch_format="pyarrow")]
     table = pa.concat_tables([b.select(["subj", "pred", "obj_kind",
@@ -231,7 +277,6 @@ def merge_files(paths: List[Union[str, Path]], output_path: Union[str, Path],
     g = Graph()
     for t in table_to_triples(table):
         g.add(t)
-    output_path = Path(output_path)
     ps = File(output_path.parent)
     return ps.write(g, output_path.stem, output_format, leading_comments)
 

@@ -234,3 +234,32 @@ def test_cli_pipe_env_var_error(tmp_path):
     with pytest.raises(ValueError, match='"READ_SOP_LOCATION" not set'):
         main(["pipe", "--read-system", "SOP", "--read-name", "urn:x",
               "--write-system", "String"])
+
+
+def test_merge_large_output_streams_without_driver_graph(tmp_path,
+                                                         ray_session):
+    """Above the deduped-row cutoff an NT merge streams sorted
+    batch-rendered lines to the file (no driver Graph). Same triple
+    SET as the small-path result; duplicates across inputs collapse."""
+    from rdfx_ray.pipelines.verbs import merge_files
+    from rdfx_ray.rdf import Graph
+
+    # 3 NT files, 60k lines total with an overlapping middle third
+    def lines(lo, hi):
+        return "".join(
+            f"<urn:s:{i}> <urn:p> \"v{i}\" .\n" for i in range(lo, hi))
+    (tmp_path / "a.nt").write_text(lines(0, 25_000))
+    (tmp_path / "b.nt").write_text(lines(15_000, 40_000))
+    (tmp_path / "c.nt").write_text(lines(30_000, 50_000))
+    files = [tmp_path / n for n in ("a.nt", "b.nt", "c.nt")]
+
+    big = merge_files(files, tmp_path / "big", "nt",
+                      driver_graph_cutoff_rows=10_000)   # force streaming
+    small = merge_files(files, tmp_path / "small", "nt")  # driver Graph
+    g_big = Graph().parse(big.read_text(), "nt")
+    g_small = Graph().parse(small.read_text(), "nt")
+    assert len(g_big) == 50_000
+    assert set(g_big) == set(g_small)
+    # streamed output is globally sorted by the triple key
+    body = [l for l in big.read_text().splitlines() if l.strip()]
+    assert body == sorted(body)
