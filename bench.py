@@ -110,6 +110,24 @@ def run_headline(num_cpus: int, sf: float) -> dict:
             "n_docs": job["n_docs"], "triples_final": job["triples_final"]}
 
 
+def _steal_jiffies():
+    """Cumulative CPU-steal jiffies (field 8 of /proc/stat cpu line) —
+    the direct signal of shared-VM neighbour contention. None when the
+    platform doesn't expose it."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _loadavg():
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
+
+
 def timed(fn, *args) -> float:
     t0 = time.time()
     res = fn(*args)
@@ -140,8 +158,16 @@ def run_suite() -> dict:
     # been observed to inflate a single run >2×. Override with
     # RAY_GRAFT_HEADLINE_REPEATS=1 for a single timed run.
     head = None
+    noise_runs = []
     for _ in range(int(os.environ.get("RAY_GRAFT_HEADLINE_REPEATS", "2"))):
+        s0, t0 = _steal_jiffies(), time.time()
         r = run_headline(NUM_CPUS, sf)
+        s1, t1 = _steal_jiffies(), time.time()
+        steal_pct = (round(100.0 * (s1 - s0) / ((t1 - t0) * 100 * NUM_CPUS), 2)
+                     if s0 is not None and s1 is not None else None)
+        noise_runs.append({"seconds": r["seconds"],
+                           "steal_pct": steal_pct,
+                           "loadavg_1m": _loadavg()})
         if head is None or r["seconds"] < head["seconds"]:
             head = r
     queries["kg_extract"] = head["seconds"]
@@ -170,6 +196,12 @@ def run_suite() -> dict:
         "triples_per_sec": head["triples_per_sec"],
         "n_docs": head["n_docs"],
         "triples_final": head["triples_final"],
+        # per-headline-run shared-host contention evidence (BASELINE.md
+        # noise protocol): steal% of the run's window + 1-min loadavg —
+        # lets a reader separate neighbour noise from real regressions
+        # without trusting prose. Identical runs have measured
+        # 13.6 s → 35 s purely on steal.
+        "host_noise": {"headline_runs": noise_runs},
     }
     ray.shutdown()
     return result

@@ -782,23 +782,25 @@ def _text_hash_kernel(batch: pa.Table) -> pa.Table:
 
 
 def _exact_edge_kernel(batch: pa.Table, *, keeper_ref) -> pa.Table:
-    """Emit (doc_id, keeper) edges for docs whose text hash belongs to
-    a duplicated group — everything corpus-sized stays in the workers;
-    only the duplicate-hash → keeper dict (bounded by the dup-group
-    count) is broadcast."""
+    """Emit (doc_id, keeper) edges for already-hashed rows whose text
+    hash belongs to a duplicated group — the batch carries the
+    PRECOMPUTED text_hash (one md5 pass per corpus, shared with the
+    keeper groupby via a materialized dataset), and only the
+    duplicate-hash → keeper dict (bounded by the dup-group count) is
+    broadcast. Lookup is a vectorized pandas map, no Python row loop."""
+    import pandas as pd
+
     from .broadcast import cached_get
 
     keepers: Dict[str, int] = cached_get(keeper_ref)
-    hashed = _text_hash_kernel(batch)
-    doc_ids = hashed.column("doc_id").to_pylist()
-    out_a, out_b = [], []
-    for d, th in zip(doc_ids, hashed.column("text_hash").to_pylist()):
-        k = keepers.get(th)
-        if k is not None and k != d:
-            out_a.append(int(d))
-            out_b.append(int(k))
-    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                     "doc_b": pa.array(out_b, pa.int64())})
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    k = batch.column("text_hash").to_pandas().map(keepers).to_numpy()
+    mask = ~pd.isna(k)
+    kk = np.where(mask, k, 0).astype(np.int64)
+    mask &= kk != doc_ids
+    return pa.table({"doc_a": pa.array(doc_ids[mask], pa.int64()),
+                     "doc_b": pa.array(kk[mask], pa.int64())})
 
 
 def dedup_corpus(sf_dir: str, threshold: float = 0.6,
@@ -827,11 +829,16 @@ def dedup_corpus(sf_dir: str, threshold: float = 0.6,
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
+    # ONE md5 pass per corpus: the hashed (doc_id, text_hash) dataset
+    # materializes in the object store (distributed blocks, spillable)
+    # and feeds BOTH the keeper groupby and the edge pass below —
+    # round 2 re-hashed every text in the edge kernel
+    hashed = ds.map_batches(_text_hash_kernel, batch_format="pyarrow",
+                            batch_size=8192).materialize()
+
     # keeper per DUPLICATED text hash only (distributed filter first:
     # the collected table is bounded by dup-group count, not corpus)
-    groups = (ds.map_batches(_text_hash_kernel, batch_format="pyarrow",
-                             batch_size=8192)
-              .groupby("text_hash")
+    groups = (hashed.groupby("text_hash")
               .aggregate(Min("doc_id", alias_name="keeper_doc_id"),
                          Count(alias_name="dup_count")))
     dup_groups = groups.map_batches(
@@ -844,7 +851,7 @@ def dedup_corpus(sf_dir: str, threshold: float = 0.6,
         keeper_ref = ray.put(dict(zip(
             dup_tbl.column("text_hash").to_pylist(),
             (int(x) for x in dup_tbl.column("keeper_doc_id").to_pylist()))))
-        edge_tables.append(_dataset_to_table(ds.map_batches(
+        edge_tables.append(_dataset_to_table(hashed.map_batches(
             _exact_edge_kernel, fn_kwargs={"keeper_ref": keeper_ref},
             batch_format="pyarrow", batch_size=8192)))
 
