@@ -33,7 +33,8 @@ from ..sinks.partitioned import (
     write_partitioned_batch,
 )
 from ..sources import vocab
-from ..stages.extract import ExtractLink, extract_link_kernel
+from ..stages.extract import (BUCKET_FN_VERSION, ExtractLink,
+                              extract_link_kernel)
 from ..state.manifest import CheckpointLedger
 from ..store.lance_shim import LanceShim
 
@@ -123,7 +124,12 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
         # previously the (short) tail gains fragments and must be
         # recomputed — mirroring stage-2's input_fragments comparison.
         # Skipping on existence alone silently dropped the appended docs.
-        if committed is not None and committed.get("input_paths") == paths:
+        # ... and only if it was bucketed by the SAME bucket function:
+        # mixing layouts would scatter one triple's copies across
+        # buckets and stage-2's per-bucket dedup would miss them
+        if (committed is not None
+                and committed.get("input_paths") == paths
+                and committed.get("bucket_fn") == BUCKET_FN_VERSION):
             shard_stats.append(committed)
             docs_processed += committed["docs"]
             triples_written += committed["triples"]
@@ -181,6 +187,7 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
                 for b, grp in stats.groupby("bucket")
             },
             "input_paths": paths,
+            "bucket_fn": BUCKET_FN_VERSION,
         }
         ledger.commit(unit, payload)
         shard_stats.append(payload)
