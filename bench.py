@@ -225,25 +225,26 @@ def run_scaling() -> None:
     # ratio honest without guessing at a quiet window
     repeats = int(os.environ.get("RAY_GRAFT_SCALE_REPEATS", "3"))
     runs = {}
-    for n in levels:
-        # single headline run per subprocess: this loop already does
-        # best-of-N itself — compounding with the suite's headline
-        # repeats would triple the wall for no extra signal
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR,
-                   RAY_GRAFT_HEADLINE_REPEATS="1")
-        best = None
-        for i in range(repeats):
-            if i:
+    # INTERLEAVE the levels (2,8,2,8,…) instead of running all of one
+    # level then all of the other: host contention comes in windows of
+    # minutes, and a level-major order lets one window hit one level
+    # asymmetrically — measured to swing the ratio from 0.86 to 0.60
+    # on identical code. Interleaving gives both levels the same
+    # exposure; best-of-N then strips the one-sided noise.
+    for i in range(repeats):
+        for n in levels:
+            if i or n != levels[0]:
                 time.sleep(15)   # let page cache / writeback settle
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                       GRAFT_SF_DIR=SF_DIR, RAY_GRAFT_HEADLINE_REPEATS="1")
             out = subprocess.run([sys.executable, "-X", "utf8", __file__],
                                  env=env, capture_output=True, text=True,
                                  check=True).stdout
             r = json.loads(out.strip().splitlines()[-1])
             # best-of-N: single-node timing noise is one-sided
             # (contention only slows a run down)
-            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
-                best = r
-        runs[n] = best
+            if n not in runs or r["docs_per_sec"] > runs[n]["docs_per_sec"]:
+                runs[n] = r
     lo, hi = levels
     thr_lo = runs[lo]["docs_per_sec"]
     thr_hi = runs[hi]["docs_per_sec"]

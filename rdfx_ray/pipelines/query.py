@@ -295,16 +295,35 @@ def object_join_bgp(triples_ds, pred_a: str, pred_b: str,
                                obj_value=filter_obj) \
             .map_batches(lambda b: pa.table({"subj": b.column("subj")}),
                          batch_format="pyarrow")
-        fref = ray.put(pa.concat_tables(list(fsubs.iter_batches(
-            batch_size=1 << 20, batch_format="pyarrow")))
-            .column("subj").combine_chunks())
+        # the filter-subject set is selectivity-bounded, not
+        # corpus-bounded — but a weak constant (e.g. a majority
+        # language) makes it O(corpus), so this side is count-gated
+        # too: broadcast is_in under the cutoff, native hash semi-join
+        # above it
+        if fsubs.count() <= broadcast_cutoff_rows:
+            fref = ray.put(pa.concat_tables(list(fsubs.iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow")))
+                .column("subj").combine_chunks())
 
-        def filt_a(batch: pa.Table) -> pa.Table:
-            from ..functions.broadcast import cached_get
-            return batch.filter(pc.is_in(batch.column("subj"),
-                                         value_set=cached_get(fref)))
+            def filt_a(batch: pa.Table) -> pa.Table:
+                from ..functions.broadcast import cached_get
+                return batch.filter(pc.is_in(batch.column("subj"),
+                                             value_set=cached_get(fref)))
 
-        side_a = side_a.map_batches(filt_a, batch_format="pyarrow")
+            side_a = side_a.map_batches(filt_a, batch_format="pyarrow")
+        else:
+            fsubs_r = fsubs.map_batches(
+                lambda b: b.rename_columns(["_fsubj"]),
+                batch_format="pyarrow")
+            # subjects of a (pred, obj)-constant pattern are unique in
+            # a deduped triple set, so this inner join is a semi-join
+            # (no row multiplication)
+            side_a = side_a.join(fsubs_r, "inner", n_buckets,
+                                 on=("subj",), right_on=("_fsubj",))
+            side_a = side_a.select_columns(
+                [c for c in ("subj", "pred", "obj_kind", "obj_value",
+                             "obj_datatype", "obj_lang", "graph_iri")
+                 if c in side_a.schema().names])
 
     a_schema = pa.schema([("a", pa.string()), ("v", pa.string())])
     b_schema = pa.schema([("b", pa.string()), ("v", pa.string())])
