@@ -177,6 +177,28 @@ def _kg_query_two_hop(sf_dir: str):
                            filter_obj="de")
 
 
+def _kg_query_optional(sf_dir: str):
+    """OPTIONAL BGP (SPARQL left join): ?s inLanguage ?va OPTIONAL
+    { ?s isBasedOn ?vb FILTER(?vb = 'src3') } — vb null for docs not
+    based on src3; count-gated broadcast left join vs native
+    left_outer hash join."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import optional_bgp
+
+    return optional_bgp(doc_triples(sf_dir), SDO + "inLanguage",
+                        SDO + "isBasedOn", opt_obj="src3")
+
+
+def _kg_query_union(sf_dir: str):
+    """UNION BGP (bag semantics): { ?s inLanguage ?v } UNION
+    { ?s isBasedOn ?v } — streaming block-wise union, no shuffle."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import union_bgp
+
+    return union_bgp(doc_triples(sf_dir),
+                     [SDO + "inLanguage", SDO + "isBasedOn"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdfx_ray.functions import dedup, doc_triples, similarity, text
     from rdfx_ray.pipelines import analytics, analytics_ext
@@ -244,6 +266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_query_bgp3": _kg_query_bgp3,
         "kg_query_bgp_var": _kg_query_bgp_var,
         "kg_query_two_hop": _kg_query_two_hop,
+        "kg_query_optional": _kg_query_optional,
+        "kg_query_union": _kg_query_union,
         # wide-op analytics
         "pricing_summary": lambda sf: analytics.pricing_summary(sf),
         "events_hourly": lambda sf: analytics.events_hourly(sf),
@@ -336,6 +360,19 @@ def oracle_sql() -> dict[str, str]:
                    da.source AS v
             FROM documents da JOIN documents db ON da.source = db.source
             WHERE da.lang = 'de'
+        """,
+        "kg_query_optional": """
+            SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj,
+                   lang AS va,
+                   CASE WHEN source = 'src3' THEN source END AS vb
+            FROM documents
+        """,
+        "kg_query_union": """
+            SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj,
+                   lang AS v FROM documents
+            UNION ALL
+            SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR), source
+            FROM documents
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -396,6 +396,78 @@ def object_join_bgp(triples_ds, pred_a: str, pred_b: str,
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def optional_bgp(triples_ds, pred_a: str, pred_opt: str,
+                 opt_obj: Optional[str] = None,
+                 broadcast_cutoff_rows: int = BGP_BROADCAST_ROW_CUTOFF,
+                 num_partitions: int = 16):
+    """OPTIONAL BGP: ``?s pred_a ?va OPTIONAL { ?s pred_opt ?vb
+    [FILTER ?vb = opt_obj] }`` → (subj, va, vb) with ``vb`` null where
+    the optional pattern has no match — SPARQL left-join semantics.
+
+    Count-gated like every plan here: a small optional side broadcasts
+    once and left-joins inside map_batches (no shuffle); a large one
+    routes through Ray Data's native ``left_outer`` hash-shuffle
+    join."""
+    import ray
+
+    out_schema = pa.schema([("subj", pa.string()), ("va", pa.string()),
+                            ("vb", pa.string())])
+
+    def proj(name):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({"subj": batch.column("subj"),
+                             name: batch.column("obj_value")})
+        return fn
+
+    left = (triple_pattern(triples_ds, pred=pred_a)
+            .map_batches(proj("va"), batch_format="pyarrow"))
+    right = (triple_pattern(triples_ds, pred=pred_opt, obj_value=opt_obj)
+             .map_batches(proj("vb"), batch_format="pyarrow"))
+
+    if right.count() <= broadcast_cutoff_rows:
+        import polars as pl
+        r_tbl = pa.concat_tables(list(right.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")))
+        rref = ray.put(r_tbl.cast(pa.schema([("subj", pa.string()),
+                                             ("vb", pa.string())])))
+
+        def fold(batch: pa.Table) -> pa.Table:
+            from ..functions.broadcast import cached_get
+            l = pl.from_arrow(batch)
+            r = pl.from_arrow(cached_get(rref))
+            out = l.join(r, on="subj", how="left", maintain_order="left")
+            return out.select(["subj", "va", "vb"]).to_arrow() \
+                .cast(out_schema)
+
+        return left.map_batches(fold, batch_format="pyarrow")
+
+    right_r = right.map_batches(
+        lambda b: b.rename_columns(["_subj_r", "vb"]),
+        batch_format="pyarrow")
+    joined = left.join(right_r, "left_outer", num_partitions,
+                       on=("subj",), right_on=("_subj_r",))
+    return joined.select_columns(["subj", "va", "vb"])
+
+
+def union_bgp(triples_ds, preds):
+    """UNION BGP: ``{ ?s p1 ?v } UNION { ?s p2 ?v } …`` → (subj, v),
+    bag semantics (SPARQL UNION = concatenation, no dedup). Pure
+    streaming: per-pattern vectorized filters unioned block-wise —
+    no shuffle, no driver materialization."""
+    out_schema = pa.schema([("subj", pa.string()), ("v", pa.string())])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({"subj": batch.column("subj"),
+                         "v": batch.column("obj_value")}).cast(out_schema)
+
+    sides = [triple_pattern(triples_ds, pred=p)
+             .map_batches(proj, batch_format="pyarrow") for p in preds]
+    acc = sides[0]
+    for s in sides[1:]:
+        acc = acc.union(s)
+    return acc
+
+
 def bgp_join_native(triples_ds, pred_a: str, pred_b: str,
                     num_partitions: int = 16):
     """Same BGP as :func:`bgp_join` but via Ray Data's NATIVE hash

@@ -227,6 +227,31 @@ def test_count_gated_plans_agree(ray_session):
         b[key].sort_values(key).reset_index(drop=True))
 
 
+def test_optional_union_bgp(ray_session):
+    """OPTIONAL left-join semantics (vb null where no match) on both
+    count-gated routes, and UNION bag semantics (row count = sum of
+    branches, no dedup)."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import optional_bgp, union_bgp
+
+    SF = "/root/testdata/sf0.001"
+    ds = doc_triples(SF)
+    a = optional_bgp(ds, SDO + "inLanguage", SDO + "isBasedOn",
+                     opt_obj="src3").to_pandas()
+    b = optional_bgp(ds, SDO + "inLanguage", SDO + "isBasedOn",
+                     opt_obj="src3", broadcast_cutoff_rows=0,
+                     num_partitions=4).to_pandas()
+    key = ["subj", "va", "vb"]
+    assert a["vb"].isna().any() and a["vb"].notna().any()  # true OPTIONAL
+    assert len(a) == a["subj"].nunique()                   # one row per doc
+    sa = a.sort_values(key).reset_index(drop=True)
+    sb = b[key].sort_values(key).reset_index(drop=True)
+    assert sa.equals(sb)
+
+    u = union_bgp(ds, [SDO + "inLanguage", SDO + "isBasedOn"]).to_pandas()
+    assert len(u) == 2 * len(a)            # bag: both branches, no dedup
+
+
 def test_revenue_by_region_count_gate(ray_session):
     """Above the orders-row cutoff revenue_by_region must route through
     the partitioned hash join (no driver collect of orders) and return
