@@ -388,12 +388,61 @@ def _term_sort_key(t: Term) -> Tuple:
     return (2, t[1], t[2] or "", t[3] or "")
 
 
+def _cyclic_marked_bnodes(by_subj) -> set:
+    """Bnodes on (or entering) a bnode→bnode object cycle, found with
+    an ITERATIVE white/gray/black DFS (no recursion: list chains can
+    be arbitrarily long). Marks both endpoints of every back edge —
+    enough to guarantee inline rendering terminates: any cycle walk
+    must pass a marked node, which renders as a label instead of
+    recursing."""
+    WHITE, GRAY, BLACK = 0, 1, 2
+    color: Dict[Term, int] = {}
+    marked: set = set()
+
+    def children(n):
+        return [o for objs in by_subj[n].values() for o in objs
+                if o[0] == BNODE and o in by_subj]
+
+    for root in [s for s in by_subj if s[0] == BNODE]:
+        if color.get(root, WHITE) != WHITE:
+            continue
+        color[root] = GRAY
+        stack = [(root, iter(children(root)))]
+        while stack:
+            node, it = stack[-1]
+            advanced = False
+            for ch in it:
+                c = color.get(ch, WHITE)
+                if c == WHITE:
+                    color[ch] = GRAY
+                    stack.append((ch, iter(children(ch))))
+                    advanced = True
+                    break
+                if c == GRAY:  # back edge
+                    marked.add(ch)
+                    marked.add(node)
+            if not advanced:
+                color[node] = BLACK
+                stack.pop()
+    return marked
+
+
 def serialize_turtle(
     triples: Iterable[Triple],
     prefixes: Dict[str, str],
     emit_unused_prefixes: bool = False,
 ) -> str:
     """Serialize to turtle matching the reference golden layout.
+
+    Pretty-printing: a bnode referenced exactly ONCE as an object (and
+    not on a bnode cycle) is re-inlined at its reference site — as a
+    collection ``( … )`` when its subgraph is a well-formed
+    rdf:first/rdf:rest chain of single-reference nodes, else as a
+    property list ``[ … ]``; a referenced leaf bnode with no outgoing
+    triples renders ``[]``. Shared (ref ≥ 2) and cyclic bnodes keep
+    their ``_:label`` form and a top-level block, which is always
+    valid. This mirrors rdflib's pretty turtle (the parse side already
+    accepted both forms).
 
     Ends with one trailing newline after the last statement block plus
     one blank line — i.e. the string ends ``" .\\n\\n"`` exactly as the
@@ -413,8 +462,61 @@ def serialize_turtle(
     for s, p, o in tlist:
         by_subj.setdefault(s, {}).setdefault(p, []).append(o)
 
+    # ---- inline planning (bnode pretty-printing) ----------------------------
+    obj_refs: Dict[Term, int] = {}
+    for s, p, o in tlist:
+        if o[0] == BNODE:
+            obj_refs[o] = obj_refs.get(o, 0) + 1
+    cyc = _cyclic_marked_bnodes(by_subj)
+    inline_set = {o for o, c in obj_refs.items() if c == 1 and o not in cyc}
+
+    first_t, rest_t, nil_t = iri(RDF_FIRST), iri(RDF_REST), iri(RDF_NIL)
+
+    def _list_chain(head: Term) -> Optional[List[Term]]:
+        """Items of a well-formed collection chain starting at head
+        (every node has exactly {rdf:first: 1, rdf:rest: 1} and every
+        node is inlinable), else None. Iterative — chains can be
+        long."""
+        items: List[Term] = []
+        node = head
+        while True:
+            preds = by_subj.get(node)
+            if (preds is None or node not in inline_set
+                    or set(preds) != {first_t, rest_t}
+                    or len(preds[first_t]) != 1 or len(preds[rest_t]) != 1):
+                return None
+            items.append(preds[first_t][0])
+            nxt = preds[rest_t][0]
+            if nxt == nil_t:
+                return items
+            if nxt[0] != BNODE:
+                return None
+            node = nxt
+
+    def _render_obj(o: Term) -> str:
+        if o[0] != BNODE or o not in inline_set:
+            return _ttl_term(o, ns_sorted, used)
+        chain = _list_chain(o)
+        if chain is not None:
+            return "( " + " ".join(_render_obj(i) for i in chain) + " )"
+        preds = by_subj.get(o)
+        if not preds:
+            return "[]"
+        parts = []
+        for p in sorted(preds, key=lambda p: (p[1] != RDF_TYPE, p[1])):
+            ps = "a" if p[1] == RDF_TYPE else _ttl_term(p, ns_sorted, used)
+            objs = sorted(set(preds[p]), key=_term_sort_key)
+            parts.append(f"{ps} " + ", ".join(_render_obj(x) for x in objs))
+        return "[ " + " ; ".join(parts) + " ]"
+
+    # collection interior nodes consumed by a chain render: every node
+    # of a valid chain is in inline_set, and chain membership is a pure
+    # function of the graph, so skipping all inline_set subjects at the
+    # top level emits each triple exactly once
     blocks = []
     for s in sorted(by_subj, key=_term_sort_key):
+        if s in inline_set:
+            continue  # rendered inline at its single reference site
         preds = by_subj[s]
         # 'a' (rdf:type) first, then predicates sorted by IRI
         pred_order = sorted(preds, key=lambda p: (p[1] != RDF_TYPE, p[1]))
@@ -423,7 +525,7 @@ def serialize_turtle(
         for pi, p in enumerate(pred_order):
             pred_str = "a" if p[1] == RDF_TYPE else _ttl_term(p, ns_sorted, used)
             objs = sorted(set(preds[p]), key=_term_sort_key)
-            obj_strs = [_ttl_term(o, ns_sorted, used) for o in objs]
+            obj_strs = [_render_obj(o) for o in objs]
             joined = ",\n        ".join(obj_strs)
             if pi == 0:
                 lines.append(f"{subj_str} {pred_str} {joined}")

@@ -181,3 +181,46 @@ def test_html_rdfa_chaining_and_lang():
     names = [t for t in trs if t[1][1] == "http://s.org/name"]
     assert names[0][0] == knows[0][2]           # chained subject
     assert names[0][2][3] == "fr"               # language tag
+
+
+def test_turtle_pretty_inlines_bnodes_and_collections():
+    """Round-3 pretty-printing: single-reference bnodes re-inline as
+    [ … ] property lists / ( … ) collections on OUTPUT (parse side
+    always accepted them); shared and cyclic bnodes keep labels; the
+    result reparses isomorphic."""
+    from rdfx_ray.rdf import Graph, isomorphic
+
+    ttl = """@prefix sdo: <https://schema.org/> .
+<urn:x> sdo:author [ sdo:name "Ann" ; sdo:age 41 ] ;
+        sdo:keywords ( "a" "b" "c" ) ;
+        sdo:shared _:s .
+<urn:y> sdo:shared _:s .
+_:s sdo:name "Shared" .
+<urn:cyc> sdo:p _:c1 .
+_:c1 sdo:q _:c2 .
+_:c2 sdo:q _:c1 .
+<urn:leaf> sdo:empty [] .
+"""
+    g = Graph().parse(ttl, "turtle")
+    out = g.serialize("turtle")
+    assert "[ " in out and " ]" in out          # property list inlined
+    assert "( \"a\" \"b\" \"c\" )" in out        # collection inlined
+    assert "[]" in out                           # referenced leaf bnode
+    # shared (ref=2) and cyclic bnodes keep their labels
+    assert out.count("sdo:shared _:") == 2
+    assert "sdo:q _:" in out
+    assert isomorphic(g, Graph().parse(out, "turtle"))
+
+
+def test_turtle_pretty_nested_and_long_lists():
+    from rdfx_ray.rdf import Graph, isomorphic
+
+    # nested property lists and a 3k-item collection (iterative chain
+    # walk + iterative cycle scan: no recursion limit)
+    items = " ".join(str(i) for i in range(3000))
+    ttl = ("@prefix s: <https://schema.org/> .\n"
+           f"<urn:n> s:a [ s:b [ s:c ( {items} ) ] ] .\n")
+    g = Graph().parse(ttl, "turtle")
+    out = g.serialize("turtle")
+    assert out.count("[ ") == 2 and '( "0"^^xsd:integer' in out
+    assert isomorphic(g, Graph().parse(out, "turtle"))
