@@ -77,6 +77,13 @@ class KGConfig:
     compact_threshold: Optional[int] = 160
     compact_run_rows: int = 4_000_000
     compact_num_cpus: float = 1.0
+    # overlap compaction with later shards' extraction: committed
+    # shards' fragments compact in a background pass while the next
+    # shard extracts, so on multi-shard jobs compaction IO hides
+    # behind stage-1 instead of stalling between the stages. Safe at
+    # any timing: the kernel is idempotent and ledger-keyed, and the
+    # pre-finalize pass below is authoritative.
+    compact_overlap: bool = True
     write_nt: bool = True
     broadcast_alias: bool = True  # ray.put the alias dict once per job
     # test-only failpoint: raise after committing this many shards, to
@@ -116,6 +123,35 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
 
     docs_processed = 0
     triples_written = 0
+
+    # -- overlapped compaction bookkeeping -----------------------------------
+    import threading
+    compact_thread: Optional[threading.Thread] = None
+    frags_since_kick = 0
+
+    def _compact_pass(files_snapshot: Dict[int, List[str]]) -> None:
+        comp_ctrl = rd.from_items([
+            {"bucket": b, "paths": p, "rows_est": 0}
+            for b, p in files_snapshot.items() if p
+        ])
+        # result discarded: the ledger carries the committed runs; the
+        # authoritative pre-finalize pass below re-reads them
+        comp_ctrl.map_batches(
+            compact_buckets_kernel,
+            fn_kwargs={"out_dir": str(out),
+                       "threshold": cfg.compact_threshold,
+                       "max_run_rows": cfg.compact_run_rows},
+            batch_format="pyarrow", batch_size=1,
+            num_cpus=cfg.compact_num_cpus,
+        ).materialize()
+
+    def _bucket_files_of(stats_list) -> Dict[int, List[str]]:
+        files: Dict[int, List[str]] = {b: [] for b in range(cfg.n_buckets)}
+        for st in stats_list:
+            for b, ps in st["fragments"].items():
+                files[int(b)].extend(ps)
+        return files
+
     for s, paths in enumerate(shards):
         unit = f"stage1-shard-{s:05d}"
         committed = ledger.read(unit)
@@ -198,6 +234,23 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
             raise RuntimeError(
                 f"failpoint: killed after {s + 1} committed shards"
             )
+        # kick a background compaction over COMMITTED shards' fragments
+        # once enough new fragments accumulated (one pass at a time;
+        # per-bucket uncovered counts are ~frags/n_buckets since the
+        # bucket sort spreads every task's output over all buckets)
+        frags_since_kick += sum(len(p)
+                                for p in payload["fragments"].values())
+        if (cfg.compact_threshold is not None and cfg.compact_overlap
+                and s + 1 < len(shards)
+                and frags_since_kick > cfg.compact_threshold * cfg.n_buckets
+                and (compact_thread is None
+                     or not compact_thread.is_alive())):
+            snapshot = _bucket_files_of(shard_stats)
+            compact_thread = threading.Thread(
+                target=lambda: _run_quietly(_compact_pass, snapshot),
+                daemon=True)
+            compact_thread.start()
+            frags_since_kick = 0
 
     # -- stage 2: bucket finalize (dedup + materialize) ----------------------
     bucket_files: Dict[int, List[str]] = {b: [] for b in range(cfg.n_buckets)}
@@ -215,6 +268,11 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
         if rows_known:
             for b, nrows in st["fragment_rows"].items():
                 bucket_rows[int(b)] += int(nrows)
+
+    # any in-flight background compaction must land before the
+    # authoritative pass reads the ledger
+    if compact_thread is not None:
+        compact_thread.join()
 
     # -- compaction tier: bound fragments-per-bucket before the reduce --------
     if cfg.compact_threshold is not None and any(
@@ -279,6 +337,19 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
     }
     ledger.commit("job", job)
     return job
+
+
+def _run_quietly(fn, *args) -> None:
+    """Background-compaction wrapper: a failed opportunistic pass is
+    harmless (the pre-finalize pass is authoritative and will redo the
+    work), so log and continue instead of killing the job."""
+    try:
+        fn(*args)
+    except Exception as e:  # pragma: no cover - defensive
+        import logging
+        logging.getLogger(__name__).warning(
+            "background compaction pass failed (will retry in the "
+            "pre-finalize pass): %s", e)
 
 
 def _parquet_rows(path: str) -> int:

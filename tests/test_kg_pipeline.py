@@ -219,6 +219,31 @@ def test_incremental_append(tmp_path_factory, ray_session):
     assert job2["n_docs"] == 900
 
 
+def test_resume_mid_stage2(corpus):
+    """A run killed DURING stage 2 (some bucket checkpoints committed,
+    some not) resumes with only the missing buckets recomputed and
+    byte-identical output."""
+    root, uri = corpus
+    ref_out = str(root / "out")
+    if not Path(ref_out).exists():
+        run_kg_pipeline(uri, ref_out, KGConfig(**CFG))
+    out = str(root / "out_mid2")
+    run_kg_pipeline(uri, out, KGConfig(**CFG))
+    # simulate the crash: drop two buckets' checkpoints + outputs
+    for b in (1, 5):
+        (Path(out) / "_checkpoints" / f"stage2-bucket-{b:05d}.json").unlink()
+        shutil.rmtree(Path(out) / "final" / f"bucket={b:05d}")
+    survivors = {
+        p: p.stat().st_mtime_ns
+        for p in Path(out).glob("final/bucket=*/part-*.nt")
+    }
+    job = run_kg_pipeline(uri, out, KGConfig(**CFG))
+    assert job["buckets_skipped_resume"] == CFG["n_buckets"] - 2
+    for p, m in survivors.items():
+        assert p.stat().st_mtime_ns == m, "committed bucket was rewritten"
+    assert _nt_hashes(out) == _nt_hashes(ref_out)
+
+
 def test_compaction_identical_output_and_resume(tmp_path_factory,
                                                 ray_session):
     """The shuffle compaction tier (sinks/compact.py) is output-
