@@ -443,6 +443,8 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_tokens": __import__("rdfx_ray.functions.text",
                                       fromlist=["BPE_TOKEN_STATS_SQL"]
                                       ).BPE_TOKEN_STATS_SQL,
+        "text_lang_id": __import__("rdfx_ray.functions.text",
+                                   fromlist=["LANG_ID_SQL"]).LANG_ID_SQL,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,
                    MIN(doc_id) AS keeper_doc_id,
@@ -451,7 +453,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # dedup_minhash_pairs / dedup_simhash_pairs /
         # dedup_embedding_pairs / ann_* / kg_extract_triples /
-        # kg_media_features / kg_convert_roundtrip / text_lang_id:
-        # genuinely non-SQL-expressible (sketches, LSH, ANN, stateful
-        # extraction) → rows-only checks.
+        # kg_media_features / kg_convert_roundtrip: genuinely
+        # non-SQL-expressible (sketches, LSH, float-order-sensitive
+        # ANN ranking, stateful extraction) → rows-only checks.
     }

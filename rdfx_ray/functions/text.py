@@ -146,6 +146,46 @@ def lang_id(sf_dir: str, concurrency: int = 2):
         concurrency=concurrency)
 
 
+def _lang_id_sql() -> str:
+    """DuckDB replay of LangId. RE2 has no lookarounds, so the
+    boundary-guarded count is re-expressed as token membership —
+    equivalent because a boundary-guarded stopword match must start
+    and end exactly at token boundaries of the SAME word class the
+    tokenizer splits on. The CASE cascade encodes the first-max
+    tiebreak in profile order (en, de, fr, es), 'und' on zero score,
+    han-script → 'zh' — byte-for-byte the kernel's semantics."""
+    wc = LangId._WORD_CLASS
+    score = {
+        lang: ("len(list_filter(toks, w -> w IN ("
+               + ", ".join(f"'{w}'" for w in sorted(stops)) + ")))")
+        for lang, stops in _LANG_PROFILES.items() if stops
+    }
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^{wc}]+'),
+                       w -> w <> '') AS toks,
+           regexp_matches(text, '[一-鿿]') AS has_han
+    FROM documents),
+s AS (
+    SELECT doc_id, has_han,
+           {score['en']} AS s_en, {score['de']} AS s_de,
+           {score['fr']} AS s_fr, {score['es']} AS s_es
+    FROM t)
+SELECT doc_id,
+       CASE WHEN has_han THEN 'zh'
+            WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM s
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Quality signals per doc: counts plus ratio-based score in
     [0, 100] (integer so results hash-compare exactly)."""
