@@ -153,13 +153,14 @@ def run_suite() -> dict:
     # warm the page cache (untimed) so we measure compute + shuffle
     ensure_corpus(sf)
 
-    # best-of-N headline (default 2): shared-host contention is
+    # best-of-N headline (default 3): shared-host contention is
     # one-sided — a noisy neighbour only ever slows a run — and has
-    # been observed to inflate a single run >2×. Override with
+    # been observed to inflate a single run >2× (per-run steal%% is
+    # recorded in host_noise). Override with
     # RAY_GRAFT_HEADLINE_REPEATS=1 for a single timed run.
     head = None
     noise_runs = []
-    for _ in range(int(os.environ.get("RAY_GRAFT_HEADLINE_REPEATS", "2"))):
+    for _ in range(int(os.environ.get("RAY_GRAFT_HEADLINE_REPEATS", "3"))):
         s0, t0 = _steal_jiffies(), time.time()
         r = run_headline(NUM_CPUS, sf)
         s1, t1 = _steal_jiffies(), time.time()
