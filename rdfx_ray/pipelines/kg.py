@@ -103,6 +103,30 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
     out.mkdir(parents=True, exist_ok=True)
     ledger = CheckpointLedger(out)
 
+    # -- bucket-layout guard --------------------------------------------------
+    # Every derived artifact (stage-1 shuffle files, compaction runs,
+    # finalized buckets) is keyed by the bucket layout = (bucket
+    # function version, bucket count). Resuming an output dir written
+    # under a DIFFERENT layout must not just recompute shards (the
+    # per-shard guard below) — it must also drop the stale derived
+    # state, or read_final_triples would pick up leftover
+    # final/bucket=* dirs beyond the new range and compact ledgers
+    # would mis-attribute coverage. On mismatch: wipe derived state,
+    # keep nothing (the input dataset is untouched).
+    layout = {"bucket_fn": BUCKET_FN_VERSION, "n_buckets": cfg.n_buckets}
+    prior = ledger.read("layout")
+    if prior is None:
+        # pre-upgrade output dir: infer the layout from any committed
+        # shard manifest (absent fields read as None ≠ current values)
+        for u in ledger.committed_units("stage1-shard-"):
+            st = ledger.read(u)
+            prior = {"bucket_fn": st.get("bucket_fn"),
+                     "n_buckets": st.get("n_buckets")}
+            break
+    if prior is not None and prior != layout:
+        _wipe_derived_state(out, ledger)
+    ledger.commit("layout", layout)
+
     shim = LanceShim(input_uri)
     manifest = shim.latest_manifest()
     if manifest is None:
@@ -160,12 +184,14 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
         # previously the (short) tail gains fragments and must be
         # recomputed — mirroring stage-2's input_fragments comparison.
         # Skipping on existence alone silently dropped the appended docs.
-        # ... and only if it was bucketed by the SAME bucket function:
-        # mixing layouts would scatter one triple's copies across
-        # buckets and stage-2's per-bucket dedup would miss them
+        # ... and only if it was bucketed by the SAME bucket LAYOUT —
+        # function version AND bucket count: mixing layouts would
+        # scatter one triple's copies across buckets and stage-2's
+        # per-bucket dedup would silently miss them
         if (committed is not None
                 and committed.get("input_paths") == paths
-                and committed.get("bucket_fn") == BUCKET_FN_VERSION):
+                and committed.get("bucket_fn") == BUCKET_FN_VERSION
+                and committed.get("n_buckets") == cfg.n_buckets):
             shard_stats.append(committed)
             docs_processed += committed["docs"]
             triples_written += committed["triples"]
@@ -224,6 +250,7 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
             },
             "input_paths": paths,
             "bucket_fn": BUCKET_FN_VERSION,
+            "n_buckets": cfg.n_buckets,
         }
         ledger.commit(unit, payload)
         shard_stats.append(payload)
@@ -337,6 +364,20 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
     }
     ledger.commit("job", job)
     return job
+
+
+def _wipe_derived_state(out: Path, ledger: CheckpointLedger) -> None:
+    """Drop everything derived under the bucket layout: shuffle files,
+    compaction runs, finalized buckets, and their checkpoints. The
+    input dataset is external and untouched."""
+    import shutil
+
+    for sub in ("stage1", "stage1-compact", "final", "_stats"):
+        shutil.rmtree(out / sub, ignore_errors=True)
+    for prefix in ("stage1-shard-", "compact-bucket-", "stage2-bucket-",
+                   "job", "layout"):
+        for u in ledger.committed_units(prefix):
+            ledger._path(u).unlink(missing_ok=True)
 
 
 def _run_quietly(fn, *args) -> None:

@@ -157,26 +157,55 @@ class Graph:
 
 def _canonical_bnode_labels(triples: Set[Triple]) -> Dict[str, str]:
     """Deterministic relabeling of blank nodes by iterative signature
-    refinement (color refinement); ties broken by sorted signature —
-    adequate for the non-pathological graphs this engine emits (same
-    criterion rdflib's isomorphic() implements via hashing)."""
+    refinement (color refinement) run to a FIXPOINT with hashed colors
+    — bounded rounds were insufficient for long bnode chains, which
+    need ~n rounds to distinguish positions. Colors are md5 digests so
+    per-round work stays O(E) (no nested-signature string blowup).
+    Nodes still tied at the fixpoint are automorphic for every
+    non-pathological graph this engine emits (the same criterion
+    rdflib's isomorphic() implements via hashing), so relabeling them
+    in any deterministic order yields the same canonical triple set."""
+    import hashlib
+
     labels = {t[0][1] for t in triples if t[0][0] == BNODE}
     labels |= {t[2][1] for t in triples if t[2][0] == BNODE}
     if not labels:
         return {}
-    sig: Dict[str, str] = {b: "" for b in labels}
-    for _ in range(max(2, len(labels).bit_length() + 1)):
-        new_sig: Dict[str, List[str]] = {b: [] for b in labels}
-        for s, p, o in triples:
-            s_b = s[0] == BNODE
-            o_b = o[0] == BNODE
-            if s_b:
-                oid = f"B({sig[o[1]]})" if o_b else nt_term(o)
-                new_sig[s[1]].append(f"+{nt_term(p)}|{oid}")
-            if o_b:
-                sid = f"B({sig[s[1]]})" if s_b else nt_term(s)
-                new_sig[o[1]].append(f"-{nt_term(p)}|{sid}")
-        sig = {b: ";".join(sorted(v)) for b, v in new_sig.items()}
+
+    def _h(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()[:16]
+
+    # precompute the per-edge static strings once; per round only the
+    # neighbour color varies
+    edges: List[Tuple[str, str, Optional[str], str]] = []
+    for s, p, o in triples:
+        s_b = s[0] == BNODE
+        o_b = o[0] == BNODE
+        pnt = nt_term(p)
+        if s_b:
+            edges.append((s[1], f"+{pnt}|",
+                          o[1] if o_b else None,
+                          "" if o_b else nt_term(o)))
+        if o_b:
+            edges.append((o[1], f"-{pnt}|",
+                          s[1] if s_b else None,
+                          "" if s_b else nt_term(s)))
+
+    sig: Dict[str, str] = {b: "0" for b in labels}
+    n_classes = 0
+    for _ in range(len(labels) + 1):
+        parts: Dict[str, List[str]] = {b: [] for b in labels}
+        for node, pre, nbr, fixed in edges:
+            parts[node].append(
+                pre + (f"B({sig[nbr]})" if nbr is not None else fixed))
+        # include the previous color: partitions only ever refine,
+        # so "class count stopped growing" == fixpoint reached
+        sig = {b: _h(sig[b] + "|" + ";".join(sorted(v)))
+               for b, v in parts.items()}
+        k = len(set(sig.values()))
+        if k == n_classes or k == len(labels):
+            break
+        n_classes = k
     order = sorted(labels, key=lambda b: (sig[b], b))
     return {b: f"cb{idx}" for idx, b in enumerate(order)}
 

@@ -472,6 +472,47 @@ def serialize_turtle(
 
     first_t, rest_t, nil_t = iri(RDF_FIRST), iri(RDF_REST), iri(RDF_NIL)
 
+    # ---- render-depth bound ----------------------------------------------
+    # _render_obj recurses once per inline NESTING level (not per list
+    # element — chains walk iteratively), so a deep chain of inlinable
+    # bnodes (b0 p b1 . b1 p b2 . …) would blow Python's recursion
+    # limit. Compute each candidate's nesting depth with an ITERATIVE
+    # upward parent walk — a rdf:rest link out of a pure list node is
+    # free (the whole chain renders in one stack frame) — and demote
+    # too-deep candidates to labeled top-level blocks (always valid).
+    # each inline level costs several Python frames (_render_obj →
+    # _ttl_term → _qname → re), so stay well under the ~1000-frame
+    # default recursion limit
+    _MAX_INLINE_DEPTH = 100
+    if inline_set:
+        parent_edge: Dict[Term, Tuple[Term, Term]] = {}
+        for s, p, o in tlist:
+            if o in inline_set:
+                parent_edge[o] = (s, p)  # unique: ref count == 1
+
+        def _is_pure_list_node(n: Term) -> bool:
+            preds = by_subj.get(n)
+            return (preds is not None and set(preds) == {first_t, rest_t}
+                    and len(preds[first_t]) == 1 and len(preds[rest_t]) == 1)
+
+        depth_memo: Dict[Term, int] = {}
+        for start in list(inline_set):
+            path = []
+            node = start
+            while (node in inline_set and node not in depth_memo
+                    and node in parent_edge):
+                path.append(node)
+                node = parent_edge[node][0]
+            base = depth_memo.get(node, 0) if node in inline_set else 0
+            for n in reversed(path):
+                par, pred = parent_edge[n]
+                free = pred == rest_t and _is_pure_list_node(par) \
+                    and _is_pure_list_node(n)
+                base = base if free else base + 1
+                depth_memo[n] = base
+        inline_set = {b for b in inline_set
+                      if depth_memo.get(b, 0) <= _MAX_INLINE_DEPTH}
+
     def _list_chain(head: Term) -> Optional[List[Term]]:
         """Items of a well-formed collection chain starting at head
         (every node has exactly {rdf:first: 1, rdf:rest: 1} and every

@@ -414,3 +414,33 @@ def test_task_retry_orphan_fragments_ignored(tmp_path, ray_session):
             .unique(subset=["subj", "pred", "obj_kind", "obj_value",
                             "obj_datatype", "obj_lang"]).height)
     assert res["rows"] == want
+
+
+def test_resume_with_changed_bucket_layout(tmp_path_factory, ray_session):
+    """Re-running an output dir with a DIFFERENT n_buckets must not
+    mix layouts: stale final buckets beyond the new range are wiped
+    (read_final_triples would otherwise read them), shards recompute,
+    and the result equals a from-scratch run at the new layout."""
+    root = tmp_path_factory.mktemp("relayout")
+    uri = str(root / "input")
+    generate_documents(uri, n_docs=600, n_entities=200, fragment_rows=200)
+    out = str(root / "out")
+    run_kg_pipeline(uri, out, KGConfig(n_buckets=4, n_entities=200,
+                                       batch_size=200, shard_fragments=1))
+    assert len(list(Path(out).glob("final/bucket=*"))) == 4
+
+    job2 = run_kg_pipeline(uri, out, KGConfig(n_buckets=2, n_entities=200,
+                                              batch_size=200,
+                                              shard_fragments=1))
+    # nothing from the old layout survived or was skipped
+    assert job2["buckets_skipped_resume"] == 0
+    assert len(list(Path(out).glob("final/bucket=*"))) == 2
+    ref = str(root / "ref")
+    run_kg_pipeline(uri, ref, KGConfig(n_buckets=2, n_entities=200,
+                                       batch_size=200, shard_fragments=1))
+    assert _nt_hashes(out) == _nt_hashes(ref)
+    # same layout again → full skip (the layout record round-trips)
+    job3 = run_kg_pipeline(uri, out, KGConfig(n_buckets=2, n_entities=200,
+                                              batch_size=200,
+                                              shard_fragments=1))
+    assert job3["buckets_skipped_resume"] == 2

@@ -224,3 +224,23 @@ def test_turtle_pretty_nested_and_long_lists():
     out = g.serialize("turtle")
     assert out.count("[ ") == 2 and '( "0"^^xsd:integer' in out
     assert isomorphic(g, Graph().parse(out, "turtle"))
+
+
+def test_turtle_pretty_deep_nesting_stays_in_stack():
+    """A chain of thousands of single-reference bnodes nests one
+    Python frame per inline level; the serializer bounds inline DEPTH
+    (demoting too-deep candidates to labeled top-level blocks) so it
+    never hits the recursion limit — while long rdf:first/rest
+    collections (depth-free: iterative chain walk) still inline."""
+    from rdfx_ray.rdf import Graph, isomorphic
+
+    n = 1200  # >> the 100-level inline depth bound; iso check is
+    # O(n^2) on a chain (color refinement needs ~n rounds), keep modest
+    nt = ["<urn:s> <urn:p> _:b0 ."]
+    nt += [f"_:b{i} <urn:p> _:b{i + 1} ." for i in range(n)]
+    nt.append(f'_:b{n} <urn:p> "end" .')
+    g = Graph().parse("\n".join(nt), "nt")
+    out = g.serialize("turtle")          # must not RecursionError
+    assert isomorphic(g, Graph().parse(out, "turtle"))
+    # deep tail was demoted to labeled blocks, shallow head inlined
+    assert "[ " in out and "_:" in out
