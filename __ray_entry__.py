@@ -199,6 +199,28 @@ def _kg_query_union(sf_dir: str):
                      [SDO + "inLanguage", SDO + "isBasedOn"])
 
 
+def _kg_query_path_plus(sf_dir: str):
+    """Property path ?s citation+ ?o: transitive closure of the
+    chain-structured sdo:citation relation — count-gated broadcast
+    pointer-chasing vs distributed semi-naive iteration; oracle is a
+    DuckDB recursive CTE."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_citation_triples
+    from rdfx_ray.pipelines.query import property_path_plus
+
+    return property_path_plus(doc_citation_triples(sf_dir),
+                              SDO + "citation")
+
+
+def _kg_query_path_star(sf_dir: str):
+    """Property path ?s citation* ?o: the + closure plus the
+    zero-length path over the relation's node set."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_citation_triples
+    from rdfx_ray.pipelines.query import property_path_star
+
+    return property_path_star(doc_citation_triples(sf_dir),
+                              SDO + "citation")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdfx_ray.functions import dedup, doc_triples, similarity, text
     from rdfx_ray.pipelines import analytics, analytics_ext
@@ -268,6 +290,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_query_two_hop": _kg_query_two_hop,
         "kg_query_optional": _kg_query_optional,
         "kg_query_union": _kg_query_union,
+        "kg_query_path_plus": _kg_query_path_plus,
+        "kg_query_path_star": _kg_query_path_star,
         # wide-op analytics
         "pricing_summary": lambda sf: analytics.pricing_summary(sf),
         "events_hourly": lambda sf: analytics.events_hourly(sf),
@@ -310,7 +334,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rdfx_ray.functions.doc_triples import DOC_TRIPLES_SQL
+    from rdfx_ray.functions.doc_triples import (
+        CITATION_EDGES_SQL as _CITE_SQL,
+        DOC_TRIPLES_SQL,
+    )
+
+    _PATH_PLUS_SQL = f"""
+        WITH RECURSIVE closure(s, o) AS (
+            SELECT s, o FROM ({_CITE_SQL})
+            UNION
+            SELECT c.s, e.o
+            FROM closure c JOIN ({_CITE_SQL}) e ON c.o = e.s
+        )
+        SELECT s AS subj, o AS obj FROM closure
+    """
     from rdfx_ray.pipelines import analytics_ext as _EXT
     from rdfx_ray.pipelines.asof import EVENTS_ASOF_ORDERS_SQL as _ASOF_SQL
     from rdfx_ray.pipelines.analytics import (
@@ -373,6 +410,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR), source
             FROM documents
+        """,
+        "kg_query_path_plus": _PATH_PLUS_SQL,
+        "kg_query_path_star": f"""
+            {_PATH_PLUS_SQL}
+            UNION
+            SELECT n AS subj, n AS obj FROM (
+                SELECT s AS n FROM ({_CITE_SQL})
+                UNION
+                SELECT o FROM ({_CITE_SQL}))
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -82,6 +82,50 @@ def doc_triples_merged_dedup(sf_dir: str):
         lambda t: t.select(cols), batch_format="pyarrow")
 
 
+CITATION_CHAIN = 16
+
+
+def doc_citation_triples(sf_dir: str):
+    """Chain-structured IRI→IRI relation over the documents table —
+    the graph shape property paths need (doc_triples' predicates are
+    all doc→literal, so ``p+`` over them is depth-1). Deterministic
+    and SQL-replayable: ``urn:doc:N sdo:citation urn:doc:N-1``
+    whenever ``N % CITATION_CHAIN != 0`` → disjoint chains of up to
+    CITATION_CHAIN docs, roots at the multiples."""
+    import ray.data as rd
+
+    schema = pa.schema([
+        ("subj", pa.string()), ("pred", pa.string()),
+        ("obj_kind", pa.string()), ("obj_value", pa.string()),
+        ("obj_datatype", pa.string()), ("graph_iri", pa.string()),
+    ])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy()
+        doc_id = doc_id[doc_id % CITATION_CHAIN != 0]
+        n = len(doc_id)
+        return pa.table({
+            "subj": np.char.add("urn:doc:", doc_id.astype(str)),
+            "pred": np.repeat(SDO + "citation", n),
+            "obj_kind": np.repeat("iri", n),
+            "obj_value": np.char.add("urn:doc:", (doc_id - 1).astype(str)),
+            "obj_datatype": pa.nulls(n, pa.string()),
+            "graph_iri": np.char.add("urn:graph:",
+                                     (doc_id % N_GRAPHS).astype(str)),
+        }).cast(schema)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+CITATION_EDGES_SQL = f"""
+    SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS s,
+           'urn:doc:' || CAST(doc_id - 1 AS VARCHAR) AS o
+    FROM documents WHERE doc_id % {CITATION_CHAIN} <> 0
+"""
+
+
 def graph_partition_sizes(sf_dir: str):
     """Triple count per named-graph partition — the engine's
     ``asset_collection_size`` analogue (SOP SPARQL COUNT,

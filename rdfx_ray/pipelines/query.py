@@ -468,6 +468,143 @@ def union_bgp(triples_ds, preds):
     return acc
 
 
+def property_path_plus(triples_ds, pred: str,
+                       broadcast_cutoff_rows: int = BGP_BROADCAST_ROW_CUTOFF,
+                       num_partitions: int = 16,
+                       max_rounds: int = 64):
+    """SPARQL property path ``?s pred+ ?o`` — the transitive closure
+    of one predicate's IRI→IRI edge set → (subj, obj), set semantics
+    (SPARQL paths are duplicate-free).
+
+    Count-gated physical plans, picked from the EXACT edge count:
+
+    - **broadcast** (edges fit the object store): the edge table is
+      ``ray.put`` ONCE; each streaming batch of depth-1 edges chases
+      its own subjects' chains to completion with in-batch polars
+      joins against the broadcast table — no shuffle at all, rounds
+      bounded by the longest path reachable from the batch. Every
+      closure pair (s, x) is produced exactly once, in the batch that
+      holds s's depth-1 edge.
+    - **distributed semi-naive** (edges over the cutoff): classic
+      Datalog iteration — per round the frontier Δ joins the edge set
+      through Ray Data's hash-shuffle ``Dataset.join``, new pairs are
+      deduplicated against the accumulated closure with a left-outer
+      anti-join (cycle safety + termination), and the loop stops when
+      Δ is empty. Rounds = graph depth; each round is one bounded
+      all-to-all. ``max_rounds`` guards pathological depth.
+
+    Partitioning contract for the large path: both join keys are the
+    node IRI string — co-location is per-round, no global index."""
+    import ray
+
+    out_schema = pa.schema([("subj", pa.string()), ("obj", pa.string())])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({"subj": batch.column("subj"),
+                         "obj": batch.column("obj_value")}).cast(out_schema)
+
+    edges = (triple_pattern(triples_ds, pred=pred, obj_kind="iri")
+             .map_batches(proj, batch_format="pyarrow"))
+
+    if edges.count() <= broadcast_cutoff_rows:
+        import polars as pl
+        e_tbl = pa.concat_tables(list(edges.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")))
+        eref = ray.put(e_tbl)
+
+        def chase(batch: pa.Table) -> pa.Table:
+            from ..functions.broadcast import cached_get
+            # (o → o2) hop table, renamed for the chain join
+            hop = pl.from_arrow(cached_get(eref)) \
+                    .rename({"subj": "obj", "obj": "_o2"})
+            acc = pl.from_arrow(batch.cast(out_schema))
+            frontier = acc
+            for _ in range(max_rounds):
+                nxt = (frontier.join(hop, on="obj", how="inner")
+                       .select([pl.col("subj"), pl.col("_o2").alias("obj")]))
+                if nxt.height == 0:
+                    break
+                # anti-join vs acc: dedups revisits so a cycle
+                # terminates (frontier empties once nothing is new)
+                nxt = nxt.unique().join(acc, on=["subj", "obj"],
+                                        how="anti")
+                if nxt.height == 0:
+                    break
+                acc = pl.concat([acc, nxt])
+                frontier = nxt
+            return acc.to_arrow().cast(out_schema)
+
+        return edges.map_batches(chase, batch_format="pyarrow")
+
+    # distributed semi-naive: acc/delta live as Datasets; per round one
+    # hash-shuffle join (extend) + one left-outer anti-join (dedup)
+    def _rename(names):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.rename_columns(names)
+        return fn
+
+    hop_r = edges.map_batches(_rename(["_hs", "_ho"]),
+                              batch_format="pyarrow")
+    acc = edges
+    delta = edges
+    for _ in range(max_rounds):
+        nxt = (delta.join(hop_r, "inner", num_partitions,
+                          on=("obj",), right_on=("_hs",))
+               .select_columns(["subj", "_ho"])
+               .map_batches(_rename(["subj", "obj"]),
+                            batch_format="pyarrow"))
+        # distinct within the round, then anti-join against acc:
+        # left_outer + null-marker filter (Ray Data has no native anti)
+        from ray.data.aggregate import Count
+        nxt = (nxt.groupby(["subj", "obj"])
+                  .aggregate(Count(alias_name="_n"))
+                  .select_columns(["subj", "obj"])
+                  .materialize())
+        # an empty round must terminate BEFORE the anti-join: an empty
+        # aggregate yields a schema-less block that breaks the join
+        if nxt.count() == 0:
+            break
+        marked = acc.map_batches(
+            lambda b: b.append_column(
+                "_seen", pa.array(np.ones(b.num_rows, dtype=np.int8))),
+            batch_format="pyarrow").map_batches(
+            _rename(["_as", "_ao", "_seen"]), batch_format="pyarrow")
+        joined = nxt.join(marked, "left_outer", num_partitions,
+                          on=("subj", "obj"), right_on=("_as", "_ao"))
+        delta = joined.map_batches(
+            lambda b: b.filter(pc.is_null(b.column("_seen")))
+                       .select(["subj", "obj"]),
+            batch_format="pyarrow").materialize()
+        if delta.count() == 0:
+            break
+        acc = acc.union(delta).materialize()
+    return acc
+
+
+def property_path_star(triples_ds, pred: str, **kwargs):
+    """SPARQL ``?s pred* ?o`` = the ``pred+`` closure plus the
+    zero-length path (n, n) for every node in the predicate's edge
+    set (SPARQL's zero-length path over the evaluated graph's terms,
+    restricted to the predicate's domain∪range — the shape a
+    recursive-CTE oracle can replay)."""
+    plus = property_path_plus(triples_ds, pred, **kwargs)
+    out_schema = pa.schema([("subj", pa.string()), ("obj", pa.string())])
+
+    def nodes(batch: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([
+            batch.column("subj").combine_chunks().cast(pa.string()),
+            batch.column("obj_value").combine_chunks().cast(pa.string())])
+        uniq = pc.unique(both)
+        return pa.table({"subj": uniq, "obj": uniq}).cast(out_schema)
+
+    from ray.data.aggregate import Count
+    zero = (triple_pattern(triples_ds, pred=pred, obj_kind="iri")
+            .map_batches(nodes, batch_format="pyarrow")
+            .groupby(["subj", "obj"]).aggregate(Count(alias_name="_n"))
+            .select_columns(["subj", "obj"]))
+    return plus.union(zero)
+
+
 def bgp_join_native(triples_ds, pred_a: str, pred_b: str,
                     num_partitions: int = 16):
     """Same BGP as :func:`bgp_join` but via Ray Data's NATIVE hash

@@ -264,3 +264,69 @@ def test_revenue_by_region_count_gate(ray_session):
     key = ["r_name"]
     assert a.sort_values(key).reset_index(drop=True).equals(
         b.sort_values(key).reset_index(drop=True))
+
+
+def test_property_path_plus_and_star(ray_session):
+    """?s citation+ ?o transitive closure: broadcast pointer-chasing
+    and the distributed semi-naive plan (cutoff=0) produce the
+    identical pair set, matching a locally computed closure; * adds
+    exactly the node identity pairs."""
+    from rdfx_ray.functions.doc_triples import (
+        CITATION_CHAIN,
+        SDO,
+        doc_citation_triples,
+    )
+    from rdfx_ray.pipelines.query import (
+        property_path_plus,
+        property_path_star,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    ds = doc_citation_triples(SF)
+    a = property_path_plus(ds, SDO + "citation").to_pandas()
+
+    # local reference closure over the deterministic chain relation
+    import pandas as pd
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    want = set()
+    for d in docs["doc_id"]:
+        cur = int(d)
+        while cur % CITATION_CHAIN != 0:
+            want.add((f"urn:doc:{int(d)}", f"urn:doc:{cur - 1}"))
+            cur -= 1
+    got = set(zip(a["subj"], a["obj"]))
+    assert got == want and len(a) == len(got)  # set semantics, no dups
+
+    b = property_path_plus(ds, SDO + "citation",
+                           broadcast_cutoff_rows=0,
+                           num_partitions=2).to_pandas()
+    assert set(zip(b["subj"], b["obj"])) == want and len(b) == len(want)
+
+    s = property_path_star(ds, SDO + "citation").to_pandas()
+    nodes = {t for pair in want for t in pair} \
+        | {f"urn:doc:{int(d)}" for d in docs["doc_id"]
+           if int(d) % CITATION_CHAIN != 0}
+    assert set(zip(s["subj"], s["obj"])) == want | {(n, n) for n in nodes}
+    assert len(s) == len(want) + len(nodes)
+
+
+def test_property_path_plus_cycle_terminates(ray_session):
+    """A cyclic edge set must terminate (anti-join dedup) and return
+    the full closure — every node reaches every node in a 4-cycle."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rdfx_ray.pipelines.query import property_path_plus
+
+    n = 4
+    rows = [{"subj": f"urn:n:{i}", "pred": "urn:p",
+             "obj_kind": "iri", "obj_value": f"urn:n:{(i + 1) % n}",
+             "obj_datatype": None, "graph_iri": "urn:g"}
+            for i in range(n)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    for kw in ({}, {"broadcast_cutoff_rows": 0, "num_partitions": 2}):
+        out = property_path_plus(ds, "urn:p", **kw).to_pandas()
+        got = set(zip(out["subj"], out["obj"]))
+        assert got == {(f"urn:n:{i}", f"urn:n:{j}")
+                       for i in range(n) for j in range(n)}
+        assert len(out) == n * n
