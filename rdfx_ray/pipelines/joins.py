@@ -173,27 +173,39 @@ def partitioned_hash_join(left, right, left_on: str, right_on: str,
                                             batch_format="pandas")
 
 
-def revenue_by_region_shuffle(sf_dir: str):
+def revenue_by_region_shuffle(sf_dir: str,
+                              customer_broadcast_cutoff_rows:
+                              Optional[int] = None):
     """Same result as analytics.revenue_by_region, but the
     lineitem ⋈ orders step runs as a partitioned hash join (the
     both-sides-large strategy) instead of a broadcast — exercising the
-    explicit exchange path with an identical SQL oracle."""
+    explicit exchange path with an identical SQL oracle.
+
+    The dimension chain is count-gated ONE LEVEL DOWN too: customer
+    grows with orders (TPC-H customer ≈ orders/10 — fact-scale at
+    100×), so its EXACT footer row count decides. Under the cutoff the
+    customer⋈nation⋈region chain composes driver-side into one
+    custkey→r_name lookup (the fast small path). Over it, ONLY
+    nation⋈region (≤ #nations rows, truly bounded) is broadcast and
+    the customer hop runs as a second partitioned hash join over
+    per-batch (custkey, revenue) partials — no driver collect of any
+    side that scales with the fact tables."""
     import pyarrow.parquet as pq
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    # dimension chain beyond orders stays tiny → driver-side compose
-    customer = pq.read_table(f"{sf_dir}/customer.parquet",
-                             columns=["c_custkey", "c_nationkey"]).to_pandas()
+    from ..pipelines.analytics import BROADCAST_ORDERS_ROW_CUTOFF
+    if customer_broadcast_cutoff_rows is None:
+        customer_broadcast_cutoff_rows = BROADCAST_ORDERS_ROW_CUTOFF
+
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_regionkey"]).to_pandas()
     region = pq.read_table(f"{sf_dir}/region.parquet",
                            columns=["r_regionkey", "r_name"]).to_pandas()
-    cust_region = (customer
-                   .merge(nation, left_on="c_nationkey",
-                          right_on="n_nationkey")
-                   .merge(region, left_on="n_regionkey",
-                          right_on="r_regionkey")[["c_custkey", "r_name"]])
+    nation_region = (nation
+                     .merge(region, left_on="n_regionkey",
+                            right_on="r_regionkey")
+                     [["n_nationkey", "r_name"]])
 
     lineitem = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_extendedprice",
@@ -207,23 +219,85 @@ def revenue_by_region_shuffle(sf_dir: str):
     import ray
 
     from ..functions.broadcast import cached_get
-    cr_ref = ray.put(cust_region)
 
-    def partial(batch: pa.Table) -> pa.Table:
+    n_customer = pq.ParquetFile(
+        f"{sf_dir}/customer.parquet").metadata.num_rows
+    if n_customer <= customer_broadcast_cutoff_rows:
+        customer = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"]).to_pandas()
+        cust_region = (customer
+                       .merge(nation_region, left_on="c_nationkey",
+                              right_on="n_nationkey")
+                       [["c_custkey", "r_name"]])
+        cr_ref = ray.put(cust_region)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            if df.empty:
+                return pa.table({"r_name": pa.array([], pa.string()),
+                                 "revenue_c4": pa.array([], pa.int64())})
+            df = df.merge(cached_get(cr_ref), left_on="o_custkey",
+                          right_on="c_custkey")
+            rev = np.floor(df["l_extendedprice"].to_numpy()
+                           * (1.0 - df["l_discount"].to_numpy()) * 10_000
+                           + 0.5).astype(np.int64)
+            g = pd.DataFrame({"r_name": df["r_name"], "rev": rev}) \
+                .groupby("r_name", as_index=False)["rev"].sum() \
+                .rename(columns={"rev": "revenue_c4"})
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return (joined.map_batches(partial, batch_format="pyarrow")
+                      .groupby("r_name")
+                      .aggregate(Sum("revenue_c4", alias_name="revenue_c4")))
+
+    # customer over the cutoff: pre-aggregate revenue per custkey inside
+    # each batch (shrinks the exchange to ≤ #distinct custkeys per
+    # block), second partitioned hash join against customer, then the
+    # bounded nation⋈region broadcast maps nationkey → region name
+    cust_partial_schema = pa.schema([("o_custkey", pa.int64()),
+                                     ("revenue_c4", pa.int64())])
+
+    def per_cust_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         if df.empty:
-            return pa.table({"r_name": pa.array([], pa.string()),
-                             "revenue_c4": pa.array([], pa.int64())})
-        df = df.merge(cached_get(cr_ref), left_on="o_custkey",
-                      right_on="c_custkey")
+            return cust_partial_schema.empty_table()
         rev = np.floor(df["l_extendedprice"].to_numpy()
                        * (1.0 - df["l_discount"].to_numpy()) * 10_000
                        + 0.5).astype(np.int64)
-        g = pd.DataFrame({"r_name": df["r_name"], "rev": rev}) \
-            .groupby("r_name", as_index=False)["rev"].sum() \
-            .rename(columns={"rev": "revenue_c4"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pd.DataFrame({"o_custkey":
+                          df["o_custkey"].to_numpy(np.int64),
+                          "revenue_c4": rev}) \
+            .groupby("o_custkey", as_index=False)["revenue_c4"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .cast(cust_partial_schema)
 
-    return (joined.map_batches(partial, batch_format="pyarrow")
-                  .groupby("r_name")
-                  .aggregate(Sum("revenue_c4", alias_name="revenue_c4")))
+    per_cust = joined.map_batches(per_cust_partial, batch_format="pyarrow")
+    customer_ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                                  columns=["c_custkey", "c_nationkey"])
+    cust_schema = pa.schema([("c_custkey", pa.int64()),
+                             ("c_nationkey", pa.int64())])
+    joined2 = partitioned_hash_join(per_cust, customer_ds,
+                                    "o_custkey", "c_custkey", n_buckets=16,
+                                    left_schema=cust_partial_schema,
+                                    right_schema=cust_schema)
+    nr_ref = ray.put(nation_region)
+
+    out_schema = pa.schema([("r_name", pa.string()),
+                            ("revenue_c4", pa.int64())])
+
+    def to_region(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return out_schema.empty_table()
+        df = df.merge(cached_get(nr_ref), left_on="c_nationkey",
+                      right_on="n_nationkey")
+        g = df.groupby("r_name", as_index=False)["revenue_c4"].sum()
+        # a pandas hop can widen int64 (null padding in the exchange)
+        # → pin the block schema so the final Sum stays integral
+        return pa.Table.from_pandas(g[["r_name", "revenue_c4"]],
+                                    preserve_index=False).cast(out_schema)
+
+    return (joined2.map_batches(to_region, batch_format="pyarrow")
+                   .groupby("r_name")
+                   .aggregate(Sum("revenue_c4", alias_name="revenue_c4")))

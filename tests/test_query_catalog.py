@@ -265,6 +265,16 @@ def test_revenue_by_region_count_gate(ray_session):
     assert a.sort_values(key).reset_index(drop=True).equals(
         b.sort_values(key).reset_index(drop=True))
 
+    # one level down: customer over ITS cutoff must also avoid the
+    # driver (second partitioned hash join; only nation⋈region
+    # broadcast) and still agree
+    from rdfx_ray.pipelines.joins import revenue_by_region_shuffle
+    c = revenue_by_region_shuffle(
+        SF, customer_broadcast_cutoff_rows=0).to_pandas()
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        c[["r_name", "revenue_c4"]].sort_values(key)
+        .reset_index(drop=True))
+
 
 def test_property_path_plus_and_star(ray_session):
     """?s citation+ ?o transitive closure: broadcast pointer-chasing
