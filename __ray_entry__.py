@@ -199,6 +199,17 @@ def _kg_query_union(sf_dir: str):
                      [SDO + "inLanguage", SDO + "isBasedOn"])
 
 
+def _kg_query_minus(sf_dir: str):
+    """MINUS / FILTER NOT EXISTS BGP: ?s inLanguage ?va FILTER NOT
+    EXISTS { ?s isBasedOn 'src3' } — count-gated broadcast is_in
+    anti-filter vs left_outer null-marker anti-join."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import minus_bgp
+
+    return minus_bgp(doc_triples(sf_dir), SDO + "inLanguage",
+                     SDO + "isBasedOn", minus_obj="src3")
+
+
 def _kg_query_path_plus(sf_dir: str):
     """Property path ?s citation+ ?o: transitive closure of the
     chain-structured sdo:citation relation — count-gated broadcast
@@ -290,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_query_two_hop": _kg_query_two_hop,
         "kg_query_optional": _kg_query_optional,
         "kg_query_union": _kg_query_union,
+        "kg_query_minus": _kg_query_minus,
         "kg_query_path_plus": _kg_query_path_plus,
         "kg_query_path_star": _kg_query_path_star,
         # wide-op analytics
@@ -410,6 +422,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR), source
             FROM documents
+        """,
+        "kg_query_minus": """
+            SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj,
+                   lang AS va
+            FROM documents WHERE source <> 'src3'
         """,
         "kg_query_path_plus": _PATH_PLUS_SQL,
         "kg_query_path_star": f"""

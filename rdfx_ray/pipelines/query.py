@@ -449,6 +449,61 @@ def optional_bgp(triples_ds, pred_a: str, pred_opt: str,
     return joined.select_columns(["subj", "va", "vb"])
 
 
+def minus_bgp(triples_ds, pred_a: str, minus_pred: str,
+              minus_obj: Optional[str] = None,
+              broadcast_cutoff_rows: int = BGP_BROADCAST_ROW_CUTOFF,
+              num_partitions: int = 16):
+    """MINUS / FILTER NOT EXISTS BGP: ``?s pred_a ?va FILTER NOT
+    EXISTS { ?s minus_pred [minus_obj] }`` → (subj, va) for subjects
+    with NO match of the excluded pattern — SPARQL anti-join
+    semantics (MINUS and NOT EXISTS coincide on this shape: the
+    patterns share ``?s``).
+
+    Count-gated: a small excluded-subject set broadcasts once and
+    each batch drops members with an inverted vectorized ``pc.is_in``
+    (no shuffle); a large one routes through Ray Data's left_outer
+    hash join with a null-marker filter (no native anti join)."""
+    import ray
+
+    out_schema = pa.schema([("subj", pa.string()), ("va", pa.string())])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({"subj": batch.column("subj"),
+                         "va": batch.column("obj_value")}).cast(out_schema)
+
+    left = (triple_pattern(triples_ds, pred=pred_a)
+            .map_batches(proj, batch_format="pyarrow"))
+    excl = triple_pattern(triples_ds, pred=minus_pred,
+                          obj_value=minus_obj) \
+        .map_batches(lambda b: pa.table({"subj": b.column("subj")}),
+                     batch_format="pyarrow")
+
+    if excl.count() <= broadcast_cutoff_rows:
+        e_tbl = pa.concat_tables(list(excl.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")))
+        eref = ray.put(e_tbl.column("subj").combine_chunks())
+
+        def drop(batch: pa.Table) -> pa.Table:
+            from ..functions.broadcast import cached_get
+            hit = pc.is_in(batch.column("subj"),
+                           value_set=cached_get(eref))
+            return batch.filter(pc.invert(hit))
+
+        return left.map_batches(drop, batch_format="pyarrow")
+
+    marked = excl.map_batches(
+        lambda b: pa.table({"_subj_r": b.column("subj"),
+                            "_seen": pa.array(
+                                np.ones(b.num_rows, dtype=np.int8))}),
+        batch_format="pyarrow")
+    joined = left.join(marked, "left_outer", num_partitions,
+                       on=("subj",), right_on=("_subj_r",))
+    return joined.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("_seen")))
+                   .select(["subj", "va"]),
+        batch_format="pyarrow")
+
+
 def union_bgp(triples_ds, preds):
     """UNION BGP: ``{ ?s p1 ?v } UNION { ?s p2 ?v } …`` → (subj, v),
     bag semantics (SPARQL UNION = concatenation, no dedup). Pure

@@ -340,3 +340,27 @@ def test_property_path_plus_cycle_terminates(ray_session):
         assert got == {(f"urn:n:{i}", f"urn:n:{j}")
                        for i in range(n) for j in range(n)}
         assert len(out) == n * n
+
+
+def test_minus_bgp_both_routes(ray_session):
+    """MINUS anti-join: broadcast inverted-is_in and the left_outer
+    null-marker route return identical rows — docs NOT based on src3,
+    and none of the excluded subjects survive."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import minus_bgp, triple_pattern
+
+    SF = "/root/testdata/sf0.001"
+    ds = doc_triples(SF)
+    a = minus_bgp(ds, SDO + "inLanguage", SDO + "isBasedOn",
+                  minus_obj="src3").to_pandas()
+    b = minus_bgp(ds, SDO + "inLanguage", SDO + "isBasedOn",
+                  minus_obj="src3", broadcast_cutoff_rows=0,
+                  num_partitions=2).to_pandas()
+    key = ["subj", "va"]
+    assert len(a) > 0
+    excluded = set(triple_pattern(ds, pred=SDO + "isBasedOn",
+                                  obj_value="src3")
+                   .to_pandas()["subj"])
+    assert excluded and not (set(a["subj"]) & excluded)
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b[key].sort_values(key).reset_index(drop=True))
