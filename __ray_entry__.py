@@ -222,6 +222,17 @@ def _kg_query_path_plus(sf_dir: str):
                               SDO + "citation")
 
 
+def _kg_query_path_seq(sf_dir: str):
+    """Sequence path ?s citation/citation ?o (grandparent hop):
+    two-hop composition through the intermediate node — count-gated
+    broadcast probe vs native hash-shuffle join."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_citation_triples
+    from rdfx_ray.pipelines.query import property_path_seq
+
+    return property_path_seq(doc_citation_triples(sf_dir),
+                             SDO + "citation", SDO + "citation")
+
+
 def _kg_query_path_star(sf_dir: str):
     """Property path ?s citation* ?o: the + closure plus the
     zero-length path over the relation's node set."""
@@ -303,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_query_union": _kg_query_union,
         "kg_query_minus": _kg_query_minus,
         "kg_query_path_plus": _kg_query_path_plus,
+        "kg_query_path_seq": _kg_query_path_seq,
         "kg_query_path_star": _kg_query_path_star,
         # wide-op analytics
         "pricing_summary": lambda sf: analytics.pricing_summary(sf),
@@ -429,6 +441,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE source <> 'src3'
         """,
         "kg_query_path_plus": _PATH_PLUS_SQL,
+        "kg_query_path_seq": f"""
+            SELECT e1.s AS subj, e2.o AS obj
+            FROM ({_CITE_SQL}) e1 JOIN ({_CITE_SQL}) e2 ON e1.o = e2.s
+        """,
         "kg_query_path_star": f"""
             {_PATH_PLUS_SQL}
             UNION

@@ -636,6 +636,56 @@ def property_path_plus(triples_ds, pred: str,
     return acc
 
 
+def property_path_seq(triples_ds, pred_1: str, pred_2: str,
+                      broadcast_cutoff_rows: int = BGP_BROADCAST_ROW_CUTOFF,
+                      num_partitions: int = 16):
+    """SPARQL sequence path ``?s pred_1/pred_2 ?o`` — compose two
+    hops through the intermediate node: ``?s pred_1 ?m . ?m pred_2
+    ?o`` with ``?m`` projected away → (subj, obj), bag semantics
+    (each distinct ``?m`` witness contributes a row, like SPARQL's
+    BGP expansion of the path).
+
+    Count-gated: the second hop's EXACT count decides — small →
+    broadcast it once and probe per batch of the first hop (map-side
+    join on the intermediate, no shuffle); large → Ray Data's native
+    hash-shuffle join on the intermediate node."""
+    import ray
+
+    out_schema = pa.schema([("subj", pa.string()), ("obj", pa.string())])
+
+    def proj(s_name, o_name):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({s_name: batch.column("subj"),
+                             o_name: batch.column("obj_value")})
+        return fn
+
+    hop1 = (triple_pattern(triples_ds, pred=pred_1)
+            .map_batches(proj("subj", "_m"), batch_format="pyarrow"))
+    hop2 = (triple_pattern(triples_ds, pred=pred_2)
+            .map_batches(proj("_m", "obj"), batch_format="pyarrow"))
+
+    if hop2.count() <= broadcast_cutoff_rows:
+        import polars as pl
+        h2 = pa.concat_tables(list(hop2.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")))
+        href = ray.put(h2)
+
+        def probe(batch: pa.Table) -> pa.Table:
+            from ..functions.broadcast import cached_get
+            right = pl.from_arrow(cached_get(href))
+            left = pl.from_arrow(batch)
+            return (left.join(right, on="_m", how="inner")
+                    .select(["subj", "obj"]).to_arrow().cast(out_schema))
+
+        return hop1.map_batches(probe, batch_format="pyarrow")
+
+    hop2_r = hop2.map_batches(lambda b: b.rename_columns(["_m_r", "obj"]),
+                              batch_format="pyarrow")
+    return (hop1.join(hop2_r, "inner", num_partitions,
+                      on=("_m",), right_on=("_m_r",))
+            .select_columns(["subj", "obj"]))
+
+
 def property_path_star(triples_ds, pred: str, **kwargs):
     """SPARQL ``?s pred* ?o`` = the ``pred+`` closure plus the
     zero-length path (n, n) for every node in the predicate's edge

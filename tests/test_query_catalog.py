@@ -364,3 +364,33 @@ def test_minus_bgp_both_routes(ray_session):
     assert excluded and not (set(a["subj"]) & excluded)
     assert a.sort_values(key).reset_index(drop=True).equals(
         b[key].sort_values(key).reset_index(drop=True))
+
+
+def test_property_path_seq_both_routes(ray_session):
+    """Sequence path p1/p2: broadcast probe and native shuffle join
+    agree and equal the composed two-hop pairs."""
+    from rdfx_ray.functions.doc_triples import (
+        CITATION_CHAIN,
+        SDO,
+        doc_citation_triples,
+    )
+    from rdfx_ray.pipelines.query import property_path_seq
+
+    SF = "/root/testdata/sf0.001"
+    ds = doc_citation_triples(SF)
+    a = property_path_seq(ds, SDO + "citation", SDO + "citation") \
+        .to_pandas()
+    b = property_path_seq(ds, SDO + "citation", SDO + "citation",
+                          broadcast_cutoff_rows=0,
+                          num_partitions=2).to_pandas()
+
+    import pandas as pd
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    want = {(f"urn:doc:{int(d)}", f"urn:doc:{int(d) - 2}")
+            for d in docs["doc_id"]
+            if int(d) % CITATION_CHAIN != 0
+            and (int(d) - 1) % CITATION_CHAIN != 0}
+    assert set(zip(a["subj"], a["obj"])) == want and len(a) == len(want)
+    key = ["subj", "obj"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b[key].sort_values(key).reset_index(drop=True))
