@@ -243,6 +243,68 @@ def _kg_query_path_star(sf_dir: str):
                               SDO + "citation")
 
 
+def _kg_query_group_count(sf_dir: str):
+    """SPARQL GROUP BY aggregate: SELECT ?v (COUNT(?s) AS n)
+    { ?s inLanguage ?v } GROUP BY ?v — per-batch partial value_counts
+    bound the shuffle to O(distinct × blocks)."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import group_count_bgp
+
+    return group_count_bgp(doc_triples(sf_dir), SDO + "inLanguage")
+
+
+def _kg_query_filter_expr(sf_dir: str):
+    """Numeric FILTER expression: ?s characterCount ?c
+    FILTER(xsd:integer(?c) >= 300) — typed-literal comparison,
+    streaming vectorized cast + compare."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import filter_expr_bgp
+
+    return filter_expr_bgp(doc_triples(sf_dir), SDO + "characterCount",
+                           min_value=300)
+
+
+def _kg_query_filter_regex(sf_dir: str):
+    """FILTER regex(?v, 'src1[0-9]$') over ?s isBasedOn ?v — RE2 on
+    both engines (pyarrow match_substring_regex / DuckDB
+    regexp_matches)."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import filter_regex_bgp
+
+    return filter_regex_bgp(doc_triples(sf_dir), SDO + "isBasedOn",
+                            "src1[0-9]$")
+
+
+def _kg_query_values(sf_dir: str):
+    """VALUES inline data: VALUES ?v { 'en' 'de' } . ?s inLanguage ?v
+    — closure-shipped bind set, vectorized is_in per batch."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import values_bgp
+
+    return values_bgp(doc_triples(sf_dir), SDO + "inLanguage",
+                      ["en", "de"])
+
+
+def _kg_query_order_limit(sf_dir: str):
+    """ORDER BY DESC(xsd:integer(?c)) LIMIT 100 over ?s characterCount
+    ?c — distributed top-k (per-batch partial top-k before the sort
+    exchange), deterministic subj tiebreak."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import order_limit_bgp
+
+    return order_limit_bgp(doc_triples(sf_dir), SDO + "characterCount",
+                           k=100)
+
+
+def _kg_query_distinct(sf_dir: str):
+    """SELECT DISTINCT ?v { ?s isBasedOn ?v } — batch-local unique →
+    distinct shuffle (groupby-aggregate form)."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import distinct_values_bgp
+
+    return distinct_values_bgp(doc_triples(sf_dir), SDO + "isBasedOn")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdfx_ray.functions import dedup, doc_triples, similarity, text
     from rdfx_ray.pipelines import analytics, analytics_ext
@@ -316,6 +378,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_query_path_plus": _kg_query_path_plus,
         "kg_query_path_seq": _kg_query_path_seq,
         "kg_query_path_star": _kg_query_path_star,
+        "kg_query_group_count": _kg_query_group_count,
+        "kg_query_filter_expr": _kg_query_filter_expr,
+        "kg_query_filter_regex": _kg_query_filter_regex,
+        "kg_query_values": _kg_query_values,
+        "kg_query_order_limit": _kg_query_order_limit,
+        "kg_query_distinct": _kg_query_distinct,
         # wide-op analytics
         "pricing_summary": lambda sf: analytics.pricing_summary(sf),
         "events_hourly": lambda sf: analytics.events_hourly(sf),
@@ -439,6 +507,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj,
                    lang AS va
             FROM documents WHERE source <> 'src3'
+        """,
+        "kg_query_group_count": """
+            SELECT lang AS v, COUNT(*) AS n
+            FROM documents GROUP BY lang
+        """,
+        "kg_query_filter_expr": """
+            SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj,
+                   CAST(n_chars AS BIGINT) AS c
+            FROM documents WHERE n_chars >= 300
+        """,
+        "kg_query_filter_regex": """
+            SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj,
+                   source AS v
+            FROM documents WHERE regexp_matches(source, 'src1[0-9]$')
+        """,
+        "kg_query_values": """
+            SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj,
+                   lang AS v
+            FROM documents WHERE lang IN ('en', 'de')
+        """,
+        "kg_query_order_limit": """
+            SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj,
+                   CAST(n_chars AS BIGINT) AS c
+            FROM documents
+            ORDER BY c DESC, subj LIMIT 100
+        """,
+        "kg_query_distinct": """
+            SELECT DISTINCT source AS v FROM documents
         """,
         "kg_query_path_plus": _PATH_PLUS_SQL,
         "kg_query_path_seq": f"""

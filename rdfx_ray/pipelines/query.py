@@ -710,6 +710,122 @@ def property_path_star(triples_ds, pred: str, **kwargs):
     return plus.union(zero)
 
 
+def group_count_bgp(triples_ds, pred: str):
+    """SPARQL GROUP BY aggregate: ``SELECT ?v (COUNT(?s) AS n)
+    WHERE { ?s pred ?v } GROUP BY ?v`` → (v, n).
+
+    Partial-aggregation discipline: each batch folds to its local
+    ``value_counts`` (one row per distinct value per batch), so the
+    shuffle carries O(distinct × blocks) rows, never O(corpus) — the
+    pattern every grouped aggregate here uses."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("obj_value").combine_chunks())
+        return pa.table({"v": vc.field("values"),
+                         "n": vc.field("counts")})
+
+    return (triple_pattern(triples_ds, pred=pred)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("n", alias_name="n")))
+
+
+def filter_expr_bgp(triples_ds, pred: str, min_value: int):
+    """SPARQL numeric FILTER expression: ``?s pred ?c
+    FILTER(xsd:integer(?c) >= min_value)`` → (subj, c) with ``c``
+    emitted as BIGINT (typed-literal comparison, not string order).
+    Pure streaming: vectorized cast + compare per batch, no shuffle."""
+    out_schema = pa.schema([("subj", pa.string()), ("c", pa.int64())])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        c = pc.cast(batch.column("obj_value"), pa.int64())
+        keep = pc.greater_equal(c, min_value)
+        return pa.table({"subj": batch.column("subj"),
+                         "c": c}).filter(keep).cast(out_schema)
+
+    return triple_pattern(triples_ds, pred=pred) \
+        .map_batches(fn, batch_format="pyarrow")
+
+
+def filter_regex_bgp(triples_ds, pred: str, pattern: str):
+    """SPARQL ``FILTER regex(?v, pattern)`` → (subj, v). Vectorized
+    RE2 via ``pc.match_substring_regex`` — the same engine DuckDB's
+    ``regexp_matches`` uses, so oracle semantics match by
+    construction (keep patterns inside RE2's common subset; the
+    text-ops module proves the same discipline for its BPE regex)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = pc.match_substring_regex(batch.column("obj_value"),
+                                        pattern)
+        out = batch.filter(keep)
+        return pa.table({"subj": out.column("subj"),
+                         "v": out.column("obj_value")})
+
+    return triple_pattern(triples_ds, pred=pred) \
+        .map_batches(fn, batch_format="pyarrow")
+
+
+def values_bgp(triples_ds, pred: str, values):
+    """SPARQL VALUES inline data: ``VALUES ?v { v1 v2 … } . ?s pred
+    ?v`` → (subj, v). The bind set is query text — tiny by
+    construction — so it ships inside the task closure and each batch
+    filters with one vectorized ``pc.is_in``; no shuffle, no driver
+    collect."""
+    vset = pa.array(list(values), pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("obj_value"), value_set=vset)
+        out = batch.filter(keep)
+        return pa.table({"subj": out.column("subj"),
+                         "v": out.column("obj_value")})
+
+    return triple_pattern(triples_ds, pred=pred) \
+        .map_batches(fn, batch_format="pyarrow")
+
+
+def order_limit_bgp(triples_ds, pred: str, k: int = 100):
+    """SPARQL solution modifiers ``ORDER BY DESC(xsd:integer(?c))
+    LIMIT k`` over ``?s pred ?c`` → the top-k (subj, c) rows, with a
+    deterministic subj tiebreak so the row SET matches any engine.
+
+    Distributed top-k, not a full sort: each batch keeps its local
+    top-k (vectorized polars sort+head), so the global sort exchange
+    sees at most k × blocks rows — the events_topk_users discipline
+    applied to the triple plane."""
+    out_schema = pa.schema([("subj", pa.string()), ("c", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        t = pa.table({"subj": batch.column("subj"),
+                      "c": pc.cast(batch.column("obj_value"),
+                                   pa.int64())})
+        return (pl.from_arrow(t)
+                .sort(["c", "subj"], descending=[True, False])
+                .head(k).to_arrow().cast(out_schema))
+
+    return (triple_pattern(triples_ds, pred=pred)
+            .map_batches(partial, batch_format="pyarrow")
+            .sort(["c", "subj"], descending=[True, False])
+            .limit(k))
+
+
+def distinct_values_bgp(triples_ds, pred: str):
+    """``SELECT DISTINCT ?v WHERE { ?s pred ?v }`` → (v). Batch-local
+    ``pc.unique`` bounds the distinct shuffle to O(distinct × blocks)
+    rows; the groupby-aggregate form (not map_groups — distinct
+    groups are mostly singletons, ~ms of overhead per group)."""
+    from ray.data.aggregate import Count
+
+    def local(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": pc.unique(batch.column("obj_value").combine_chunks())})
+
+    return (triple_pattern(triples_ds, pred=pred)
+            .map_batches(local, batch_format="pyarrow")
+            .groupby("v").aggregate(Count(alias_name="_n"))
+            .select_columns(["v"]))
+
+
 def bgp_join_native(triples_ds, pred_a: str, pred_b: str,
                     num_partitions: int = 16):
     """Same BGP as :func:`bgp_join` but via Ray Data's NATIVE hash

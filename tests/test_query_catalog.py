@@ -394,3 +394,62 @@ def test_property_path_seq_both_routes(ray_session):
     key = ["subj", "obj"]
     assert a.sort_values(key).reset_index(drop=True).equals(
         b[key].sort_values(key).reset_index(drop=True))
+
+
+def test_sparql_modifier_shapes_match_duckdb(ray_session):
+    """GROUP BY aggregate, numeric FILTER, regex FILTER, VALUES,
+    ORDER BY/LIMIT and DISTINCT shapes each match a direct DuckDB
+    replay over the documents table (the same SQL the driver oracle
+    runs)."""
+    import duckdb
+    import pandas as pd
+
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import (
+        distinct_values_bgp,
+        filter_expr_bgp,
+        filter_regex_bgp,
+        group_count_bgp,
+        order_limit_bgp,
+        values_bgp,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    ds = doc_triples(SF)
+
+    def norm(df, key):
+        return df.sort_values(key).reset_index(drop=True)
+
+    cases = [
+        (group_count_bgp(ds, SDO + "inLanguage"),
+         "SELECT lang AS v, COUNT(*) AS n FROM documents GROUP BY lang",
+         ["v"]),
+        (filter_expr_bgp(ds, SDO + "characterCount", 300),
+         "SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj, "
+         "CAST(n_chars AS BIGINT) AS c FROM documents "
+         "WHERE n_chars >= 300", ["subj"]),
+        (filter_regex_bgp(ds, SDO + "isBasedOn", "src1[0-9]$"),
+         "SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj, "
+         "source AS v FROM documents "
+         "WHERE regexp_matches(source, 'src1[0-9]$')", ["subj"]),
+        (values_bgp(ds, SDO + "inLanguage", ["en", "de"]),
+         "SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj, "
+         "lang AS v FROM documents WHERE lang IN ('en', 'de')",
+         ["subj"]),
+        (order_limit_bgp(ds, SDO + "characterCount", k=100),
+         "SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj, "
+         "CAST(n_chars AS BIGINT) AS c FROM documents "
+         "ORDER BY c DESC, subj LIMIT 100", ["subj"]),
+        (distinct_values_bgp(ds, SDO + "isBasedOn"),
+         "SELECT DISTINCT source AS v FROM documents", ["v"]),
+    ]
+    for got_ds, sql, key in cases:
+        got = got_ds.to_pandas()
+        want = con.sql(sql).df()
+        assert len(got) > 0, sql
+        pd.testing.assert_frame_equal(
+            norm(got[want.columns.tolist()], key), norm(want, key),
+            check_dtype=False)
