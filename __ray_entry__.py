@@ -305,6 +305,11 @@ def _kg_query_distinct(sf_dir: str):
     return distinct_values_bgp(doc_triples(sf_dir), SDO + "isBasedOn")
 
 
+def _packing():
+    from rdfx_ray.functions import packing
+    return packing
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdfx_ray.functions import dedup, doc_triples, similarity, text
     from rdfx_ray.pipelines import analytics, analytics_ext
@@ -413,6 +418,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_winnow_fingerprints":
             lambda sf: text.winnow_fingerprints(sf),
         "text_bpe_tokens": lambda sf: text.bpe_token_stats(sf),
+        # training-batch preparation
+        "corpus_pack_sequences": lambda sf: _packing().pack_sequences(sf),
+        "corpus_split_hash": lambda sf: _packing().split_corpus(sf),
         # dedup family
         "dedup_exact": lambda sf: dedup.exact_dedup(sf),
         "dedup_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
@@ -620,6 +628,34 @@ def oracle_sql() -> dict[str, str]:
                                       ).BPE_TOKEN_STATS_SQL,
         "text_lang_id": __import__("rdfx_ray.functions.text",
                                    fromlist=["LANG_ID_SQL"]).LANG_ID_SQL,
+        "corpus_pack_sequences": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(list_filter(regexp_split_to_array(text, '\s+'),
+                                       x -> x <> '')) AS n_tokens
+                FROM documents)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER w, 0) AS BIGINT)
+                       AS start_offset,
+                   CAST(COALESCE(SUM(n_tokens) OVER w, 0) // 2048
+                        AS BIGINT) AS bin_id
+            FROM t
+            WINDOW w AS (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING)
+        """,
+        "corpus_split_hash": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS UBIGINT) % 100
+                           AS bucket_val
+                FROM documents)
+            SELECT doc_id, CAST(bucket_val AS BIGINT) AS bucket_val,
+                   CASE WHEN bucket_val < 10 THEN 'test'
+                        ELSE 'train' END AS split
+            FROM t
+        """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,
                    MIN(doc_id) AS keeper_doc_id,

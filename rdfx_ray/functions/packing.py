@@ -1,0 +1,138 @@
+"""Training-batch preparation operators: sequence packing (assign each
+document a global token offset and a fixed-capacity bin) and the
+deterministic hash train/test split.
+
+Sequence packing is the distributed PREFIX SUM (a window function —
+the one wide shape the engine didn't cover): pass 1 computes per-range
+token totals with the usual partial-aggregation discipline, the driver
+prefix-sums the tiny per-range table (one row per ``range_docs``
+documents — bounded state, broadcast once via ``ray.put``), and pass 2
+assigns exact offsets with a vectorized in-group cumulative sum. No
+stage ever materializes the corpus; the exchanged tables are
+O(n_docs / range_docs) and O(1 slim row per doc).
+
+The split operator is pure streaming: one md5 per doc (the same
+content-stable hash the exact-dedup oracle pins) decides train/test —
+deterministic across runs, engines, and partitionings, which is the
+property a reproducible corpus split actually needs (a random_shuffle
+sample is neither resumable nor replayable).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .text import token_stats_batch
+
+
+def pack_sequences(sf_dir: str, capacity: int = 2048,
+                   range_docs: int = 8192):
+    """Assign every document its global token ``start_offset`` (prefix
+    sum of whitespace-token counts in ``doc_id`` order) and the
+    training bin it starts in (``bin_id = start_offset // capacity``)
+    → (doc_id, n_tokens, start_offset, bin_id).
+
+    Three bounded stages:
+
+    1. one pass over the text computes the slim (doc_id, n_tokens)
+       table (vectorized ``\\S+`` count — the token_stats kernel),
+       materialized: 16 bytes/doc, the scan's working set;
+    2. per-batch partial sums per ``doc_id // range_docs`` range →
+       ``groupby(range).sum`` → the driver prefix-sums one row per
+       range and broadcasts the base-offset array (``ray.put`` once);
+    3. a ``groupby(range).map_groups`` computes the in-range
+       cumulative sum (numpy, one group = one contiguous doc range)
+       and adds the broadcast base — exact global offsets with no
+       global sort and no O(corpus) exchange.
+
+    DuckDB oracle: ``SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)``.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    slim = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .map_batches(token_stats_batch, batch_format="pyarrow",
+                         batch_size=8192)
+            .map_batches(
+                lambda b: pa.table({
+                    "doc_id": b.column("doc_id"),
+                    "n_tokens": b.column("n_tokens"),
+                    "rng": pa.array(b.column("doc_id").to_numpy()
+                                    // range_docs, pa.int64())}),
+                batch_format="pyarrow")
+            .materialize())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("rng", as_index=False)["n_tokens"].sum()
+        return pa.table({"rng": pa.array(g["rng"], pa.int64()),
+                         "tok": pa.array(g["n_tokens"], pa.int64())})
+
+    totals = (slim.map_batches(partial, batch_format="pyarrow")
+              .groupby("rng").aggregate(Sum("tok", alias_name="tok"))
+              .to_pandas().sort_values("rng"))
+    # base offset of each range = exclusive prefix sum of range totals;
+    # indexed by range id (ranges with no docs contribute 0)
+    n_ranges = int(totals["rng"].max()) + 1 if len(totals) else 0
+    range_tok = np.zeros(n_ranges, dtype=np.int64)
+    range_tok[totals["rng"].to_numpy()] = totals["tok"].to_numpy()
+    bases = np.concatenate([[0], np.cumsum(range_tok)[:-1]])
+    bref = ray.put(bases)
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.broadcast import cached_get
+        bases = cached_get(bref)
+        g = group.sort_values("doc_id")
+        tok = g["n_tokens"].to_numpy()
+        start = (int(bases[int(g["rng"].iloc[0])])
+                 + np.concatenate([[0], np.cumsum(tok)[:-1]]))
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": tok,
+            "start_offset": start,
+            "bin_id": start // capacity,
+        })
+
+    return slim.groupby("rng").map_groups(assign, batch_format="pandas")
+
+
+SPLIT_PCT = 10
+
+
+def split_corpus(sf_dir: str, test_pct: int = SPLIT_PCT):
+    """Deterministic train/test split: doc → 'test' iff the first 32
+    bits of ``md5(str(doc_id))`` mod 100 fall under ``test_pct`` →
+    (doc_id, bucket_val, split). Pure streaming map; the assignment is
+    a function of the doc id alone, so it is stable under appends,
+    re-partitioning and reruns (the reproducibility property a corpus
+    split needs — a sampled split is neither).
+
+    DuckDB oracle: ``CAST(('0x' || substr(md5(CAST(doc_id AS
+    VARCHAR)), 1, 8)) AS UBIGINT) % 100`` — byte-identical md5 on both
+    engines.
+    """
+    import ray.data as rd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        h = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+             for i in ids), dtype=np.int64, count=len(ids))
+        bucket_val = h % 100
+        split = np.where(bucket_val < test_pct, "test", "train")
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "bucket_val": pa.array(bucket_val, pa.int64()),
+            "split": pa.array(split, pa.string()),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]) \
+        .map_batches(fn, batch_format="pyarrow", batch_size=65536)

@@ -426,3 +426,49 @@ def test_grouped_quantiles_distributed(ray_session):
     b = orders_price_quantiles(SF, distributed_cutoff_rows=0).to_pandas() \
         .sort_values("o_orderpriority").reset_index(drop=True)
     assert a.equals(b[a.columns.tolist()])
+
+
+def test_pack_sequences_prefix_sum(ray_session):
+    """Distributed prefix-sum packing matches a local cumulative sum,
+    with range_docs small enough that many ranges (and the broadcast
+    base-offset array) are genuinely exercised."""
+    import numpy as np
+    import pandas as pd
+
+    from rdfx_ray.functions.packing import pack_sequences
+    from rdfx_ray.functions.text import token_stats
+
+    SF = "/root/testdata/sf0.001"
+    got = (pack_sequences(SF, capacity=512, range_docs=64)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    toks = (token_stats(SF).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    want_start = np.concatenate(
+        [[0], np.cumsum(toks["n_tokens"].to_numpy())[:-1]])
+    assert (got["doc_id"].to_numpy() == toks["doc_id"].to_numpy()).all()
+    assert (got["start_offset"].to_numpy() == want_start).all()
+    assert (got["bin_id"].to_numpy() == want_start // 512).all()
+    # bins are contiguous from 0
+    assert got["bin_id"].min() == 0
+    assert set(np.diff(np.unique(got["bin_id"]))) <= {1}
+
+
+def test_split_corpus_deterministic(ray_session):
+    """Hash split is deterministic across runs, respects the pct
+    knob, and assigns every doc exactly once."""
+    from rdfx_ray.functions.packing import split_corpus
+
+    SF = "/root/testdata/sf0.001"
+    a = split_corpus(SF, test_pct=10).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = split_corpus(SF, test_pct=10).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) == a["doc_id"].nunique()
+    frac = (a["split"] == "test").mean()
+    assert 0.03 < frac < 0.2  # 10% ± sampling noise at 500 docs
+    # widening the pct only ADDS docs to test (nested splits)
+    wide = split_corpus(SF, test_pct=30).to_pandas()
+    test10 = set(a.loc[a["split"] == "test", "doc_id"])
+    test30 = set(wide.loc[wide["split"] == "test", "doc_id"])
+    assert test10 <= test30
