@@ -418,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_winnow_fingerprints":
             lambda sf: text.winnow_fingerprints(sf),
         "text_bpe_tokens": lambda sf: text.bpe_token_stats(sf),
+        "text_ngram_counts": lambda sf: text.ngram_counts(sf),
         # training-batch preparation
         "corpus_pack_sequences": lambda sf: _packing().pack_sequences(sf),
         "corpus_split_hash": lambda sf: _packing().split_corpus(sf),
@@ -628,6 +629,9 @@ def oracle_sql() -> dict[str, str]:
                                       ).BPE_TOKEN_STATS_SQL,
         "text_lang_id": __import__("rdfx_ray.functions.text",
                                    fromlist=["LANG_ID_SQL"]).LANG_ID_SQL,
+        "text_ngram_counts": __import__(
+            "rdfx_ray.functions.text",
+            fromlist=["NGRAM_COUNTS_SQL"]).NGRAM_COUNTS_SQL,
         "corpus_pack_sequences": r"""
             WITH t AS (
                 SELECT doc_id,

@@ -316,3 +316,62 @@ SELECT doc_id,
            ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS n_bpe_tokens
 FROM documents
 """
+
+
+def ngram_counts(sf_dir: str, min_count: int = 5):
+    """Corpus-level word-bigram frequencies (≥ ``min_count``) —
+    the n-gram profile a contamination / memorization check runs over
+    a training corpus → (bigram, n).
+
+    Tokens are ASCII ``[A-Za-z]+`` runs lowercased AFTER extraction
+    (pure-ASCII tokens, so Python and DuckDB lowercasing agree
+    byte-for-byte on any input). Per batch the bigram build is fully
+    vectorized polars (extract_all → explode → shift-within-doc) and
+    folds to a local count table, so the shuffle carries
+    O(distinct × blocks) rows — corpus-sized bigram bags never move.
+    The HAVING filter runs after the global sum (a bigram can cross
+    the threshold only globally)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        d = pl.from_arrow(batch.select(["doc_id", "text"]))
+        d = d.with_columns(
+            pl.col("text").fill_null("")
+              .str.extract_all(r"[A-Za-z]+").alias("w")).drop("text")
+        d = (d.explode("w").drop_nulls("w")
+             .with_columns(pl.col("w").str.to_lowercase()))
+        d = d.with_columns(
+            pl.col("w").shift(-1).over("doc_id").alias("w2"))
+        bg = (d.drop_nulls("w2")
+              .select((pl.col("w") + pl.lit(" ") + pl.col("w2"))
+                      .alias("bigram")))
+        counts = bg.group_by("bigram").len(name="n")
+        return counts.to_arrow().cast(pa.schema([
+            ("bigram", pa.string()), ("n", pa.int64())]))
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    summed = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=8192)
+              .groupby("bigram").aggregate(Sum("n", alias_name="n")))
+    def threshold(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.greater_equal(b.column("n"), min_count))
+
+    return summed.map_batches(threshold, batch_format="pyarrow")
+
+
+NGRAM_COUNTS_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                          x -> lower(x)) AS w
+    FROM documents),
+bg AS (
+    SELECT unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1])) AS bigram
+    FROM toks)
+SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+HAVING COUNT(*) >= 5
+"""

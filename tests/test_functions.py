@@ -472,3 +472,21 @@ def test_split_corpus_deterministic(ray_session):
     test10 = set(a.loc[a["split"] == "test", "doc_id"])
     test30 = set(wide.loc[wide["split"] == "test", "doc_id"])
     assert test10 <= test30
+
+
+def test_ngram_counts_no_cross_doc_bigrams(ray_session, tmp_path):
+    """Bigrams never cross document boundaries (the shift is windowed
+    per doc_id), and counts fold globally across batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdfx_ray.functions.text import ngram_counts
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["alpha beta", "gamma delta", "alpha beta gamma"],
+    }), tmp_path / "documents.parquet")
+    got = ngram_counts(str(tmp_path), min_count=1).to_pandas()
+    counts = dict(zip(got["bigram"], got["n"]))
+    assert counts == {"alpha beta": 2, "beta gamma": 1,
+                      "gamma delta": 1}
