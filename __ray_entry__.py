@@ -431,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_brute_topk": lambda sf: similarity.brute_topk(sf),
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf),
+        "ann_lsh_topk": lambda sf: similarity.lsh_topk(sf),
     }
 
 

@@ -282,6 +282,189 @@ class IvfIndex:
         return _merge_partial_topk(partials, k)
 
 
+class LshIndex:
+    """Random-hyperplane LSH-bucketed ANN index — the signature-bucket
+    scale path beside IVF (same persisted-artifact design, different
+    partitioner: no training at all, the bucket is the sign-bit code
+    of the vector against ``n_bits`` fixed random hyperplanes).
+
+    Layout matches :class:`IvfIndex`: flat ``list-{code:05d}-{uuid}``
+    parquet fragments (one set per bucket) + ``manifest.json`` holding
+    the hyperplanes. Build is ONE streaming map_batches pass (each
+    batch computes its vectors' codes vectorized and writes
+    per-(task, bucket) fragments); search probes the query's code
+    plus its Hamming ball of radius ``probe_radius`` (multiprobe —
+    cosine-similar vectors differ in few sign bits) and reads ONLY
+    those buckets' fragments. ``probe_radius = n_bits`` degrades to
+    exact brute force (the exactness test pins this).
+    """
+
+    def __init__(self, index_dir: str, planes: np.ndarray,
+                 files: Dict[int, List[str]]):
+        self.index_dir = Path(index_dir)
+        self.planes = planes                      # (n_bits, dim)
+        self.files = files
+
+    @staticmethod
+    def _codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+        bits = (m @ planes.T) > 0                 # (n, n_bits)
+        return (bits @ (1 << np.arange(planes.shape[0]))).astype(np.int32)
+
+    @classmethod
+    def load(cls, index_dir: str) -> "LshIndex":
+        man = json.loads((Path(index_dir) / "manifest.json").read_text())
+        planes = np.asarray(man["planes"], dtype=np.float32)
+        files = {int(c): paths for c, paths in man["files"].items()}
+        return cls(index_dir, planes, files)
+
+    @classmethod
+    def build(cls, sf_dir: str, index_dir: str, n_bits: int = 8,
+              seed: int = 7) -> "LshIndex":
+        import ray
+        import ray.data as rd
+
+        out = Path(index_dir)
+        out.mkdir(parents=True, exist_ok=True)
+
+        # hyperplanes are a pure function of (seed, dim): read dim from
+        # the first row, no training pass
+        first = default_queries(sf_dir, n_queries=1)
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_bits, first.shape[1])) \
+            .astype(np.float32)
+        pref = ray.put(planes)
+
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+
+        def assign_write(batch: pa.Table) -> pa.Table:
+            from .broadcast import cached_get
+            pl_ = cached_get(pref)
+            ids = np.asarray(batch.column("vec_id").to_pylist(),
+                             dtype=np.int64)
+            m = _normalize(np.asarray(
+                batch.column("embedding").to_pylist(), dtype=np.float32))
+            code = cls._codes(m, pl_)
+            order = np.argsort(code, kind="stable")
+            stats = {"list_id": [], "path": [], "rows": []}
+            bounds = np.flatnonzero(np.diff(code[order])) + 1
+            starts = np.concatenate([[0], bounds])
+            stops = np.concatenate([bounds, [len(order)]])
+            import pyarrow.parquet as pq
+            for lo, hi in zip(starts, stops):
+                if hi == lo:
+                    continue
+                sel = order[lo:hi]
+                c = int(code[sel[0]])
+                part = pa.table({
+                    "vec_id": pa.array(ids[sel], pa.int64()),
+                    "embedding": pa.array([m[i].tolist() for i in sel],
+                                          pa.list_(pa.float32())),
+                    "list_id": pa.array(np.full(len(sel), c, np.int32),
+                                        pa.int32()),
+                })
+                path = out / f"list-{c:05d}-{uuid.uuid4().hex}.parquet"
+                pq.write_table(part, path, compression="snappy")
+                stats["list_id"].append(c)
+                stats["path"].append(path.name)
+                stats["rows"].append(len(sel))
+            return pa.table({
+                "list_id": pa.array(stats["list_id"], pa.int32()),
+                "path": pa.array(stats["path"], pa.string()),
+                "rows": pa.array(stats["rows"], pa.int64()),
+            })
+
+        stats = ds.map_batches(assign_write, batch_format="pyarrow",
+                               batch_size=8192).to_pandas()
+        files: Dict[int, List[str]] = {}
+        for _, row in stats.iterrows():
+            files.setdefault(int(row["list_id"]), []).append(row["path"])
+        manifest = {
+            "n_bits": n_bits,
+            "planes": planes.tolist(),
+            "files": {str(c): sorted(ps) for c, ps in files.items()},
+            "rows": int(stats["rows"].sum()),
+        }
+        tmp = out / "manifest.json.tmp"
+        tmp.write_text(json.dumps(manifest))
+        tmp.rename(out / "manifest.json")      # atomic commit
+        return cls.load(index_dir)
+
+    def _probe_codes(self, code: int, radius: int) -> List[int]:
+        """The Hamming ball around one code (multiprobe set)."""
+        from itertools import combinations
+        n_bits = self.planes.shape[0]
+        out = [code]
+        for r in range(1, radius + 1):
+            for flip in combinations(range(n_bits), r):
+                c = code
+                for b in flip:
+                    c ^= (1 << b)
+                out.append(c)
+        return out
+
+    def search(self, queries: np.ndarray, k: int = 10,
+               probe_radius: int = 2) -> pa.Table:
+        import ray
+        import ray.data as rd
+
+        qn = _normalize(np.asarray(queries, dtype=np.float32))
+        qcodes = self._codes(qn, self.planes)
+        allow: Dict[int, set] = {}
+        for qi, c in enumerate(qcodes):
+            for pc_ in self._probe_codes(int(c), probe_radius):
+                allow.setdefault(pc_, set()).add(qi)
+
+        needed = sorted(c for c in allow if c in self.files)
+        paths = [str(self.index_dir / p)
+                 for c in needed for p in self.files[c]]
+        if not paths:
+            return pa.schema([("query_id", pa.int64()),
+                              ("vec_id", pa.int64()),
+                              ("cos_1e6", pa.int64())]).empty_table()
+        allow_m = np.zeros((len(qn), 1 << self.planes.shape[0]),
+                           dtype=bool)
+        for c, qis in allow.items():
+            for qi in qis:
+                allow_m[qi, c] = True
+        qref = ray.put((qn, allow_m))
+
+        ds = rd.read_parquet(paths,
+                             columns=["vec_id", "embedding", "list_id"])
+
+        def partial_topk(batch: pa.Table) -> pa.Table:
+            from .broadcast import cached_get
+            q, allowed = cached_get(qref)
+            ids = np.asarray(batch.column("vec_id").to_pylist(),
+                             dtype=np.int64)
+            lists = np.asarray(batch.column("list_id").to_pylist(),
+                               dtype=np.int64)
+            m = np.asarray(batch.column("embedding").to_pylist(),
+                           dtype=np.float32)   # stored normalized
+            sims = q @ m.T
+            sims = np.where(allowed[:, lists], sims, -2.0)
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = {"query_id": [], "vec_id": [], "cos_1e6": []}
+            for qi in range(sims.shape[0]):
+                for j in idx[qi]:
+                    if sims[qi, j] < -1.5:
+                        continue
+                    rows["query_id"].append(qi)
+                    rows["vec_id"].append(int(ids[j]))
+                    rows["cos_1e6"].append(int(np.floor(
+                        float(sims[qi, j]) * 1_000_000 + 0.5)))
+            return pa.table({
+                "query_id": pa.array(rows["query_id"], pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                "cos_1e6": pa.array(rows["cos_1e6"], pa.int64()),
+            })
+
+        partials = ds.map_batches(partial_topk, batch_format="pyarrow",
+                                  batch_size=4096)
+        return _merge_partial_topk(partials, k)
+
+
 _IVF_CACHE_ROOT = os.environ.get("RAY_GRAFT_IVF_DIR", "/tmp/rdfx_ray_ivf")
 
 
@@ -315,3 +498,39 @@ def ivf_topk(sf_dir: str, queries: Optional[np.ndarray] = None,
         queries = default_queries(sf_dir)
     return ivf_index_for(sf_dir, n_lists=n_lists).search(queries, k=k,
                                                          nprobe=nprobe)
+
+
+def lsh_index_for(sf_dir: str, n_bits: int = 6) -> LshIndex:
+    """Load (or build+persist) the LSH index artifact for a corpus —
+    same content-fingerprinted cache key as the IVF artifact, so a
+    regenerated embeddings.parquet rebuilds instead of serving stale
+    buckets."""
+    emb = Path(sf_dir) / "embeddings.parquet"
+    try:
+        import pyarrow.parquet as pq
+        st = emb.stat()
+        fp = (f"{pq.ParquetFile(emb).metadata.num_rows}"
+              f"-{int(st.st_mtime)}-{st.st_size}")
+    except (FileNotFoundError, OSError):
+        fp = "absent"
+    key = hashlib.md5(
+        f"lsh|{Path(sf_dir).resolve()}|{fp}".encode()).hexdigest()[:12]
+    index_dir = Path(_IVF_CACHE_ROOT) / f"{key}-B{n_bits}"
+    if (index_dir / "manifest.json").exists():
+        return LshIndex.load(str(index_dir))
+    return LshIndex.build(sf_dir, str(index_dir), n_bits=n_bits)
+
+
+def lsh_topk(sf_dir: str, queries: Optional[np.ndarray] = None,
+             k: int = 10, n_bits: int = 6,
+             probe_radius: int = 2) -> pa.Table:
+    """LSH-bucketed approximate top-k. ``n_bits`` sizes the bucket
+    count (2^bits — raise with corpus size so buckets stay worker-
+    sized); ``probe_radius`` trades recall for buckets read. On
+    synthetic near-orthogonal embeddings radius 2 of 6 bits measures
+    ~0.7 recall@10 (pinned by test); real clustered embeddings do
+    better."""
+    if queries is None:
+        queries = default_queries(sf_dir)
+    return lsh_index_for(sf_dir, n_bits=n_bits).search(
+        queries, k=k, probe_radius=probe_radius)

@@ -490,3 +490,28 @@ def test_ngram_counts_no_cross_doc_bigrams(ray_session, tmp_path):
     counts = dict(zip(got["bigram"], got["n"]))
     assert counts == {"alpha beta": 2, "beta gamma": 1,
                       "gamma delta": 1}
+
+
+def test_ann_lsh_full_probe_exact_and_recall(ray_session):
+    """LSH-bucketed ANN: probing the full Hamming ball degrades to
+    exact brute force (bucket partitioning loses nothing), and
+    radius-2 multiprobe keeps usable recall on worst-case
+    near-orthogonal synthetic embeddings. Deterministic across
+    runs (fixed hyperplane seed)."""
+    from rdfx_ray.functions.similarity import brute_topk, lsh_topk
+
+    SF = "/root/testdata/sf0.001"
+    key = ["query_id", "vec_id"]
+    cols = ["query_id", "vec_id", "cos_1e6"]
+    b = brute_topk(SF).to_pandas()
+    full = lsh_topk(SF, n_bits=6, probe_radius=6).to_pandas()
+    assert b.sort_values(key).reset_index(drop=True)[cols].equals(
+        full.sort_values(key).reset_index(drop=True)[cols])
+
+    a1 = lsh_topk(SF, n_bits=6, probe_radius=2).to_pandas()
+    a2 = lsh_topk(SF, n_bits=6, probe_radius=2).to_pandas()
+    assert a1.sort_values(key).reset_index(drop=True)[cols].equals(
+        a2.sort_values(key).reset_index(drop=True)[cols])
+    bset = set(map(tuple, b[key].values))
+    aset = set(map(tuple, a1[key].values))
+    assert len(bset & aset) / len(bset) >= 0.5
