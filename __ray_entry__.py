@@ -305,6 +305,14 @@ def _kg_query_distinct(sf_dir: str):
     return distinct_values_bgp(doc_triples(sf_dir), SDO + "isBasedOn")
 
 
+def _kg_citation_pagerank(sf_dir: str):
+    """PageRank over the sdo:citation graph — count-gated driver vs
+    distributed join/groupby power iteration (iterative float
+    algorithm → rows-only check; route-equality pinned by test)."""
+    from rdfx_ray.functions.components import citation_pagerank
+    return citation_pagerank(sf_dir)
+
+
 def _packing():
     from rdfx_ray.functions import packing
     return packing
@@ -428,6 +436,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": lambda sf: dedup.simhash_pairs(sf),
         "dedup_embedding_pairs": lambda sf: dedup.embedding_neardup_pairs(sf),
         "dedup_corpus": lambda sf: dedup.dedup_corpus(sf),
+        # graph analytics
+        "kg_citation_pagerank": _kg_citation_pagerank,
         # similarity search
         "ann_brute_topk": lambda sf: similarity.brute_topk(sf),
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf),

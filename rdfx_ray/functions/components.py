@@ -130,3 +130,157 @@ def union_find_components(edges: pa.Table) -> pa.Table:
         "node": pa.array(nodes, pa.int64()),
         "label": pa.array([find(n) for n in nodes], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# PageRank — the iterative rank-propagation operator
+# ---------------------------------------------------------------------------
+
+PAGERANK_BROADCAST_CUTOFF = 2_000_000
+
+
+def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 20,
+             broadcast_cutoff_rows: int = PAGERANK_BROADCAST_CUTOFF,
+             num_partitions: int = 16) -> pa.Table:
+    """PageRank over an edge Dataset (src, dst string columns), fixed
+    ``n_iter`` power iterations with uniform teleport and dangling-
+    mass redistribution → (node, rank_1e9) with rank integer-scaled
+    for stable comparison (∑rank = 1).
+
+    Count-gated like every plan in this engine — the EXACT edge count
+    decides:
+
+    - **small** (fits the object store): edges collect ONCE to the
+      driver; the iteration is a numpy scatter-add per round (node
+      index space, no string work in the loop).
+    - **large**: the rank table lives as a Dataset keyed by node.
+      Per round: one hash-shuffle join attaches ranks to edges on
+      ``src``, per-batch contributions fold via partial sums into a
+      ``groupby(dst).sum`` (the only O(edges) exchange), and a
+      left-outer join writes the new rank table (nodes with no
+      in-edges keep the teleport+dangling base). Dangling mass is a
+      streaming scalar aggregate per round. State per round is the
+      (node, rank, outdeg) table — O(nodes), never O(edges) on the
+      driver.
+
+    Rounds are a fixed count (not convergence-tested) so both routes
+    and reruns produce identical iteration structure.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    if edges_ds.count() <= broadcast_cutoff_rows:
+        tbl = pa.concat_tables(list(edges_ds.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")))
+        src = np.asarray(tbl.column("src").to_pylist(), dtype=object)
+        dst = np.asarray(tbl.column("dst").to_pylist(), dtype=object)
+        nodes, inv = np.unique(np.concatenate([src, dst]),
+                               return_inverse=True)
+        s_idx, d_idx = inv[:len(src)], inv[len(src):]
+        n = len(nodes)
+        outdeg = np.bincount(s_idx, minlength=n).astype(np.float64)
+        rank = np.full(n, 1.0 / n)
+        for _ in range(n_iter):
+            contrib = np.zeros(n)
+            w = rank[s_idx] / outdeg[s_idx]
+            np.add.at(contrib, d_idx, w)
+            dangling = rank[outdeg == 0].sum()
+            rank = ((1.0 - damping) / n
+                    + damping * (contrib + dangling / n))
+        return pa.table({
+            "node": pa.array(nodes.tolist(), pa.string()),
+            "rank_1e9": pa.array(
+                np.floor(rank * 1e9 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    # ---- distributed route ------------------------------------------------
+    edges = edges_ds.materialize()
+    nodes = (edges.select_columns(["src"])
+             .map_batches(lambda b: b.rename_columns(["node"]),
+                          batch_format="pyarrow")
+             .union(edges.select_columns(["dst"])
+                    .map_batches(lambda b: b.rename_columns(["node"]),
+                                 batch_format="pyarrow"))
+             .groupby("node").aggregate(Count(alias_name="_n"))
+             .select_columns(["node"]).materialize())
+    n = nodes.count()
+
+    deg = (edges.groupby("src").aggregate(Count(alias_name="outdeg"))
+           .map_batches(lambda b: b.rename_columns(["_node_r", "outdeg"]),
+                        batch_format="pyarrow"))
+    ranks = (nodes.join(deg, "left_outer", num_partitions,
+                        on=("node",), right_on=("_node_r",))
+             .map_batches(
+                 lambda b: pa.table({
+                     "node": b.column("node"),
+                     "outdeg": pa.array(
+                         np.nan_to_num(b.column("outdeg")
+                                       .to_numpy(zero_copy_only=False)
+                                       .astype(np.float64)),
+                         pa.float64()),
+                     "rank": pa.array(np.full(b.num_rows, 1.0 / n),
+                                      pa.float64())}),
+                 batch_format="pyarrow").materialize())
+
+    for _ in range(n_iter):
+        dangling = sum(
+            bt.column("rank").to_numpy()[
+                bt.column("outdeg").to_numpy() == 0.0].sum()
+            for bt in ranks.iter_batches(batch_size=1 << 20,
+                                         batch_format="pyarrow"))
+        contrib_src = (ranks.map_batches(
+            lambda b: pa.table({
+                "src_r": b.column("node"),
+                "w": pa.array(
+                    b.column("rank").to_numpy()
+                    / np.maximum(b.column("outdeg").to_numpy(), 1.0),
+                    pa.float64())}),
+            batch_format="pyarrow"))
+        contribs = (edges.join(contrib_src, "inner", num_partitions,
+                               on=("src",), right_on=("src_r",))
+                    .map_batches(
+                        lambda b: pa.table({
+                            "node": b.column("dst"),
+                            "c": b.column("w")}),
+                        batch_format="pyarrow")
+                    .groupby("node").aggregate(Sum("c", alias_name="c"))
+                    .map_batches(
+                        lambda b: b.rename_columns(["_node_r", "c"]),
+                        batch_format="pyarrow"))
+        base = (1.0 - damping) / n + damping * dangling / n
+
+        def fold(b: pa.Table, base=base) -> pa.Table:
+            c = np.nan_to_num(b.column("c").to_numpy(
+                zero_copy_only=False).astype(np.float64))
+            return pa.table({
+                "node": b.column("node"),
+                "outdeg": b.column("outdeg"),
+                "rank": pa.array(base + damping * c, pa.float64()),
+            })
+
+        ranks = (ranks.select_columns(["node", "outdeg"])
+                 .join(contribs, "left_outer", num_partitions,
+                       on=("node",), right_on=("_node_r",))
+                 .map_batches(fold, batch_format="pyarrow")
+                 .materialize())
+
+    return ranks.map_batches(
+        lambda b: pa.table({
+            "node": b.column("node"),
+            "rank_1e9": pa.array(
+                np.floor(b.column("rank").to_numpy() * 1e9 + 0.5)
+                .astype(np.int64), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def citation_pagerank(sf_dir: str, n_iter: int = 20) -> "object":
+    """PageRank over the sdo:citation relation (the chain-structured
+    doc graph the property-path queries use)."""
+    from .doc_triples import doc_citation_triples
+
+    edges = doc_citation_triples(sf_dir).map_batches(
+        lambda b: pa.table({"src": b.column("subj"),
+                            "dst": b.column("obj_value")}),
+        batch_format="pyarrow")
+    return pagerank(edges, n_iter=n_iter)

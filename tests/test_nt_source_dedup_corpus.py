@@ -127,3 +127,36 @@ def test_distributed_components_empty(ray_session):
                       "doc_b": pa.array([], pa.int64())})
     got, stats = connected_components(empty)
     assert got.num_rows == 0 and stats["rounds"] == 0
+
+
+def test_pagerank_routes_agree(ray_session):
+    """PageRank: the count-gated driver-numpy route and the
+    distributed join/groupby iteration produce identical integer-
+    scaled ranks; mass is conserved; rank accumulates at citation-
+    chain roots (the only sinks)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from rdfx_ray.functions.components import citation_pagerank, pagerank
+    from rdfx_ray.functions.doc_triples import doc_citation_triples
+
+    SF = "/root/testdata/sf0.001"
+    small = citation_pagerank(SF, n_iter=10)
+    small_df = (small.to_pandas() if not isinstance(small, pd.DataFrame)
+                else small)
+
+    edges = doc_citation_triples(SF).map_batches(
+        lambda b: pa.table({"src": b.column("subj"),
+                            "dst": b.column("obj_value")}),
+        batch_format="pyarrow")
+    dist_df = pagerank(edges, n_iter=10, broadcast_cutoff_rows=0,
+                       num_partitions=4).to_pandas()
+
+    m = small_df.merge(dist_df, on="node", suffixes=("_s", "_d"))
+    assert len(m) == len(small_df) == 500
+    assert (m["rank_1e9_s"] == m["rank_1e9_d"]).all()
+    assert abs(small_df["rank_1e9"].sum() / 1e9 - 1.0) < 1e-6
+    # chain edges point N -> N-1: the chain roots (doc_id % 16 == 0)
+    # are the sinks and must outrank their chain's first hop
+    ranks = dict(zip(small_df["node"], small_df["rank_1e9"]))
+    assert ranks["urn:doc:0"] > ranks["urn:doc:15"]
