@@ -430,6 +430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-batch preparation
         "corpus_pack_sequences": lambda sf: _packing().pack_sequences(sf),
         "corpus_split_hash": lambda sf: _packing().split_corpus(sf),
+        "corpus_balance_sources":
+            lambda sf: _packing().balance_sources(sf),
         # dedup family
         "dedup_exact": lambda sf: dedup.exact_dedup(sf),
         "dedup_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
@@ -671,6 +673,9 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'train' END AS split
             FROM t
         """,
+        "corpus_balance_sources": __import__(
+            "rdfx_ray.functions.packing",
+            fromlist=["BALANCE_SOURCES_SQL"]).BALANCE_SOURCES_SQL,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,
                    MIN(doc_id) AS keeper_doc_id,

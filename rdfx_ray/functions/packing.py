@@ -136,3 +136,68 @@ def split_corpus(sf_dir: str, test_pct: int = SPLIT_PCT):
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"]) \
         .map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+def balance_sources(sf_dir: str):
+    """Domain-mix balancing: downsample every source to (approximately)
+    the smallest source's share with a DETERMINISTIC per-doc hash rate
+    → (doc_id, source) of kept docs.
+
+    Per-source acceptance rate is integer basis points
+    ``min_count * 10000 // count_s`` computed from EXACT per-source
+    counts (one partial-aggregated groupby over a two-column read —
+    the only exchange, O(sources) rows). The rate table broadcasts as
+    a closure dict (bounded by the source vocabulary) and the accept
+    decision is the same md5 bucket the train/test split uses — so
+    the kept set is stable under appends, re-partitioning and reruns,
+    and composes with :func:`split_corpus` (independent hash uses:
+    different modulus windows of the same digest would correlate, so
+    both use the full first-32-bits value, see oracle).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        vc = pc.value_counts(b.column("source").combine_chunks())
+        return pa.table({"source": vc.field("values"),
+                         "n": pa.array(vc.field("counts"), pa.int64())})
+
+    counts_ds = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source"])
+                 .map_batches(count_partial, batch_format="pyarrow"))
+    counts = (counts_ds.groupby("source")
+              .aggregate(Sum("n", alias_name="n")).to_pandas())
+    mn = int(counts["n"].min())
+    rate_bp = {s: (mn * 10000) // int(n)
+               for s, n in zip(counts["source"], counts["n"])}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        src = batch.column("source").to_pylist()
+        hv = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
+             for i in ids), dtype=np.int64, count=len(ids))
+        rates = np.fromiter((rate_bp[s] for s in src), dtype=np.int64,
+                            count=len(src))
+        keep = hv < rates
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "source": pa.array([s for s, k in zip(src, keep) if k],
+                               pa.string()),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"]) \
+        .map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+BALANCE_SOURCES_SQL = """
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+     m AS (SELECT MIN(n) AS mn FROM c)
+SELECT d.doc_id, d.source
+FROM documents d JOIN c ON d.source = c.source
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+           AS UBIGINT) % 10000
+      < (SELECT mn FROM m) * 10000 // c.n
+"""

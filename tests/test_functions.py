@@ -515,3 +515,29 @@ def test_ann_lsh_full_probe_exact_and_recall(ray_session):
     bset = set(map(tuple, b[key].values))
     aset = set(map(tuple, a1[key].values))
     assert len(bset & aset) / len(bset) >= 0.5
+
+
+def test_balance_sources_downsamples_skew(ray_session, tmp_path):
+    """On a skewed corpus the big source is hash-downsampled toward
+    the small source's share; the small source keeps everything; the
+    kept set is deterministic."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdfx_ray.functions.packing import balance_sources
+
+    n_big, n_small = 400, 40
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n_big + n_small), pa.int64()),
+        "source": ["big"] * n_big + ["small"] * n_small,
+    }), tmp_path / "documents.parquet")
+    a = balance_sources(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = balance_sources(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    kept = a["source"].value_counts()
+    assert kept["small"] == n_small          # rate 10000 bp keeps all
+    # big is sampled at 1000 bp: expected ~40, allow hash noise
+    assert 15 <= kept.get("big", 0) <= 80
