@@ -243,6 +243,27 @@ def _kg_query_path_star(sf_dir: str):
                               SDO + "citation")
 
 
+def _kg_query_construct(sf_dir: str):
+    """CONSTRUCT { ?s urn:derived:langSource ?vb } WHERE
+    { ?s inLanguage 'en' . ?s isBasedOn ?vb } — template rewrite into
+    the engine's full triple schema (materialized-view shape)."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import construct_bgp
+
+    return construct_bgp(doc_triples(sf_dir), SDO + "inLanguage", "en",
+                         SDO + "isBasedOn", "urn:derived:langSource")
+
+
+def _kg_query_group_concat(sf_dir: str):
+    """GROUP_CONCAT(DISTINCT ?w ORDER BY ?w) per language — distinct
+    pair shuffle then per-group ordered concat."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import group_concat_bgp
+
+    return group_concat_bgp(doc_triples(sf_dir), SDO + "inLanguage",
+                            SDO + "isBasedOn")
+
+
 def _kg_query_group_count(sf_dir: str):
     """SPARQL GROUP BY aggregate: SELECT ?v (COUNT(?s) AS n)
     { ?s inLanguage ?v } GROUP BY ?v — per-batch partial value_counts
@@ -391,6 +412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_query_path_plus": _kg_query_path_plus,
         "kg_query_path_seq": _kg_query_path_seq,
         "kg_query_path_star": _kg_query_path_star,
+        "kg_query_construct": _kg_query_construct,
+        "kg_query_group_concat": _kg_query_group_concat,
         "kg_query_group_count": _kg_query_group_count,
         "kg_query_filter_expr": _kg_query_filter_expr,
         "kg_query_filter_regex": _kg_query_filter_regex,
@@ -529,6 +552,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj,
                    lang AS va
             FROM documents WHERE source <> 'src3'
+        """,
+        "kg_query_construct": """
+            SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj,
+                   'urn:derived:langSource' AS pred,
+                   'literal' AS obj_kind,
+                   source AS obj_value,
+                   CAST(NULL AS VARCHAR) AS obj_datatype,
+                   'urn:graph:derived' AS graph_iri
+            FROM documents WHERE lang = 'en'
+        """,
+        "kg_query_group_concat": """
+            SELECT lang AS v,
+                   string_agg(DISTINCT source, ',' ORDER BY source)
+                       AS vals
+            FROM documents GROUP BY lang
         """,
         "kg_query_group_count": """
             SELECT lang AS v, COUNT(*) AS n

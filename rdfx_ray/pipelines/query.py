@@ -826,6 +826,77 @@ def distinct_values_bgp(triples_ds, pred: str):
             .select_columns(["v"]))
 
 
+def construct_bgp(triples_ds, filter_pred: str, filter_obj: str,
+                  value_pred: str, new_pred: str,
+                  graph_iri: str = "urn:graph:derived", **kwargs):
+    """SPARQL CONSTRUCT: ``CONSTRUCT { ?s <new_pred> ?vb } WHERE
+    { ?s filter_pred filter_obj . ?s value_pred ?vb }`` → a NEW triple
+    stream in the engine's full triple schema (materialized-view /
+    inference-rule shape: the output feeds any pipeline that consumes
+    triples, e.g. the partitioned sink). Planning is the star-BGP
+    planner's (count-gated); the template rewrite is a vectorized
+    per-batch projection."""
+    out_schema = pa.schema([
+        ("subj", pa.string()), ("pred", pa.string()),
+        ("obj_kind", pa.string()), ("obj_value", pa.string()),
+        ("obj_datatype", pa.string()), ("graph_iri", pa.string()),
+    ])
+
+    matched = star_bgp(triples_ds, [(filter_pred, filter_obj),
+                                    (value_pred, "?vb")], **kwargs)
+
+    def template(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "subj": batch.column("subj"),
+            "pred": pa.array(np.repeat(new_pred, n), pa.string()),
+            "obj_kind": pa.array(np.repeat("literal", n), pa.string()),
+            "obj_value": batch.column("vb"),
+            "obj_datatype": pa.nulls(n, pa.string()),
+            "graph_iri": pa.array(np.repeat(graph_iri, n), pa.string()),
+        }).cast(out_schema)
+
+    return matched.map_batches(template, batch_format="pyarrow")
+
+
+def group_concat_bgp(triples_ds, group_pred: str, value_pred: str,
+                     sep: str = ","):
+    """SPARQL GROUP_CONCAT aggregate:
+    ``SELECT ?v (GROUP_CONCAT(DISTINCT ?w; separator=sep) AS vals)
+    WHERE { ?s group_pred ?v . ?s value_pred ?w } GROUP BY ?v`` with
+    the concat ORDERED so the result is deterministic → (v, vals).
+
+    Plan: subject-join the two patterns (the count-gated bgp
+    machinery), fold to DISTINCT (v, w) pairs batch-locally then
+    globally (the distinct shuffle carries O(distinct × blocks)
+    rows), and concat per group with ``map_groups`` — group count =
+    the group variable's cardinality, each group's value list is the
+    distinct-value set, both bounded far below corpus size."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    joined = bgp_join(triples_ds, group_pred, value_pred)
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        tbl = pa.table({"v": batch.column("va"),
+                        "w": batch.column("vb")})
+        import polars as pl
+        return (pl.from_arrow(tbl).unique().to_arrow()
+                .cast(pa.schema([("v", pa.string()),
+                                 ("w", pa.string())])))
+
+    pairs = (joined.map_batches(local_distinct, batch_format="pyarrow")
+             .groupby(["v", "w"]).aggregate(Count(alias_name="_n"))
+             .select_columns(["v", "w"]))
+
+    def concat(group: pd.DataFrame) -> pd.DataFrame:
+        vals = sep.join(sorted(group["w"]))
+        return pd.DataFrame({"v": [group["v"].iloc[0]], "vals": [vals]})
+
+    return pairs.groupby("v").map_groups(concat, batch_format="pandas")
+
+
 def bgp_join_native(triples_ds, pred_a: str, pred_b: str,
                     num_partitions: int = 16):
     """Same BGP as :func:`bgp_join` but via Ray Data's NATIVE hash

@@ -406,9 +406,11 @@ def test_sparql_modifier_shapes_match_duckdb(ray_session):
 
     from rdfx_ray.functions.doc_triples import SDO, doc_triples
     from rdfx_ray.pipelines.query import (
+        construct_bgp,
         distinct_values_bgp,
         filter_expr_bgp,
         filter_regex_bgp,
+        group_concat_bgp,
         group_count_bgp,
         order_limit_bgp,
         values_bgp,
@@ -445,6 +447,17 @@ def test_sparql_modifier_shapes_match_duckdb(ray_session):
          "ORDER BY c DESC, subj LIMIT 100", ["subj"]),
         (distinct_values_bgp(ds, SDO + "isBasedOn"),
          "SELECT DISTINCT source AS v FROM documents", ["v"]),
+        (construct_bgp(ds, SDO + "inLanguage", "en",
+                       SDO + "isBasedOn", "urn:derived:langSource"),
+         "SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj, "
+         "'urn:derived:langSource' AS pred, 'literal' AS obj_kind, "
+         "source AS obj_value, CAST(NULL AS VARCHAR) AS obj_datatype, "
+         "'urn:graph:derived' AS graph_iri "
+         "FROM documents WHERE lang = 'en'", ["subj"]),
+        (group_concat_bgp(ds, SDO + "inLanguage", SDO + "isBasedOn"),
+         "SELECT lang AS v, string_agg(DISTINCT source, ',' "
+         "ORDER BY source) AS vals FROM documents GROUP BY lang",
+         ["v"]),
     ]
     for got_ds, sql, key in cases:
         got = got_ds.to_pandas()
