@@ -264,6 +264,24 @@ def _kg_query_group_concat(sf_dir: str):
                             SDO + "isBasedOn")
 
 
+def _kg_query_group_avg(sf_dir: str):
+    """AVG aggregate per language over xsd:integer characterCount,
+    integer-scaled ((Σx·100)//n) so the hash matches exactly."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import group_avg_bgp
+
+    return group_avg_bgp(doc_triples(sf_dir), SDO + "inLanguage",
+                         SDO + "characterCount")
+
+
+def _kg_validate_shapes(sf_dir: str):
+    """SHACL-lite shape report over the triple plane: cardinality,
+    integer-datatype and value-in-set constraints (partial-agg folds;
+    the only exchange is O(subjects))."""
+    from rdfx_ray.pipelines.validate import doc_shapes_report
+    return doc_shapes_report(sf_dir)
+
+
 def _kg_query_group_count(sf_dir: str):
     """SPARQL GROUP BY aggregate: SELECT ?v (COUNT(?s) AS n)
     { ?s inLanguage ?v } GROUP BY ?v — per-batch partial value_counts
@@ -412,6 +430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_query_path_plus": _kg_query_path_plus,
         "kg_query_path_seq": _kg_query_path_seq,
         "kg_query_path_star": _kg_query_path_star,
+        "kg_query_group_avg": _kg_query_group_avg,
+        "kg_validate_shapes": _kg_validate_shapes,
         "kg_query_construct": _kg_query_construct,
         "kg_query_group_concat": _kg_query_group_concat,
         "kg_query_group_count": _kg_query_group_count,
@@ -553,6 +573,15 @@ def oracle_sql() -> dict[str, str]:
                    lang AS va
             FROM documents WHERE source <> 'src3'
         """,
+        "kg_query_group_avg": """
+            SELECT lang AS v,
+                   CAST(SUM(n_chars) * 100 // COUNT(*) AS BIGINT)
+                       AS avg_c
+            FROM documents GROUP BY lang
+        """,
+        "kg_validate_shapes": __import__(
+            "rdfx_ray.pipelines.validate",
+            fromlist=["DOC_SHAPES_SQL"]).DOC_SHAPES_SQL,
         "kg_query_construct": """
             SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj,
                    'urn:derived:langSource' AS pred,

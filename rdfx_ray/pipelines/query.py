@@ -826,6 +826,47 @@ def distinct_values_bgp(triples_ds, pred: str):
             .select_columns(["v"]))
 
 
+def group_avg_bgp(triples_ds, group_pred: str, value_pred: str,
+                  scale: int = 100):
+    """SPARQL AVG aggregate: ``SELECT ?v (AVG(xsd:integer(?x)) AS a)
+    WHERE { ?s group_pred ?v . ?s value_pred ?x } GROUP BY ?v`` →
+    (v, avg_c) with the average integer-scaled as
+    ``(Σx · scale) // n`` so both engines hash-match exactly (floats
+    never do — the oracle discipline of every money aggregate here).
+
+    Partial-agg: each batch folds to per-group (Σx, n) pairs, the
+    shuffle carries O(groups × blocks) rows, and the division happens
+    once after the global sum (averages of averages are wrong under
+    skewed batch sizes)."""
+    from ray.data.aggregate import Sum
+
+    part_schema = pa.schema([("v", pa.string()), ("s", pa.int64()),
+                             ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        d = pl.from_arrow(pa.table({
+            "v": batch.column("va"),
+            "x": pc.cast(batch.column("vb"), pa.int64())}))
+        g = d.group_by("v").agg(pl.col("x").sum().alias("s"),
+                                pl.len().alias("n"))
+        return g.to_arrow().cast(part_schema)
+
+    summed = (bgp_join(triples_ds, group_pred, value_pred)
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("v").aggregate(Sum("s", alias_name="s"),
+                                      Sum("n", alias_name="n")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "v": batch.column("v"),
+            "avg_c": pa.array((s * scale) // n, pa.int64())})
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
 def construct_bgp(triples_ds, filter_pred: str, filter_obj: str,
                   value_pred: str, new_pred: str,
                   graph_iri: str = "urn:graph:derived", **kwargs):

@@ -466,3 +466,41 @@ def test_sparql_modifier_shapes_match_duckdb(ray_session):
         pd.testing.assert_frame_equal(
             norm(got[want.columns.tolist()], key), norm(want, key),
             check_dtype=False)
+
+
+def test_validate_shapes_detects_violations(ray_session):
+    """SHACL-lite checks flag a corrupted graph: a duplicated
+    cardinality triple, a non-integer datatype literal, and an
+    out-of-vocabulary value each produce exactly one violation."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfx_ray.pipelines.validate import validate_shapes
+
+    P = "urn:p:"
+    rows = {
+        "subj": ["urn:d:0", "urn:d:1", "urn:d:1",   # d:1 has TWO langs
+                 "urn:d:0", "urn:d:1",
+                 "urn:d:0", "urn:d:1"],
+        "pred": [P + "lang", P + "lang", P + "lang",
+                 P + "chars", P + "chars",
+                 P + "lang2", P + "lang2"],
+        "obj_kind": ["literal"] * 7,
+        "obj_value": ["en", "de", "fr",
+                      "42", "not-a-number",
+                      "en", "xx"],
+        "obj_datatype": [None] * 7,
+        "graph_iri": ["urn:g:0"] * 7,
+    }
+    ds = rd.from_arrow(pa.table(rows))
+    rep = validate_shapes(ds, card_pred=P + "lang",
+                          dtype_pred=P + "chars",
+                          in_pred=P + "lang2",
+                          in_values=["en", "de"])
+    rep = rep.set_index("shape_rule")
+    assert rep.loc["card_exactly_1", "n_checked"] == 2
+    assert rep.loc["card_exactly_1", "n_violations"] == 1
+    assert rep.loc["dtype_integer", "n_checked"] == 2
+    assert rep.loc["dtype_integer", "n_violations"] == 1
+    assert rep.loc["value_in_set", "n_checked"] == 2
+    assert rep.loc["value_in_set", "n_violations"] == 1
