@@ -475,6 +475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_split_hash": lambda sf: _packing().split_corpus(sf),
         "corpus_balance_sources":
             lambda sf: _packing().balance_sources(sf),
+        "corpus_decontaminate":
+            lambda sf: _packing().decontaminate(sf),
         # dedup family
         "dedup_exact": lambda sf: dedup.exact_dedup(sf),
         "dedup_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
@@ -743,6 +745,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_balance_sources": __import__(
             "rdfx_ray.functions.packing",
             fromlist=["BALANCE_SOURCES_SQL"]).BALANCE_SOURCES_SQL,
+        "corpus_decontaminate": __import__(
+            "rdfx_ray.functions.packing",
+            fromlist=["DECONTAMINATE_SQL"]).DECONTAMINATE_SQL,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,
                    MIN(doc_id) AS keeper_doc_id,

@@ -201,3 +201,149 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
            AS UBIGINT) % 10000
       < (SELECT mn FROM m) * 10000 // c.n
 """
+
+
+def decontaminate(sf_dir: str, n: int = 8, test_pct: int = SPLIT_PCT):
+    """Test-set decontamination: test docs sharing at least one word
+    ``n``-gram with ANY train doc → (doc_id, n_shared) with the count
+    of distinct shared grams. Composes the engine's hash split and
+    n-gram machinery — the check a training pipeline runs before
+    holding out an eval set.
+
+    Plan (every stage bounded):
+
+    1. one streaming pass builds each doc's distinct n-grams
+       (vectorized polars: extract_all → explode → n-1 per-doc
+       windowed shifts → concat), deduplicated batch-LOCALLY only —
+       a document's text is one row, so one batch holds all of a
+       doc's grams and per-batch ``unique`` IS globally exact per
+       (doc, gram); no distinct shuffle needed (a measured 30 s
+       no-op sort exchange over long gram strings at sf0.1);
+    2. the split flag is computed per row from doc_id (md5 — a pure
+       function, nothing carried anywhere);
+    3. the train side's EXACT row count picks the plan — under the
+       cutoff its gram strings collect once, fold to a unique set on
+       the driver and broadcast for a vectorized ``is_in`` filter
+       (no exchange at all); above it, distinct-shuffle + Ray Data's
+       native hash join (the count-gating discipline of every join
+       in this engine);
+    4. matched test rows fold per doc with batch-local partial
+       counts before the final tiny groupby.
+
+    At 100 TB the gram strings dominate the exchange — swap step 1's
+    gram text for the winnowing module's uint64 rolling hashes (same
+    pipeline shape, 8× fewer bytes); the string form here is what the
+    DuckDB oracle can replay exactly.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    BROADCAST_CUTOFF = 2_000_000
+
+    def grams_batch(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        d = pl.from_arrow(batch.select(["doc_id", "text"]))
+        d = d.with_columns(
+            pl.col("text").fill_null("")
+              .str.extract_all(r"[A-Za-z]+").alias("w")).drop("text")
+        d = (d.explode("w").drop_nulls("w")
+             .with_columns(pl.col("w").str.to_lowercase()))
+        parts = [pl.col("w")] + [
+            pl.col("w").shift(-i).over("doc_id") for i in range(1, n)]
+        d = d.with_columns(
+            pl.concat_str(parts, separator=" ").alias("g"))
+        out = d.drop_nulls("g").select(["doc_id", "g"]).unique()
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("g", pa.string())]))
+
+    import pyarrow.compute as pc_
+
+    def add_split(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        hv = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+             for i in ids), dtype=np.int64, count=len(ids))
+        return batch.append_column(
+            "is_test", pa.array(hv < test_pct, pa.bool_()))
+
+    flagged = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+               .map_batches(grams_batch, batch_format="pyarrow",
+                            batch_size=8192)
+               .map_batches(add_split, batch_format="pyarrow")
+               .materialize())
+
+    test_rows = flagged.map_batches(
+        lambda b: b.filter(b.column("is_test"))
+                   .select(["doc_id", "g"]),
+        batch_format="pyarrow")
+    train_rows = flagged.map_batches(
+        lambda b: b.filter(pc_.invert(b.column("is_test")))
+                   .select(["g"]),
+        batch_format="pyarrow")
+
+    def partial_count(batch: pa.Table) -> pa.Table:
+        vc = pc_.value_counts(batch.column("doc_id").combine_chunks())
+        return pa.table({"doc_id": vc.field("values"),
+                         "n_shared": pa.array(vc.field("counts"),
+                                              pa.int64())})
+
+    if train_rows.count() <= BROADCAST_CUTOFF:
+        # collect the (pre-deduped per doc) train grams once; the
+        # driver-side unique fold replaces a whole distinct-shuffle
+        # round (seconds of fixed exchange cost on collision-sized
+        # tables — the LSH/embedding lesson)
+        g_tbl = pa.concat_tables(list(train_rows.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")))
+        gref = ray.put(pc_.unique(g_tbl.column("g").combine_chunks()))
+
+        def filt(batch: pa.Table) -> pa.Table:
+            from .broadcast import cached_get
+            keep = pc_.is_in(batch.column("g"),
+                             value_set=cached_get(gref))
+            return batch.filter(keep)
+
+        matched = test_rows.map_batches(filt, batch_format="pyarrow")
+    else:
+        train_g = (train_rows.groupby("g")
+                   .aggregate(Count(alias_name="_n"))
+                   .map_batches(lambda b: b.select(["g"])
+                                .rename_columns(["_g_r"]),
+                                batch_format="pyarrow"))
+        matched = (test_rows.join(train_g, "inner", 16,
+                                  on=("g",), right_on=("_g_r",))
+                   .select_columns(["doc_id", "g"]))
+
+    return (matched.map_batches(partial_count, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("n_shared", alias_name="n_shared")))
+
+
+DECONTAMINATE_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                          x -> lower(x)) AS w
+    FROM documents),
+grams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 6),
+                  i -> array_to_string(list_slice(w, i, i + 7), ' ')))
+               AS g
+    FROM toks),
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+split AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS UBIGINT) % 100 < 10 AS is_test
+    FROM documents),
+train_g AS (
+    SELECT DISTINCT g FROM dg JOIN split USING (doc_id)
+    WHERE NOT is_test)
+SELECT dg.doc_id, COUNT(*) AS n_shared
+FROM dg JOIN split ON dg.doc_id = split.doc_id
+        JOIN train_g ON dg.g = train_g.g
+WHERE split.is_test
+GROUP BY dg.doc_id
+"""

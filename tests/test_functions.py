@@ -541,3 +541,26 @@ def test_balance_sources_downsamples_skew(ray_session, tmp_path):
     assert kept["small"] == n_small          # rate 10000 bp keeps all
     # big is sampled at 1000 bp: expected ~40, allow hash noise
     assert 15 <= kept.get("big", 0) <= 80
+
+
+def test_decontaminate_matches_duckdb(ray_session):
+    """Decontamination (test-vs-train 8-gram overlap) matches the
+    DuckDB replay row-for-row and finds the planted cross-split
+    duplicate."""
+    import duckdb
+
+    from rdfx_ray.functions.packing import DECONTAMINATE_SQL, decontaminate
+
+    SF = "/root/testdata/sf0.001"
+    got = decontaminate(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    want = con.sql(DECONTAMINATE_SQL).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(got) >= 1
+    assert (got["n_shared"] > 0).all()
+    import pandas as pd
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
