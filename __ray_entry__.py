@@ -477,6 +477,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _packing().balance_sources(sf),
         "corpus_decontaminate":
             lambda sf: _packing().decontaminate(sf),
+        # scale mode: uint64 rolling-hash grams through the join plane
+        # (per-run hash identities → rows-only; equality with the
+        # string mode pinned by test)
+        "corpus_decontaminate_hashed":
+            lambda sf: _packing().decontaminate(sf, hashed=True),
         # dedup family
         "dedup_exact": lambda sf: dedup.exact_dedup(sf),
         "dedup_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),

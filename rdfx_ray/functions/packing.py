@@ -203,7 +203,8 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
 """
 
 
-def decontaminate(sf_dir: str, n: int = 8, test_pct: int = SPLIT_PCT):
+def decontaminate(sf_dir: str, n: int = 8, test_pct: int = SPLIT_PCT,
+                  hashed: bool = False):
     """Test-set decontamination: test docs sharing at least one word
     ``n``-gram with ANY train doc → (doc_id, n_shared) with the count
     of distinct shared grams. Composes the engine's hash split and
@@ -230,16 +231,22 @@ def decontaminate(sf_dir: str, n: int = 8, test_pct: int = SPLIT_PCT):
     4. matched test rows fold per doc with batch-local partial
        counts before the final tiny groupby.
 
-    At 100 TB the gram strings dominate the exchange — swap step 1's
-    gram text for the winnowing module's uint64 rolling hashes (same
-    pipeline shape, 8× fewer bytes); the string form here is what the
-    DuckDB oracle can replay exactly.
+    At 100 TB the gram strings dominate the exchange —
+    ``hashed=True`` is the scale mode: each token hashes once
+    (vectorized polars siphash) and grams become a numpy polynomial
+    rolling hash over the token-hash stream, so a uint64 flows
+    through the whole filter/join plane instead of a ~50-byte string
+    (identical pipeline shape; hash identities are per-run —
+    everything only ever compares hashes produced in the same run).
+    The string form is what the DuckDB oracle replays exactly; the
+    equality of the two modes' results is pinned by test.
     """
     import ray
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
     BROADCAST_CUTOFF = 2_000_000
+    gram_type = pa.uint64() if hashed else pa.string()
 
     def grams_batch(batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -249,13 +256,29 @@ def decontaminate(sf_dir: str, n: int = 8, test_pct: int = SPLIT_PCT):
               .str.extract_all(r"[A-Za-z]+").alias("w")).drop("text")
         d = (d.explode("w").drop_nulls("w")
              .with_columns(pl.col("w").str.to_lowercase()))
-        parts = [pl.col("w")] + [
-            pl.col("w").shift(-i).over("doc_id") for i in range(1, n)]
-        d = d.with_columns(
-            pl.concat_str(parts, separator=" ").alias("g"))
-        out = d.drop_nulls("g").select(["doc_id", "g"]).unique()
+        if hashed:
+            doc = d["doc_id"].to_numpy()
+            h = d.select(pl.col("w").hash(seed=0))["w"].to_numpy() \
+                .astype(np.uint64)
+            m = len(h) - n + 1
+            if m <= 0:
+                return pa.schema([("doc_id", pa.int64()),
+                                  ("g", gram_type)]).empty_table()
+            C = np.uint64(1099511628211)        # FNV prime, wraps mod 2^64
+            acc = np.zeros(m, dtype=np.uint64)
+            for i in range(n):
+                acc = acc * C + h[i:i + m]
+            valid = doc[:m] == doc[n - 1:]
+            out = pl.DataFrame({"doc_id": doc[:m][valid],
+                                "g": acc[valid]}).unique()
+        else:
+            parts = [pl.col("w")] + [
+                pl.col("w").shift(-i).over("doc_id") for i in range(1, n)]
+            d = d.with_columns(
+                pl.concat_str(parts, separator=" ").alias("g"))
+            out = d.drop_nulls("g").select(["doc_id", "g"]).unique()
         return out.to_arrow().cast(pa.schema([
-            ("doc_id", pa.int64()), ("g", pa.string())]))
+            ("doc_id", pa.int64()), ("g", gram_type)]))
 
     import pyarrow.compute as pc_
 

@@ -564,3 +564,7 @@ def test_decontaminate_matches_duckdb(ray_session):
     import pandas as pd
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
                                   check_dtype=False)
+    # the uint64 rolling-hash scale mode finds the identical report
+    hashed = decontaminate(SF, hashed=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, hashed, check_dtype=False)
