@@ -447,6 +447,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": lambda sf: analytics.revenue_by_region(sf),
         "revenue_by_region_shuffle": _revenue_shuffle,
         "events_topk_users": lambda sf: analytics_ext.events_topk_users(sf),
+        "events_topn_per_type":
+            lambda sf: analytics_ext.events_topn_per_type(sf),
+        "customers_no_urgent_order":
+            lambda sf: analytics_ext.customers_order_antijoin(sf),
+        "customers_with_urgent_order":
+            lambda sf: analytics_ext.customers_order_antijoin(sf, semi=True),
         "events_distinct_users":
             lambda sf: analytics_ext.events_distinct_users(sf),
         "docs_lang_source_stats":
@@ -470,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: text.winnow_fingerprints(sf),
         "text_bpe_tokens": lambda sf: text.bpe_token_stats(sf),
         "text_ngram_counts": lambda sf: text.ngram_counts(sf),
+        "text_doc_frequency": lambda sf: text.doc_frequency(sf),
         # training-batch preparation
         "corpus_pack_sequences": lambda sf: _packing().pack_sequences(sf),
         "corpus_split_hash": lambda sf: _packing().split_corpus(sf),
@@ -669,6 +676,9 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_region": _REVENUE_SQL_REF,
         "revenue_by_region_shuffle": _REVENUE_SQL_REF,
         "events_topk_users": _EXT.EVENTS_TOPK_USERS_SQL,
+        "events_topn_per_type": _EXT.EVENTS_TOPN_PER_TYPE_SQL,
+        "customers_no_urgent_order": _EXT.CUSTOMERS_NO_ORDERS_SQL,
+        "customers_with_urgent_order": _EXT.CUSTOMERS_WITH_ORDERS_SQL,
         "events_distinct_users": _EXT.EVENTS_DISTINCT_USERS_SQL,
         "docs_lang_source_stats": _EXT.DOCS_LANG_SOURCE_SQL,
         "supplier_balance_by_nation": _EXT.SUPPLIER_BALANCE_SQL,
@@ -719,6 +729,9 @@ def oracle_sql() -> dict[str, str]:
         "text_ngram_counts": __import__(
             "rdfx_ray.functions.text",
             fromlist=["NGRAM_COUNTS_SQL"]).NGRAM_COUNTS_SQL,
+        "text_doc_frequency": __import__(
+            "rdfx_ray.functions.text",
+            fromlist=["DOC_FREQUENCY_SQL"]).DOC_FREQUENCY_SQL,
         "corpus_pack_sequences": r"""
             WITH t AS (
                 SELECT doc_id,

@@ -362,6 +362,65 @@ def ngram_counts(sf_dir: str, min_count: int = 5):
     return summed.map_batches(threshold, batch_format="pyarrow")
 
 
+def doc_frequency(sf_dir: str, min_df: int = 5):
+    """Corpus vocabulary with term + document frequencies — the
+    corpus-side statistics TF-IDF weighting and vocab construction
+    need → (term, tf, df).
+
+    Tokens are ASCII ``[A-Za-z]+`` runs lowercased after extraction
+    (the tokenization the whole text family shares, proven
+    byte-identical between Python and DuckDB). Per batch the fold is
+    one vectorized polars ``group_by(term).agg(len, n_unique(doc))``;
+    the per-batch ``n_unique`` partial is globally EXACT because a
+    document's text is one input row, so all of a doc's tokens live in
+    one batch — partial df values sum to the true distinct-doc count
+    (the same one-doc-one-row argument the decontamination pass uses,
+    ``packing.decontaminate``). The shuffle therefore carries
+    O(distinct-terms × blocks) count rows, never token bags, and the
+    ``min_df`` threshold runs after the global sum (a term can cross
+    it only globally)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        d = pl.from_arrow(batch.select(["doc_id", "text"]))
+        d = d.with_columns(
+            pl.col("text").fill_null("")
+              .str.extract_all(r"[A-Za-z]+").alias("w")).drop("text")
+        d = (d.explode("w").drop_nulls("w")
+             .with_columns(pl.col("w").str.to_lowercase()))
+        counts = d.group_by("w").agg(
+            tf=pl.len(), df=pl.col("doc_id").n_unique())
+        return counts.rename({"w": "term"}).to_arrow().cast(pa.schema([
+            ("term", pa.string()), ("tf", pa.int64()),
+            ("df", pa.int64())]))
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    summed = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=8192)
+              .groupby("term").aggregate(Sum("tf", alias_name="tf"),
+                                         Sum("df", alias_name="df")))
+
+    def threshold(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.greater_equal(b.column("df"), min_df))
+
+    return summed.map_batches(threshold, batch_format="pyarrow")
+
+
+DOC_FREQUENCY_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                                 x -> lower(x))) AS term
+    FROM documents)
+SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM toks GROUP BY term
+HAVING COUNT(DISTINCT doc_id) >= 5
+"""
+
+
 NGRAM_COUNTS_SQL = r"""
 WITH toks AS (
     SELECT doc_id,

@@ -371,3 +371,175 @@ SELECT o_orderpriority,
        COUNT(*) AS n_orders
 FROM orders GROUP BY o_orderpriority
 """
+
+
+def events_topn_per_type(sf_dir: str, n: int = 5):
+    """Top-N users per event type by event count (the grouped top-N /
+    window-rank shape Ray Data has no native operator for) →
+    (event_type, user_id, n_events, rnk).
+
+    Three bounded stages: per-batch partial (type, user) counts →
+    exact counts via the distributed groupby → a per-BATCH partial
+    top-N per type (vectorized lexsort + rank-within-type) that caps
+    the final exchange at O(N × types × blocks) rows, THEN the tiny
+    per-type final top-N. No stage ever sorts a whole type's user
+    list in one task — the pre-filter is what makes the shape hold
+    when a type has 10⁹ distinct users. Ties break on user_id, so the
+    selected SET and ranks are deterministic across engines (DuckDB
+    ``row_number() OVER (PARTITION BY ... ORDER BY n DESC, user)``)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas().groupby(["event_type", "user_id"],
+                                        as_index=False)
+              .size().rename(columns={"size": "n_events"}))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby(["event_type", "user_id"])
+              .aggregate(Sum("n_events", alias_name="n_events")))
+
+    def topn_within(df: pd.DataFrame) -> pd.DataFrame:
+        # rank = position within event_type under (-n_events, user_id)
+        # order; lexsort is the vectorized per-batch top-N filter
+        order = np.lexsort((df["user_id"].to_numpy(),
+                            -df["n_events"].to_numpy(),
+                            df["event_type"].to_numpy()))
+        s = df.iloc[order]
+        rnk = s.groupby("event_type").cumcount().to_numpy() + 1
+        s = s.assign(rnk=rnk)
+        return s[s["rnk"] <= n]
+
+    def partial_topn(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(topn_within(batch.to_pandas()),
+                                    preserve_index=False)
+
+    def final_topn(g: pd.DataFrame) -> pd.DataFrame:
+        out = topn_within(g.drop(columns=["rnk"]))
+        return out.astype({"n_events": np.int64, "rnk": np.int64})
+
+    return (counts.map_batches(partial_topn, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby("event_type")
+            .map_groups(final_topn, batch_format="pandas"))
+
+
+EVENTS_TOPN_PER_TYPE_SQL = """
+WITH c AS (
+    SELECT event_type, user_id, COUNT(*) AS n_events
+    FROM events GROUP BY event_type, user_id)
+SELECT event_type, user_id, n_events,
+       CAST(row_number() OVER (PARTITION BY event_type
+                               ORDER BY n_events DESC, user_id)
+            AS BIGINT) AS rnk
+FROM c
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY n_events DESC, user_id) <= 5
+"""
+
+
+# distinct probe-side keys above which the anti/semi join abandons the
+# broadcast set for the partitioned hash join (the count-gating rule
+# every join in this engine follows)
+ANTI_JOIN_BROADCAST_CUTOFF = 2_000_000
+
+
+def customers_order_antijoin(sf_dir: str, semi: bool = False,
+                             priority: str = "1-URGENT",
+                             broadcast_cutoff: int =
+                             ANTI_JOIN_BROADCAST_CUTOFF):
+    """Anti join (``semi=False``): customers with NO order of the
+    given priority — the NOT-EXISTS shape (orphan detection /
+    referential-integrity audit). Semi join (``semi=True``):
+    customers WITH at least one such order, projected to customer
+    columns only (EXISTS — no row multiplication, which is what
+    distinguishes it from an inner join).
+
+    The priority predicate pushes into the parquet read (only
+    matching row groups leave storage) and the orders side then
+    compresses to DISTINCT keys via per-batch ``unique`` + the
+    distinct groupby — the join plane never carries order
+    multiplicity. The EXACT distinct-key count picks the plan: under
+    the cutoff the key set collects once, broadcasts via ``ray.put``
+    and each customer batch filters with one vectorized ``is_in`` (no
+    exchange of the customer side at all); above it, Ray Data's
+    native hash join in the matching mode (customer rows are
+    join-key-unique, so inner ≡ semi; left_outer + null marker ≡
+    anti — the minus_bgp construction)."""
+    import ray
+    import ray.data as rd
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Count
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"o_custkey": pc.unique(
+            batch.column("o_custkey").combine_chunks())})
+
+    keys = (rd.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_custkey"],
+                filter=pads.field("o_orderpriority") == priority)
+            .map_batches(local_distinct, batch_format="pyarrow",
+                         batch_size=65536)
+            .groupby("o_custkey").aggregate(Count(alias_name="_n"))
+            .select_columns(["o_custkey"]))
+    n_keys = keys.count()
+
+    if n_keys <= broadcast_cutoff:
+        kt = pa.concat_tables(list(keys.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")))
+        kref = ray.put(kt.column("o_custkey").combine_chunks())
+
+        def filt(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            from rdfx_ray.functions.broadcast import cached_get
+            hit = pc.is_in(batch.column("c_custkey"),
+                           value_set=cached_get(kref))
+            return batch.filter(hit if semi else pc.invert(hit))
+
+        return cust.map_batches(filt, batch_format="pyarrow",
+                                batch_size=65536)
+
+    import pyarrow.compute as pc
+    if semi:
+        renamed = keys.map_batches(
+            lambda b: b.rename_columns(["_o_custkey_r"]),
+            batch_format="pyarrow")
+        return (cust.join(renamed, "inner", 16, on=("c_custkey",),
+                          right_on=("_o_custkey_r",))
+                .select_columns(["c_custkey", "c_name"]))
+    marked = keys.map_batches(
+        lambda b: pa.table({"_o_custkey_r": b.column("o_custkey"),
+                            "_hit": pa.array(
+                                np.ones(b.num_rows, dtype=np.int8))}),
+        batch_format="pyarrow")
+    joined = cust.join(marked, "left_outer", 16, on=("c_custkey",),
+                       right_on=("_o_custkey_r",))
+    return joined.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("_hit")))
+                   .select(["c_custkey", "c_name"]),
+        batch_format="pyarrow")
+
+
+CUSTOMERS_NO_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+CUSTOMERS_WITH_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+"""

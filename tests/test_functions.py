@@ -568,3 +568,66 @@ def test_decontaminate_matches_duckdb(ray_session):
     hashed = decontaminate(SF, hashed=True).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, hashed, check_dtype=False)
+
+
+def test_doc_frequency_counts_docs_not_tokens(ray_session, tmp_path):
+    """df counts distinct docs (a term repeated in one doc counts
+    once); tf counts every occurrence; the per-batch n_unique partial
+    is exact because one doc = one input row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdfx_ray.functions.text import doc_frequency
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["Alpha alpha beta", "alpha gamma", "beta beta"],
+    }), tmp_path / "documents.parquet")
+    got = doc_frequency(str(tmp_path), min_df=1).to_pandas()
+    rows = {t: (tf, df) for t, tf, df in
+            zip(got["term"], got["tf"], got["df"])}
+    assert rows == {"alpha": (3, 2), "beta": (3, 2), "gamma": (1, 1)}
+    # min_df threshold applies to the GLOBAL df
+    got2 = doc_frequency(str(tmp_path), min_df=2).to_pandas()
+    assert set(got2["term"]) == {"alpha", "beta"}
+
+
+def test_topn_per_type_matches_window_rank(ray_session):
+    """Distributed grouped top-N agrees with the pandas window rank
+    (n DESC, user ASC tiebreak) — the partial per-batch top-N filter
+    drops nothing."""
+    import duckdb
+
+    from rdfx_ray.pipelines.analytics_ext import (
+        EVENTS_TOPN_PER_TYPE_SQL, events_topn_per_type)
+
+    SF = "/root/testdata/sf0.001"
+    got = events_topn_per_type(SF, n=5).to_pandas() \
+        .sort_values(["event_type", "rnk"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{SF}/events.parquet'")
+    want = con.execute(EVENTS_TOPN_PER_TYPE_SQL).df() \
+        .sort_values(["event_type", "rnk"]).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_antijoin_routes_agree(ray_session):
+    """Anti and semi joins partition the customer table; the broadcast
+    and native-hash-join routes return the identical sets."""
+    from rdfx_ray.pipelines.analytics_ext import customers_order_antijoin
+
+    SF = "/root/testdata/sf0.001"
+    anti_b = set(customers_order_antijoin(SF).to_pandas()["c_custkey"])
+    semi_b = set(customers_order_antijoin(SF, semi=True)
+                 .to_pandas()["c_custkey"])
+    assert anti_b and semi_b and not (anti_b & semi_b)
+    assert len(anti_b) + len(semi_b) == 150
+    anti_j = set(customers_order_antijoin(SF, broadcast_cutoff=0)
+                 .to_pandas()["c_custkey"])
+    semi_j = set(customers_order_antijoin(SF, semi=True,
+                                          broadcast_cutoff=0)
+                 .to_pandas()["c_custkey"])
+    assert anti_j == anti_b and semi_j == semi_b
