@@ -352,6 +352,14 @@ def _kg_citation_pagerank(sf_dir: str):
     return citation_pagerank(sf_dir)
 
 
+def _orders_quantiles_tdigest(sf_dir: str):
+    """Approximate grouped p50/p95 via mergeable t-digests — the
+    O(delta)-state scale path beyond the exact distinct-value
+    histogram (sketch → rows-only check; ≤1% error pinned by test)."""
+    from rdfx_ray.functions.sketch import orders_price_quantiles_tdigest
+    return orders_price_quantiles_tdigest(sf_dir)
+
+
 def _packing():
     from rdfx_ray.functions import packing
     return packing
@@ -465,6 +473,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: analytics_ext.events_hopping_windows(sf),
         "orders_price_quantiles":
             lambda sf: analytics_ext.orders_price_quantiles(sf),
+        # mergeable-sketch twin of the exact quantiles (approximate by
+        # design → rows-only; error bound pinned by test)
+        "orders_price_quantiles_tdigest": _orders_quantiles_tdigest,
         "events_asof_orders": _events_asof_orders,
         "events_hll_users": _events_hll_users,
         # text analysis

@@ -65,6 +65,142 @@ def hll_distinct(ds, column: str, p: int = 12) -> float:
     return _estimate(merged, p)
 
 
+def _td_compress(means: np.ndarray, weights: np.ndarray,
+                 delta: float) -> tuple[np.ndarray, np.ndarray]:
+    """Merge a centroid list down to ~delta centroids (Dunning's
+    merging t-digest, k1 scale function k(q) = δ/2π·asin(2q−1)):
+    sort by mean, then greedily absorb neighbours while the merged
+    centroid's q-span stays within one unit of k. Accuracy is
+    relative to q(1−q), so tails stay sharp — the property that makes
+    p95/p99 usable from a fixed-size mergeable summary."""
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = float(weights.sum())
+    if len(means) <= 1 or total == 0:
+        return means, weights
+
+    def k_inv(k: float) -> float:
+        x = np.clip(k * 2 * np.pi / delta, -np.pi / 2, np.pi / 2)
+        return (np.sin(x) + 1) / 2
+
+    def k_fn(q: float) -> float:
+        return delta / (2 * np.pi) * np.arcsin(2 * np.clip(q, 0, 1) - 1)
+
+    out_m, out_w = [], []
+    cur_m, cur_w = means[0], weights[0]
+    q0 = 0.0
+    q_limit = k_inv(k_fn(q0) + 1)
+    for m, w in zip(means[1:], weights[1:]):
+        q = q0 + (cur_w + w) / total
+        if q <= q_limit:
+            cur_m += (m - cur_m) * (w / (cur_w + w))
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            q0 += cur_w / total
+            q_limit = k_inv(k_fn(q0) + 1)
+            cur_m, cur_w = m, w
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m, np.float64), np.asarray(out_w, np.float64)
+
+
+def _td_quantile(means: np.ndarray, weights: np.ndarray, q: float,
+                 lo: float, hi: float) -> float:
+    """Interpolated quantile from a centroid list: each centroid's
+    mass centers at its cumulative midpoint; ends clamp to the exact
+    observed min/max (carried alongside the digest)."""
+    cum = np.cumsum(weights) - weights / 2
+    target = q * weights.sum()
+    if target <= cum[0]:
+        return float(np.interp(target, [0, cum[0]], [lo, means[0]]))
+    if target >= cum[-1]:
+        return float(np.interp(target, [cum[-1], weights.sum()],
+                               [means[-1], hi]))
+    return float(np.interp(target, cum, means))
+
+
+def tdigest_grouped_quantiles(ds, group_col: str, val_col: str,
+                              q_pcts=(50, 95), delta: float = 200.0):
+    """Approximate grouped quantiles via mergeable t-digests — the
+    O(δ)-state scale path where even the distinct-value histogram of
+    :func:`rdfx_ray.pipelines.analytics_ext.grouped_quantiles_distributed`
+    outgrows a worker. One map_batches pass builds a per-(batch,
+    group) digest row (~δ packed float64 pairs + exact min/max/count);
+    a tiny ``groupby(group).map_groups`` concatenates and re-compresses
+    — digest merge is associative, so the same rows could ride a tree
+    reduce on a 256-node cluster. Output:
+    (group, p{q}_est ..., n_rows) with n_rows EXACT (weights are
+    counts, summed losslessly)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        groups, blobs, los, his, ns = [], [], [], [], []
+        for g, grp in df.groupby(group_col):
+            v = grp[val_col].to_numpy(dtype=np.float64)
+            m, w = _td_compress(v, np.ones(len(v)), delta)
+            groups.append(g)
+            blobs.append(m.tobytes() + w.tobytes())
+            los.append(float(v.min()))
+            his.append(float(v.max()))
+            ns.append(len(v))
+        return pa.table({
+            group_col: pa.array(groups),
+            "_td": pa.array(blobs, pa.binary()),
+            "_lo": pa.array(los, pa.float64()),
+            "_hi": pa.array(his, pa.float64()),
+            "_n": pa.array(ns, pa.int64()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        ms, ws = [], []
+        for buf in g["_td"]:
+            arr = np.frombuffer(buf, dtype=np.float64)
+            half = len(arr) // 2
+            ms.append(arr[:half])
+            ws.append(arr[half:])
+        m, w = _td_compress(np.concatenate(ms), np.concatenate(ws),
+                            delta)
+        lo, hi = float(g["_lo"].min()), float(g["_hi"].max())
+        row = {group_col: [g[group_col].iloc[0]]}
+        for qp in q_pcts:
+            row[f"p{qp}_est"] = [
+                _td_quantile(m, w, qp / 100, lo, hi)]
+        row["n_rows"] = [np.int64(g["_n"].sum())]
+        return pd.DataFrame(row)
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(group_col).map_groups(merge,
+                                           batch_format="pandas"))
+
+
+def orders_price_quantiles_tdigest(sf_dir: str):
+    """Approximate p50/p95 of integer-scaled order price per priority
+    from mergeable t-digests (the sketch twin of the exact
+    ``orders_price_quantiles`` oracle — approximate by design →
+    rows-only check; the relative-error bound vs the exact result is
+    pinned by test)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_totalprice"])
+
+    def scale(batch: pa.Table) -> pa.Table:
+        price_c = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "price_c": pa.array(price_c, pa.int64())})
+
+    return tdigest_grouped_quantiles(
+        ds.map_batches(scale, batch_format="pyarrow",
+                       batch_size=65536),
+        "o_orderpriority", "price_c")
+
+
 def events_hll_users(sf_dir: str, p: int = 12):
     """HLL estimate of distinct users per event_type + overall —
     returned as rows for the (rows-only) driver check."""

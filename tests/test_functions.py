@@ -631,3 +631,33 @@ def test_antijoin_routes_agree(ray_session):
                                           broadcast_cutoff=0)
                  .to_pandas()["c_custkey"])
     assert anti_j == anti_b and semi_j == semi_b
+
+
+def test_tdigest_quantiles_error_bound(ray_session):
+    """t-digest grouped quantiles stay within 1% relative error of
+    the exact percentile_disc result, counts are exact, and the
+    compressed digest really is bounded (~delta centroids)."""
+    import numpy as np
+
+    from rdfx_ray.functions.sketch import (
+        _td_compress, orders_price_quantiles_tdigest)
+    from rdfx_ray.pipelines.analytics_ext import orders_price_quantiles
+
+    SF = "/root/testdata/sf0.01"
+    est = orders_price_quantiles_tdigest(SF).to_pandas() \
+        .set_index("o_orderpriority")
+    exact = orders_price_quantiles(SF).to_pandas() \
+        .set_index("o_orderpriority")
+    assert set(est.index) == set(exact.index)
+    for prio in exact.index:
+        assert est.loc[prio, "n_rows"] == exact.loc[prio, "n_orders"]
+        for e_col, x_col in (("p50_est", "p50_price_c"),
+                             ("p95_est", "p95_price_c")):
+            e, x = est.loc[prio, e_col], exact.loc[prio, x_col]
+            assert abs(e - x) / x < 0.01, (prio, e_col, e, x)
+    # compression bound: 100k values -> O(delta) centroids, weight
+    # conserved exactly
+    v = np.random.RandomState(7).lognormal(size=100_000)
+    m, w = _td_compress(v, np.ones(len(v)), delta=200.0)
+    assert len(m) < 400
+    assert w.sum() == 100_000
