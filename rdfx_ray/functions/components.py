@@ -137,10 +137,87 @@ def union_find_components(edges: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 PAGERANK_BROADCAST_CUTOFF = 2_000_000
+# distinct nodes under which the pinned-edges actor route applies (the
+# rank/outdeg vector must fit one machine — the Pregel-aggregator
+# compromise; above it the per-round join route keeps rank distributed)
+PAGERANK_PINNED_NODES_CUTOFF = 50_000_000
+
+
+def pagerank_pinned(edges_ds, n: int, node_idx: "pd.Series",
+                    outdeg: np.ndarray, damping: float = 0.85,
+                    n_iter: int = 20, n_actors: int = 8) -> pa.Table:
+    """PageRank with the edge set partitioned ONCE into long-lived
+    actors — per round the only bytes that move are the O(nodes) rank
+    vector (one ``ray.put``, object-store-shared per physical node)
+    and the per-actor partial destination sums (≤ distinct dst per
+    slice). The edges NEVER re-shuffle, versus two O(edges) exchanges
+    per round in the join route — the dominant cost when
+    edges ≫ nodes (the usual citation/web-graph regime).
+
+    Partitioning assumption (documented per the custom-operator rule):
+    the (node, rank, outdeg) vector fits one machine's memory while
+    the edge set need not — callers gate on
+    ``PAGERANK_PINNED_NODES_CUTOFF``. Edge slices need NO src
+    co-location (any partition of the edge bag gives the same partial
+    sums), so the setup cost is zero exchanges: actors adopt the
+    scan's existing blocks by object ref.
+    """
+    import ray
+
+    @ray.remote(num_cpus=1)
+    class EdgeSlice:
+        def __init__(self, block_refs, idx):
+            # idx arrives by ref (ray.put once, top-level arg
+            # auto-deref); block refs ride inside a list so they stay
+            # refs until the explicit get (zero-copy within a node)
+            tbls = ray.get(list(block_refs))
+            t = pa.concat_tables(tbls) if tbls else None
+            if t is None or t.num_rows == 0:
+                self.s = self.d = np.zeros(0, np.int64)
+                return
+            # map endpoint strings to the shared node index ONCE —
+            # the per-round hot loop is pure integer numpy
+            self.s = idx.loc[t.column("src").to_pylist()] \
+                .to_numpy(np.int64)
+            self.d = idx.loc[t.column("dst").to_pylist()] \
+                .to_numpy(np.int64)
+
+        def contrib(self, w):
+            # w arrives by ref (ray.put once per round) — the object
+            # store shares one copy per physical node
+            c = np.zeros(len(w))
+            np.add.at(c, self.d, w[self.s])
+            # return only touched entries (≤ distinct dst per slice)
+            nz = np.nonzero(c)[0]
+            return nz, c[nz]
+
+    blocks = edges_ds.to_arrow_refs()
+    idx_ref = ray.put(node_idx)
+    actors = [EdgeSlice.remote(blocks[i::n_actors], idx_ref)
+              for i in range(min(n_actors, max(len(blocks), 1)))]
+
+    rank = np.full(n, 1.0 / n)
+    safe_deg = np.maximum(outdeg, 1.0)
+    dangling_mask = outdeg == 0
+    for _ in range(n_iter):
+        w_ref = ray.put(rank / safe_deg)
+        parts = ray.get([a.contrib.remote(w_ref) for a in actors])
+        contrib = np.zeros(n)
+        for nz, vals in parts:
+            contrib[nz] += vals
+        dangling = rank[dangling_mask].sum()
+        rank = ((1.0 - damping) / n
+                + damping * (contrib + dangling / n))
+    return pa.table({
+        "node": pa.array(node_idx.index.tolist(), pa.string()),
+        "rank_1e9": pa.array(
+            np.floor(rank * 1e9 + 0.5).astype(np.int64), pa.int64()),
+    })
 
 
 def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 20,
              broadcast_cutoff_rows: int = PAGERANK_BROADCAST_CUTOFF,
+             pinned_nodes_cutoff: int = PAGERANK_PINNED_NODES_CUTOFF,
              num_partitions: int = 16) -> pa.Table:
     """PageRank over an edge Dataset (src, dst string columns), fixed
     ``n_iter`` power iterations with uniform teleport and dangling-
@@ -194,7 +271,7 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 20,
                 np.floor(rank * 1e9 + 0.5).astype(np.int64), pa.int64()),
         })
 
-    # ---- distributed route ------------------------------------------------
+    # ---- distributed routes -----------------------------------------------
     edges = edges_ds.materialize()
     nodes = (edges.select_columns(["src"])
              .map_batches(lambda b: b.rename_columns(["node"]),
@@ -205,10 +282,27 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 20,
              .groupby("node").aggregate(Count(alias_name="_n"))
              .select_columns(["node"]).materialize())
     n = nodes.count()
+    deg_raw = edges.groupby("src").aggregate(Count(alias_name="outdeg"))
 
-    deg = (edges.groupby("src").aggregate(Count(alias_name="outdeg"))
-           .map_batches(lambda b: b.rename_columns(["_node_r", "outdeg"]),
-                        batch_format="pyarrow"))
+    if n <= pinned_nodes_cutoff:
+        # pinned-edges route: rank vector fits one machine; edges are
+        # adopted by actors once and never re-shuffled
+        import pandas as pd
+        node_arr = pa.concat_tables(list(nodes.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"))) \
+            .column("node").to_pylist()
+        node_idx = pd.Series(np.arange(n, dtype=np.int64),
+                             index=node_arr)
+        deg_pd = deg_raw.to_pandas()
+        outdeg = np.zeros(n, dtype=np.float64)
+        outdeg[node_idx.loc[deg_pd["src"]].to_numpy()] = \
+            deg_pd["outdeg"].to_numpy(np.float64)
+        return pagerank_pinned(edges, n, node_idx, outdeg,
+                               damping=damping, n_iter=n_iter)
+
+    deg = deg_raw.map_batches(
+        lambda b: b.rename_columns(["_node_r", "outdeg"]),
+        batch_format="pyarrow")
     ranks = (nodes.join(deg, "left_outer", num_partitions,
                         on=("node",), right_on=("_node_r",))
              .map_batches(

@@ -30,7 +30,8 @@ from .text import token_stats_batch
 
 
 def pack_sequences(sf_dir: str, capacity: int = 2048,
-                   range_docs: int = 8192):
+                   range_docs: int = 8192,
+                   persist_dir: str | None = None):
     """Assign every document its global token ``start_offset`` (prefix
     sum of whitespace-token counts in ``doc_id`` order) and the
     training bin it starts in (``bin_id = start_offset // capacity``)
@@ -51,6 +52,14 @@ def pack_sequences(sf_dir: str, capacity: int = 2048,
 
     DuckDB oracle: ``SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN
     UNBOUNDED PRECEDING AND 1 PRECEDING)``.
+
+    The slim table feeds TWO passes. By default it pins in the object
+    store (``materialize()`` — 16 bytes/doc, spillable). For corpora
+    where even that working set shouldn't occupy the store across the
+    whole job (≥10⁹ docs/node), pass ``persist_dir``: the table
+    streams to parquet once and each pass re-reads it — identical
+    results (pinned by test), object-store residency zero between
+    passes, and the scan (the expensive text read) never repeats.
     """
     import ray
     import ray.data as rd
@@ -66,8 +75,13 @@ def pack_sequences(sf_dir: str, capacity: int = 2048,
                     "n_tokens": b.column("n_tokens"),
                     "rng": pa.array(b.column("doc_id").to_numpy()
                                     // range_docs, pa.int64())}),
-                batch_format="pyarrow")
-            .materialize())
+                batch_format="pyarrow"))
+    if persist_dir is not None:
+        slim.write_parquet(persist_dir)
+        slim = rd.read_parquet(
+            persist_dir, columns=["doc_id", "n_tokens", "rng"])
+    else:
+        slim = slim.materialize()
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

@@ -661,3 +661,17 @@ def test_tdigest_quantiles_error_bound(ray_session):
     m, w = _td_compress(v, np.ones(len(v)), delta=200.0)
     assert len(m) < 400
     assert w.sum() == 100_000
+
+
+def test_pack_sequences_persisted_identical(ray_session, tmp_path):
+    """The parquet-persisted slim-table mode (the >=1e9-doc working-set
+    path) returns byte-identical offsets to the object-store default."""
+    from rdfx_ray.functions.packing import pack_sequences
+
+    SF = "/root/testdata/sf0.001"
+    a = pack_sequences(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = pack_sequences(SF, persist_dir=str(tmp_path / "slim")) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
