@@ -243,6 +243,45 @@ def _kg_query_path_star(sf_dir: str):
                               SDO + "citation")
 
 
+def _kg_query_path_alt(sf_dir: str):
+    """Alternative path ?s (inLanguage|isBasedOn) ?o — set-semantic
+    predicate union (streaming is_in filter + distinct shuffle)."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import property_path_alt
+
+    return property_path_alt(doc_triples(sf_dir), SDO + "inLanguage",
+                             SDO + "isBasedOn")
+
+
+def _kg_query_negated_props(sf_dir: str):
+    """Negated property set ?s !(characterCount) ?o — all triples
+    whose predicate is outside the excluded set (pure streaming)."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import negated_property_set_bgp
+
+    return negated_property_set_bgp(doc_triples(sf_dir),
+                                    [SDO + "characterCount"])
+
+
+def _kg_query_having(sf_dir: str):
+    """GROUP BY ?v HAVING COUNT(?s) >= 75 over ?s inLanguage ?v —
+    post-aggregate threshold on the grouped count."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import having_bgp
+
+    return having_bgp(doc_triples(sf_dir), SDO + "inLanguage", 75)
+
+
+def _kg_query_group_minmax(sf_dir: str):
+    """MIN/MAX(xsd:integer(?x)) per language over characterCount —
+    lossless partial-fold aggregates (no scaling dance)."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import group_minmax_bgp
+
+    return group_minmax_bgp(doc_triples(sf_dir), SDO + "inLanguage",
+                            SDO + "characterCount")
+
+
 def _kg_query_construct(sf_dir: str):
     """CONSTRUCT { ?s urn:derived:langSource ?vb } WHERE
     { ?s inLanguage 'en' . ?s isBasedOn ?vb } — template rewrite into
@@ -439,6 +478,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_query_path_seq": _kg_query_path_seq,
         "kg_query_path_star": _kg_query_path_star,
         "kg_query_group_avg": _kg_query_group_avg,
+        "kg_query_path_alt": _kg_query_path_alt,
+        "kg_query_negated_props": _kg_query_negated_props,
+        "kg_query_having": _kg_query_having,
+        "kg_query_group_minmax": _kg_query_group_minmax,
         "kg_validate_shapes": _kg_validate_shapes,
         "kg_query_construct": _kg_query_construct,
         "kg_query_group_concat": _kg_query_group_concat,
@@ -649,6 +692,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_query_distinct": """
             SELECT DISTINCT source AS v FROM documents
+        """,
+        "kg_query_path_alt": f"""
+            SELECT DISTINCT subj, obj_value AS obj
+            FROM ({DOC_TRIPLES_SQL})
+            WHERE pred IN ('https://schema.org/inLanguage',
+                           'https://schema.org/isBasedOn')
+        """,
+        "kg_query_negated_props": f"""
+            SELECT subj, pred AS p, obj_value AS o
+            FROM ({DOC_TRIPLES_SQL})
+            WHERE pred NOT IN ('https://schema.org/characterCount')
+        """,
+        "kg_query_having": """
+            SELECT lang AS v, COUNT(*) AS n
+            FROM documents GROUP BY lang HAVING COUNT(*) >= 75
+        """,
+        "kg_query_group_minmax": """
+            SELECT lang AS v, CAST(MIN(n_chars) AS BIGINT) AS min_c,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_c
+            FROM documents GROUP BY lang
         """,
         "kg_query_path_plus": _PATH_PLUS_SQL,
         "kg_query_path_seq": f"""

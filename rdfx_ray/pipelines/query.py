@@ -867,6 +867,90 @@ def group_avg_bgp(triples_ds, group_pred: str, value_pred: str,
     return summed.map_batches(finish, batch_format="pyarrow")
 
 
+def property_path_alt(triples_ds, pred_1: str, pred_2: str):
+    """SPARQL alternative path: ``?s (p1|p2) ?o`` → DISTINCT
+    (subj, obj) pairs reachable by either predicate (path results are
+    SET-semantic, unlike UNION's bag). One streaming vectorized
+    ``is_in`` filter over the predicate column; the distinct rides
+    batch-local ``unique`` + the distinct groupby (the
+    distinct_values_bgp discipline applied to pairs)."""
+    from ray.data.aggregate import Count
+
+    pset = pa.array([pred_1, pred_2], pa.string())
+
+    def local(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        keep = pc.is_in(batch.column("pred"), value_set=pset)
+        out = batch.filter(keep)
+        t = pa.table({"subj": out.column("subj"),
+                      "obj": out.column("obj_value")})
+        return pl.from_arrow(t).unique().to_arrow().cast(t.schema)
+
+    return (triples_ds.map_batches(local, batch_format="pyarrow")
+            .groupby(["subj", "obj"]).aggregate(Count(alias_name="_n"))
+            .select_columns(["subj", "obj"]))
+
+
+def negated_property_set_bgp(triples_ds, excluded):
+    """SPARQL negated property set: ``?s !(p1|…|pk) ?o`` →
+    (subj, p, o) for every triple whose predicate is NOT in the
+    excluded set. Pure streaming: one inverted vectorized ``is_in``
+    per batch, no shuffle (the predicate set is query text, shipped
+    in the task closure)."""
+    pset = pa.array(list(excluded), pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(batch.column("pred"),
+                                  value_set=pset))
+        out = batch.filter(keep)
+        return pa.table({"subj": out.column("subj"),
+                         "p": out.column("pred"),
+                         "o": out.column("obj_value")})
+
+    return triples_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def having_bgp(triples_ds, pred: str, min_n: int):
+    """SPARQL HAVING: ``SELECT ?v (COUNT(?s) AS n) WHERE { ?s pred
+    ?v } GROUP BY ?v HAVING (COUNT(?s) >= min_n)`` → (v, n). The
+    group_count plan plus a post-aggregate streaming filter — the
+    threshold can only be applied AFTER the global sum (a group can
+    cross it only globally; the ngram_counts lesson)."""
+
+    def threshold(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("n"), min_n))
+
+    return group_count_bgp(triples_ds, pred) \
+        .map_batches(threshold, batch_format="pyarrow")
+
+
+def group_minmax_bgp(triples_ds, group_pred: str, value_pred: str):
+    """SPARQL MIN/MAX aggregates: ``SELECT ?v (MIN(xsd:integer(?x))
+    AS min_c) (MAX(...) AS max_c) WHERE { ?s group_pred ?v . ?s
+    value_pred ?x } GROUP BY ?v`` → (v, min_c, max_c). Min/max fold
+    losslessly through partials (unlike AVG, no scaling dance
+    needed): each batch reduces to one row per group, the shuffle
+    carries O(groups × blocks) rows."""
+    from ray.data.aggregate import Max, Min
+
+    part_schema = pa.schema([("v", pa.string()), ("mn", pa.int64()),
+                             ("mx", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        d = pl.from_arrow(pa.table({
+            "v": batch.column("va"),
+            "x": pc.cast(batch.column("vb"), pa.int64())}))
+        g = d.group_by("v").agg(pl.col("x").min().alias("mn"),
+                                pl.col("x").max().alias("mx"))
+        return g.to_arrow().cast(part_schema)
+
+    return (bgp_join(triples_ds, group_pred, value_pred)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("v").aggregate(Min("mn", alias_name="min_c"),
+                                    Max("mx", alias_name="max_c")))
+
+
 def construct_bgp(triples_ds, filter_pred: str, filter_obj: str,
                   value_pred: str, new_pred: str,
                   graph_iri: str = "urn:graph:derived", **kwargs):
