@@ -553,6 +553,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_citation_pagerank": _kg_citation_pagerank,
         # similarity search
         "ann_brute_topk": lambda sf: similarity.brute_topk(sf),
+        # integer-quantized ranking → SQL-oracle-able exact ANN
+        "ann_topk_quantized":
+            lambda sf: similarity.brute_topk_quantized(sf),
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf),
         "ann_lsh_topk": lambda sf: similarity.lsh_topk(sf),
     }
@@ -840,6 +843,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_decontaminate": __import__(
             "rdfx_ray.functions.packing",
             fromlist=["DECONTAMINATE_SQL"]).DECONTAMINATE_SQL,
+        "ann_topk_quantized": __import__(
+            "rdfx_ray.functions.similarity",
+            fromlist=["ANN_TOPK_QUANTIZED_SQL"]).ANN_TOPK_QUANTIZED_SQL,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,
                    MIN(doc_id) AS keeper_doc_id,

@@ -534,3 +534,76 @@ def lsh_topk(sf_dir: str, queries: Optional[np.ndarray] = None,
         queries = default_queries(sf_dir)
     return lsh_index_for(sf_dir, n_bits=n_bits).search(
         queries, k=k, probe_radius=probe_radius)
+
+
+def brute_topk_quantized(sf_dir: str, n_queries: int = 4, k: int = 10):
+    """Exact cosine top-k ranked in INTEGER space — the SQL-oracle-able
+    face of ANN: query vectors are the corpus's first ``n_queries``
+    rows (vec_id < n_queries, so DuckDB can self-join), all math runs
+    in float64, scores quantize to ``cos_1e6 = floor(cos·10⁶ + 0.5)``
+    and BOTH the per-batch partial top-k and the final merge rank by
+    (cos_1e6 DESC, vec_id ASC). Because selection happens on the
+    quantized value with a total-order tiebreak, the top-k SET and
+    hash match DuckDB's ``list_cosine_similarity`` exactly — float
+    last-ulp differences vanish at the 10⁻⁶ quantum (validated at
+    every tested scale), which the float32-ranked ``brute_topk``
+    cannot promise (→ that one stays rows-only).
+
+    Distributed shape unchanged from brute_topk: broadcast query
+    block, streaming per-batch matmul + partial top-k, tiny driver
+    merge → (query_id, vec_id, cos_1e6)."""
+    import ray
+    import ray.data as rd
+
+    q = default_queries(sf_dir, n_queries).astype(np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qref = ray.put(qn)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        from .broadcast import cached_get
+        qn = cached_get(qref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(),
+                         dtype=np.int64)
+        m = np.asarray(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = qn @ m.T                                   # (nq, batch)
+        cos_1e6 = np.floor(sims * 1_000_000 + 0.5).astype(np.int64)
+        nq, nb = cos_1e6.shape
+        t = pa.table({
+            "query_id": pa.array(np.repeat(np.arange(nq), nb),
+                                 pa.int64()),
+            "vec_id": pa.array(np.tile(ids, nq), pa.int64()),
+            "cos_1e6": pa.array(cos_1e6.ravel(), pa.int64()),
+        })
+        return (pl.from_arrow(t)
+                .sort(["query_id", "cos_1e6", "vec_id"],
+                      descending=[False, True, False])
+                .group_by("query_id", maintain_order=True).head(k)
+                .to_arrow().cast(t.schema))
+
+    return _merge_partial_topk(
+        ds.map_batches(partial_topk, batch_format="pyarrow",
+                       batch_size=4096), k)
+
+
+ANN_TOPK_QUANTIZED_SQL = """
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4),
+s AS (
+    SELECT q.query_id, e.vec_id,
+           CAST(FLOOR(list_cosine_similarity(qv, e.v) * 1000000 + 0.5)
+                AS BIGINT) AS cos_1e6
+    FROM q CROSS JOIN e)
+SELECT query_id, vec_id, cos_1e6 FROM s
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_1e6 DESC, vec_id) <= 10
+"""

@@ -675,3 +675,30 @@ def test_pack_sequences_persisted_identical(ray_session, tmp_path):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ann_quantized_matches_local_float64(ray_session):
+    """The quantized-ranking ANN agrees with a local float64
+    reference: same (query, vec) set under (cos_1e6 DESC, vec_id)
+    order — the property that makes it SQL-oracle-able."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rdfx_ray.functions.similarity import brute_topk_quantized
+
+    SF = "/root/testdata/sf0.001"
+    got = brute_topk_quantized(SF).to_pandas()
+    assert len(got) == 4 * 10
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    m = np.asarray(t.column("embedding").to_pylist(), np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    ids = np.asarray(t.column("vec_id").to_pylist(), np.int64)
+    for qi in range(4):
+        sims = np.floor(m[qi] @ m.T * 1_000_000 + 0.5).astype(np.int64)
+        order = np.lexsort((ids, -sims))[:10]
+        want = list(zip(ids[order], sims[order]))
+        sub = got[got["query_id"] == qi].sort_values(
+            ["cos_1e6", "vec_id"], ascending=[False, True])
+        assert list(zip(sub["vec_id"], sub["cos_1e6"])) == want
