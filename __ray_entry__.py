@@ -504,6 +504,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: analytics_ext.customers_order_antijoin(sf),
         "customers_with_urgent_order":
             lambda sf: analytics_ext.customers_order_antijoin(sf, semi=True),
+        "docs_rollup_stats":
+            lambda sf: analytics_ext.docs_rollup_stats(sf),
+        "events_user_gaps":
+            lambda sf: analytics_ext.events_user_gaps(sf),
+        "events_hour_coverage":
+            lambda sf: analytics_ext.events_hour_coverage(sf),
         "events_distinct_users":
             lambda sf: analytics_ext.events_distinct_users(sf),
         "docs_lang_source_stats":
@@ -756,6 +762,9 @@ def oracle_sql() -> dict[str, str]:
         "events_topn_per_type": _EXT.EVENTS_TOPN_PER_TYPE_SQL,
         "customers_no_urgent_order": _EXT.CUSTOMERS_NO_ORDERS_SQL,
         "customers_with_urgent_order": _EXT.CUSTOMERS_WITH_ORDERS_SQL,
+        "docs_rollup_stats": _EXT.DOCS_ROLLUP_SQL,
+        "events_user_gaps": _EXT.EVENTS_USER_GAPS_SQL,
+        "events_hour_coverage": _EXT.EVENTS_HOUR_COVERAGE_SQL,
         "events_distinct_users": _EXT.EVENTS_DISTINCT_USERS_SQL,
         "docs_lang_source_stats": _EXT.DOCS_LANG_SOURCE_SQL,
         "supplier_balance_by_nation": _EXT.SUPPLIER_BALANCE_SQL,

@@ -530,6 +530,200 @@ def customers_order_antijoin(sf_dir: str, semi: bool = False,
         batch_format="pyarrow")
 
 
+def docs_rollup_stats(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source): doc count + char sum at three
+    aggregation levels — (lang, source), (lang), () — with NULL
+    marking each rolled-up dimension (the OLAP subtotal shape) →
+    (lang, source, n_docs, sum_chars).
+
+    Only the FINEST level touches the corpus (the usual per-batch
+    partial fold + one distributed groupby); every coarser level is a
+    re-aggregation of that result, which is bounded by the group
+    cardinality (|langs|×|sources|), not the row count — so the
+    rollup adds zero extra passes over the data. The small post-
+    aggregate table folds on the driver (the same bounded collect
+    every aggregate's consumer does)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        d = pl.from_arrow(batch)
+        g = d.group_by(["lang", "source"]).agg(
+            n_docs=pl.len(),
+            sum_chars=pl.col("n_chars").cast(pl.Int64).sum())
+        return g.to_arrow().cast(pa.schema([
+            ("lang", pa.string()), ("source", pa.string()),
+            ("n_docs", pa.int64()), ("sum_chars", pa.int64())]))
+
+    finest = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["lang", "source", "n_chars"])
+              .map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+              .groupby(["lang", "source"])
+              .aggregate(Sum("n_docs", alias_name="n_docs"),
+                         Sum("sum_chars", alias_name="sum_chars"))
+              .to_pandas())
+
+    by_lang = (finest.groupby("lang", as_index=False)
+               [["n_docs", "sum_chars"]].sum())
+    by_lang["source"] = None
+    total = pd.DataFrame({
+        "lang": [None], "source": [None],
+        "n_docs": [finest["n_docs"].sum()],
+        "sum_chars": [finest["sum_chars"].sum()]})
+    out = pd.concat([finest, by_lang, total], ignore_index=True)
+    return pa.Table.from_pandas(
+        out[["lang", "source", "n_docs", "sum_chars"]],
+        preserve_index=False).cast(pa.schema([
+            ("lang", pa.string()), ("source", pa.string()),
+            ("n_docs", pa.int64()), ("sum_chars", pa.int64())]))
+
+
+DOCS_ROLLUP_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP(lang, source)
+"""
+
+
+def events_user_gaps(sf_dir: str, n_buckets: int = 32):
+    """Per-user inter-event gap statistics — the LAG/LEAD window
+    shape: gap = ts − previous ts in (user, ts) order →
+    (user_id, n_gaps, min_gap_us, max_gap_us).
+
+    The sessionize partitioning applies: users hash into
+    ``n_buckets`` groups and each bucket runs ONE vectorized numpy
+    pass (sort → within-user diff → per-user reduceat fold) — #bucket
+    group calls total, never per-user pandas overhead. No timestamp
+    tiebreak is needed: consecutive differences of a sorted multiset
+    are invariant to how equal values order, and the per-user
+    aggregates (count/min/max) don't see order at all — so the result
+    is deterministic across engines by construction."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        jb = (uid.astype(np.int64) % n_buckets).astype(np.int32)
+        return batch.append_column("_jb", pa.array(jb, pa.int32()))
+
+    def bucket_gaps(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": np.int64, "n_gaps": np.int64,
+                "min_gap_us": np.int64, "max_gap_us": np.int64}
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in cols.items()})
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        user = g["user_id"].to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        gap = np.diff(ts_us)
+        same = user[1:] == user[:-1]
+        gap, guser = gap[same], user[1:][same]
+        if len(gap) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in cols.items()})
+        # per-user segment folds over the sorted order
+        starts = np.concatenate(
+            [[0], np.flatnonzero(guser[1:] != guser[:-1]) + 1])
+        return pd.DataFrame({
+            "user_id": guser[starts],
+            "n_gaps": np.diff(np.concatenate([starts, [len(gap)]])),
+            "min_gap_us": np.minimum.reduceat(gap, starts),
+            "max_gap_us": np.maximum.reduceat(gap, starts),
+        }).astype(cols)
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("_jb").map_groups(bucket_gaps,
+                                       batch_format="pandas"))
+
+
+EVENTS_USER_GAPS_SQL = """
+WITH g AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts) AS gap
+    FROM events)
+SELECT user_id, COUNT(*) AS n_gaps,
+       CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us
+FROM g WHERE gap IS NOT NULL GROUP BY user_id
+"""
+
+
+def events_hour_coverage(sf_dir: str, type_a: str = "click",
+                         type_b: str = "purchase",
+                         num_partitions: int = 16):
+    """Hourly counts of two event types stitched with a FULL OUTER
+    join — hours where either type occurred, zero-filled on the
+    missing side (the coverage-comparison shape; exercises the one
+    native join mode nothing else here uses) →
+    (hour_us, n_a, n_b).
+
+    Each side is a partial-agg hourly count (O(hours) rows), so the
+    full-outer exchange joins two post-aggregate tables — never the
+    event stream itself."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def hourly(type_name: str, out_col: str):
+        def partial(batch: pa.Table) -> pa.Table:
+            import polars as pl
+            d = pl.from_arrow(batch)
+            d = d.filter(pl.col("event_type") == type_name)
+            d = d.with_columns(
+                pl.col("ts").dt.truncate("1h")
+                .dt.epoch("us").alias("hour_us"))
+            g = d.group_by("hour_us").agg(pl.len().alias(out_col))
+            return g.to_arrow().cast(pa.schema([
+                ("hour_us", pa.int64()), (out_col, pa.int64())]))
+
+        return (rd.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["event_type", "ts"])
+                .map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+                .groupby("hour_us")
+                .aggregate(Sum(out_col, alias_name=out_col)))
+
+    a = hourly(type_a, "n_a")
+    b = hourly(type_b, "n_b").map_batches(
+        lambda t: t.rename_columns(["_hour_r", "n_b"]),
+        batch_format="pyarrow")
+    joined = a.join(b, "full_outer", num_partitions,
+                    on=("hour_us",), right_on=("_hour_r",))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        # full_outer already coalesced the join key into hour_us;
+        # only the count columns carry nulls on the unmatched side
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "hour_us": pc.cast(batch.column("hour_us"), pa.int64()),
+            "n_a": pc.coalesce(pc.cast(batch.column("n_a"),
+                                       pa.int64()), zero),
+            "n_b": pc.coalesce(pc.cast(batch.column("n_b"),
+                                       pa.int64()), zero),
+        })
+
+    return joined.map_batches(fold, batch_format="pyarrow")
+
+
+EVENTS_HOUR_COVERAGE_SQL = """
+WITH a AS (
+    SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n_a
+    FROM events WHERE event_type = 'click' GROUP BY 1),
+b AS (
+    SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n_b
+    FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT CAST(epoch_us(COALESCE(a.h, b.h)) AS BIGINT) AS hour_us,
+       COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+FROM a FULL JOIN b ON a.h = b.h
+"""
+
+
 CUSTOMERS_NO_ORDERS_SQL = """
 SELECT c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o

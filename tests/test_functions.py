@@ -702,3 +702,27 @@ def test_ann_quantized_matches_local_float64(ray_session):
         sub = got[got["query_id"] == qi].sort_values(
             ["cos_1e6", "vec_id"], ascending=[False, True])
         assert list(zip(sub["vec_id"], sub["cos_1e6"])) == want
+
+
+def test_rollup_levels_consistent(ray_session):
+    """ROLLUP subtotals: lang rows sum their (lang, source) rows, the
+    grand total sums the lang rows, and the full-outer hour coverage
+    zero-fills exactly the non-overlap."""
+    from rdfx_ray.pipelines.analytics_ext import (
+        docs_rollup_stats, events_hour_coverage)
+
+    SF = "/root/testdata/sf0.001"
+    df = docs_rollup_stats(SF).to_pandas()
+    finest = df[df["source"].notna()]
+    langs = df[df["lang"].notna() & df["source"].isna()]
+    total = df[df["lang"].isna()]
+    assert len(total) == 1
+    assert total["n_docs"].iloc[0] == finest["n_docs"].sum()
+    for _, r in langs.iterrows():
+        sub = finest[finest["lang"] == r["lang"]]
+        assert r["n_docs"] == sub["n_docs"].sum()
+        assert r["sum_chars"] == sub["sum_chars"].sum()
+
+    cov = events_hour_coverage(SF).to_pandas()
+    assert ((cov["n_a"] > 0) | (cov["n_b"] > 0)).all()
+    assert (cov["n_a"] == 0).any() and (cov["n_b"] == 0).any()
