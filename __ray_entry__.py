@@ -562,6 +562,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer-quantized ranking → SQL-oracle-able exact ANN
         "ann_topk_quantized":
             lambda sf: similarity.brute_topk_quantized(sf),
+        # per-label centroid vector aggregate (quantize-then-sum)
+        "embedding_label_centroids":
+            lambda sf: similarity.label_centroids(sf),
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf),
         "ann_lsh_topk": lambda sf: similarity.lsh_topk(sf),
     }
@@ -855,6 +858,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_quantized": __import__(
             "rdfx_ray.functions.similarity",
             fromlist=["ANN_TOPK_QUANTIZED_SQL"]).ANN_TOPK_QUANTIZED_SQL,
+        "embedding_label_centroids": __import__(
+            "rdfx_ray.functions.similarity",
+            fromlist=["LABEL_CENTROIDS_SQL"]).LABEL_CENTROIDS_SQL,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,
                    MIN(doc_id) AS keeper_doc_id,

@@ -607,3 +607,59 @@ SELECT query_id, vec_id, cos_1e6 FROM s
 QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY cos_1e6 DESC, vec_id) <= 10
 """
+
+
+def label_centroids(sf_dir: str, scale: int = 1_000_000):
+    """Per-label embedding centroid aggregate — the vector-sum shape
+    (class prototypes / cluster stats over an embedding column) in
+    long form → (label, dim, sum_1e6, n) with dim 1-based.
+
+    Quantization happens per VALUE (``floor(x·10⁶ + 0.5)`` as int64,
+    from the same float32 → float64 widening both engines perform)
+    BEFORE any summation, so partial sums fold losslessly in any
+    order and the DuckDB oracle (unnest + generate_subscripts)
+    hash-matches exactly — the float-sum-never-hash-matches rule
+    applied to vectors. Per batch one ``np.add.at`` scatter folds the
+    whole (batch × d) matrix into an O(labels × d) partial, so the
+    shuffle carries labels × dims × blocks rows, never vectors."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = np.asarray(batch.column("label").to_pylist(),
+                            dtype=np.int64)
+        m = np.asarray(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        q = np.floor(m * scale + 0.5).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq))
+        nl, d = sums.shape
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1), nl),
+                            pa.int64()),
+            "sum_1e6": pa.array(sums.ravel(), pa.int64()),
+            "n": pa.array(np.repeat(counts, d), pa.int64()),
+        })
+
+    return (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["label", "embedding"])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=4096)
+            .groupby(["label", "dim"])
+            .aggregate(Sum("sum_1e6", alias_name="sum_1e6"),
+                       Sum("n", alias_name="n")))
+
+
+LABEL_CENTROIDS_SQL = """
+SELECT CAST(label AS BIGINT) AS label, dim,
+       CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS sum_1e6,
+       COUNT(*) AS n
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings)
+GROUP BY label, dim
+"""
