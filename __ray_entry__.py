@@ -391,6 +391,13 @@ def _kg_citation_pagerank(sf_dir: str):
     return citation_pagerank(sf_dir)
 
 
+def _docs_model_scores(sf_dir: str):
+    """Batched model inference: actor-pool quality classifier over
+    every document (integer linear scorer → DuckDB-exact)."""
+    from rdfx_ray.functions.scoring import score_documents
+    return score_documents(sf_dir)
+
+
 def _orders_quantiles_tdigest(sf_dir: str):
     """Approximate grouped p50/p95 via mergeable t-digests — the
     O(delta)-state scale path beyond the exact distinct-value
@@ -537,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bpe_tokens": lambda sf: text.bpe_token_stats(sf),
         "text_ngram_counts": lambda sf: text.ngram_counts(sf),
         "text_doc_frequency": lambda sf: text.doc_frequency(sf),
+        "docs_model_scores": _docs_model_scores,
         # training-batch preparation
         "corpus_pack_sequences": lambda sf: _packing().pack_sequences(sf),
         "corpus_split_hash": lambda sf: _packing().split_corpus(sf),
@@ -821,6 +829,9 @@ def oracle_sql() -> dict[str, str]:
         "text_doc_frequency": __import__(
             "rdfx_ray.functions.text",
             fromlist=["DOC_FREQUENCY_SQL"]).DOC_FREQUENCY_SQL,
+        "docs_model_scores": __import__(
+            "rdfx_ray.functions.scoring",
+            fromlist=["SCORE_DOCUMENTS_SQL"]).SCORE_DOCUMENTS_SQL,
         "corpus_pack_sequences": r"""
             WITH t AS (
                 SELECT doc_id,

@@ -726,3 +726,21 @@ def test_rollup_levels_consistent(ray_session):
     cov = events_hour_coverage(SF).to_pandas()
     assert ((cov["n_a"] > 0) | (cov["n_b"] > 0)).all()
     assert (cov["n_a"] == 0).any() and (cov["n_b"] == 0).any()
+
+
+def test_model_scoring_actor_and_task_routes_agree(ray_session):
+    """The model-scoring stage returns identical scores whether it
+    runs as an actor pool or as stateless tasks, and the keep flag is
+    exactly the threshold comparison."""
+    from rdfx_ray.functions.scoring import (
+        KEEP_THRESHOLD, score_documents)
+
+    SF = "/root/testdata/sf0.001"
+    a = score_documents(SF, concurrency=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = score_documents(SF, concurrency=None).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["keep"] == (a["score"] >= KEEP_THRESHOLD)).all()
+    assert a["keep"].any() and not a["keep"].all()
