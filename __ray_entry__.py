@@ -545,6 +545,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_ngram_counts": lambda sf: text.ngram_counts(sf),
         "text_doc_frequency": lambda sf: text.doc_frequency(sf),
         "docs_model_scores": _docs_model_scores,
+        "docs_repetition_stats":
+            lambda sf: text.repetition_stats(sf),
+        "docs_redact_pii": lambda sf: text.redact_pii(sf),
         # training-batch preparation
         "corpus_pack_sequences": lambda sf: _packing().pack_sequences(sf),
         "corpus_split_hash": lambda sf: _packing().split_corpus(sf),
@@ -832,6 +835,12 @@ def oracle_sql() -> dict[str, str]:
         "docs_model_scores": __import__(
             "rdfx_ray.functions.scoring",
             fromlist=["SCORE_DOCUMENTS_SQL"]).SCORE_DOCUMENTS_SQL,
+        "docs_repetition_stats": __import__(
+            "rdfx_ray.functions.text",
+            fromlist=["REPETITION_STATS_SQL"]).REPETITION_STATS_SQL,
+        "docs_redact_pii": __import__(
+            "rdfx_ray.functions.text",
+            fromlist=["REDACT_PII_SQL"]).REDACT_PII_SQL,
         "corpus_pack_sequences": r"""
             WITH t AS (
                 SELECT doc_id,

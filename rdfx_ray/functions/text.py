@@ -421,6 +421,128 @@ HAVING COUNT(DISTINCT doc_id) >= 5
 """
 
 
+def repetition_stats(sf_dir: str):
+    """Gopher/C4-style repetition signals per document — the filters
+    a training-data pipeline uses to drop degenerate text →
+    (doc_id, n_tokens, n_distinct, distinct_bp, top_word_bp):
+    distinct-token ratio and most-frequent-token share, both in
+    integer basis points so DuckDB replays them exactly. Docs with
+    zero alphabetic tokens produce no row (same on both engines:
+    unnest of an empty list yields nothing).
+
+    One vectorized polars pass per batch: extract_all → explode →
+    per-(doc, token) counts → per-doc fold. All of a doc's tokens
+    live in one batch (one doc = one input row), so the per-batch
+    fold is globally exact — pure streaming, no shuffle at all."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        d = pl.from_arrow(batch.select(["doc_id", "text"]))
+        d = d.with_columns(
+            pl.col("text").fill_null("")
+              .str.extract_all(r"[A-Za-z]+").alias("w")).drop("text")
+        d = (d.explode("w").drop_nulls("w")
+             .with_columns(pl.col("w").str.to_lowercase()))
+        per = d.group_by(["doc_id", "w"]).len(name="n")
+        agg = per.group_by("doc_id").agg(
+            n_tokens=pl.col("n").sum(),
+            n_distinct=pl.len(),
+            top_word_n=pl.col("n").max())
+        agg = agg.with_columns(
+            (pl.col("n_distinct") * 10000 // pl.col("n_tokens"))
+            .alias("distinct_bp"),
+            (pl.col("top_word_n") * 10000 // pl.col("n_tokens"))
+            .alias("top_word_bp"))
+        return agg.select(["doc_id", "n_tokens", "n_distinct",
+                           "distinct_bp", "top_word_bp"]) \
+            .to_arrow().cast(pa.schema([
+                ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                ("n_distinct", pa.int64()), ("distinct_bp", pa.int64()),
+                ("top_word_bp", pa.int64())]))
+
+    return _read_documents(sf_dir, ["doc_id", "text"]) \
+        .map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_LONGNUM_RE = r"[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"
+
+
+def redact_pii(sf_dir: str):
+    """PII scrubbing — the redaction pass a training corpus runs
+    before release: emails → ``<EMAIL>``, 7+-digit number runs
+    (phone/account shapes) → ``<NUM>`` → (doc_id, clean_hash,
+    n_redactions) with ``clean_hash = md5(redacted text)`` so the
+    oracle verifies the EXACT output text without shipping it.
+
+    Both patterns stay inside RE2's common subset (no lookarounds, no
+    bounded repetition shorthand differences — the counted-char runs
+    are spelled out) and both engines run RE2
+    (``pc.replace_substring_regex`` / DuckDB ``regexp_replace(…,
+    'g')``), so redaction output is byte-identical by construction.
+    Pure streaming map; the only per-row C call is the md5 the
+    fingerprint oracle already pins."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        text = batch.column("text").combine_chunks()
+        n_red = pc.add(
+            pc.count_substring_regex(text, PII_EMAIL_RE),
+            pc.count_substring_regex(text, PII_LONGNUM_RE))
+        clean = pc.replace_substring_regex(text, PII_EMAIL_RE,
+                                           "<EMAIL>")
+        clean = pc.replace_substring_regex(clean, PII_LONGNUM_RE,
+                                           "<NUM>")
+        hashes = [hashlib.md5((s or "").encode()).hexdigest()
+                  for s in clean.to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(batch.column("doc_id"), pa.int64()),
+            "clean_hash": pa.array(hashes, pa.string()),
+            "n_redactions": pa.array(
+                n_red.to_numpy(zero_copy_only=False).astype(np.int64),
+                pa.int64()),
+        })
+
+    return _read_documents(sf_dir, ["doc_id", "text"]) \
+        .map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+REDACT_PII_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(
+           regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+               '<EMAIL>', 'g'),
+           '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g'))
+           AS clean_hash,
+       CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
+            + len(regexp_extract_all(text,
+                '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+'))
+            AS BIGINT) AS n_redactions
+FROM documents
+"""
+
+
+REPETITION_STATS_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                                 x -> lower(x))) AS w
+    FROM documents),
+per AS (
+    SELECT doc_id, w, COUNT(*) AS n FROM toks GROUP BY doc_id, w),
+agg AS (
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct, MAX(n) AS top_word_n
+    FROM per GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST(n_distinct * 10000 // n_tokens AS BIGINT) AS distinct_bp,
+       CAST(top_word_n * 10000 // n_tokens AS BIGINT) AS top_word_bp
+FROM agg
+"""
+
+
 NGRAM_COUNTS_SQL = r"""
 WITH toks AS (
     SELECT doc_id,

@@ -744,3 +744,49 @@ def test_model_scoring_actor_and_task_routes_agree(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert (a["keep"] == (a["score"] >= KEEP_THRESHOLD)).all()
     assert a["keep"].any() and not a["keep"].all()
+
+
+def test_repetition_stats_planted(ray_session, tmp_path):
+    """Repetition signals: a degenerate all-one-word doc scores
+    distinct_bp near 0 and top_word_bp 10000; a all-distinct doc
+    scores distinct_bp 10000; empty docs emit no row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdfx_ray.functions.text import repetition_stats
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["spam spam spam spam", "alpha beta gamma delta", "!!!"],
+    }), tmp_path / "documents.parquet")
+    got = repetition_stats(str(tmp_path)).to_pandas() \
+        .set_index("doc_id")
+    assert set(got.index) == {0, 1}
+    assert got.loc[0, "n_distinct"] == 1
+    assert got.loc[0, "top_word_bp"] == 10000
+    assert got.loc[0, "distinct_bp"] == 2500
+    assert got.loc[1, "distinct_bp"] == 10000
+    assert got.loc[1, "top_word_bp"] == 2500
+
+
+def test_redact_pii_planted(ray_session, tmp_path):
+    """Planted emails and long number runs redact; the clean hash
+    equals md5 of the expected redacted text; clean docs count 0."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdfx_ray.functions.text import redact_pii
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["mail me at jo.doe+x@ex-a.mple.org or 12345678 now",
+                 "nothing sensitive here 123456"],
+    }), tmp_path / "documents.parquet")
+    got = redact_pii(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert got.loc[0, "n_redactions"] == 2
+    want = "mail me at <EMAIL> or <NUM> now"
+    assert got.loc[0, "clean_hash"] == hashlib.md5(
+        want.encode()).hexdigest()
+    assert got.loc[1, "n_redactions"] == 0
