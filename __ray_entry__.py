@@ -391,6 +391,14 @@ def _kg_citation_pagerank(sf_dir: str):
     return citation_pagerank(sf_dir)
 
 
+def _customers_bloom(sf_dir: str):
+    """Bloom-join: a row-count-independent bitmap pre-filters the
+    probe side before the exact verify — EXISTS semantics preserved,
+    same oracle as the exact semi join."""
+    from rdfx_ray.functions.sketch import customers_with_urgent_order_bloom
+    return customers_with_urgent_order_bloom(sf_dir)
+
+
 def _docs_model_scores(sf_dir: str):
     """Batched model inference: actor-pool quality classifier over
     every document (integer linear scorer → DuckDB-exact)."""
@@ -511,6 +519,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: analytics_ext.customers_order_antijoin(sf),
         "customers_with_urgent_order":
             lambda sf: analytics_ext.customers_order_antijoin(sf, semi=True),
+        # bloom-join optimization of the same semi join (same oracle)
+        "customers_with_urgent_order_bloom": _customers_bloom,
         "docs_rollup_stats":
             lambda sf: analytics_ext.docs_rollup_stats(sf),
         "events_user_gaps":
@@ -776,6 +786,8 @@ def oracle_sql() -> dict[str, str]:
         "events_topn_per_type": _EXT.EVENTS_TOPN_PER_TYPE_SQL,
         "customers_no_urgent_order": _EXT.CUSTOMERS_NO_ORDERS_SQL,
         "customers_with_urgent_order": _EXT.CUSTOMERS_WITH_ORDERS_SQL,
+        "customers_with_urgent_order_bloom":
+            _EXT.CUSTOMERS_WITH_ORDERS_SQL,
         "docs_rollup_stats": _EXT.DOCS_ROLLUP_SQL,
         "events_user_gaps": _EXT.EVENTS_USER_GAPS_SQL,
         "events_hour_coverage": _EXT.EVENTS_HOUR_COVERAGE_SQL,

@@ -65,6 +65,114 @@ def hll_distinct(ds, column: str, p: int = 12) -> float:
     return _estimate(merged, p)
 
 
+def _bloom_hashes(values: np.ndarray, m_bits: int,
+                  k: int) -> np.ndarray:
+    """k bit positions per value via double hashing (h1 + i·h2 mod m)
+    over one vectorized splitmix64 pass — no per-value Python."""
+    x = values.astype(np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    h1 = x % np.uint64(m_bits)
+    h2 = (x >> np.uint64(32)) % np.uint64(m_bits - 1) + np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1 + i * h2) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_build(ds, column: str, m_bits: int = 1 << 20,
+                k: int = 5) -> np.ndarray:
+    """Build a Bloom filter over an int64 column: one map_batches pass
+    emits a packed-bitmap partial per batch; partials OR-fold on the
+    driver (m_bits/8 bytes each, count-independent — at cluster scale
+    the identical bitmaps ride a tree reduce, like the HLL
+    registers). Returns the packed uint8 bitmap."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(column).to_numpy(zero_copy_only=False)
+        pos = _bloom_hashes(vals, m_bits, k).ravel()
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        np.bitwise_or.at(bits, pos >> 3,
+                         np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()],
+                                          pa.binary())})
+
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536).iter_batches(
+                                batch_format="pyarrow"):
+        for buf in b.column("bits").to_pylist():
+            np.bitwise_or(merged, np.frombuffer(buf, dtype=np.uint8),
+                          out=merged)
+    return merged
+
+
+def bloom_contains(bits: np.ndarray, values: np.ndarray,
+                   m_bits: int, k: int = 5) -> np.ndarray:
+    """Vectorized membership probe: True = possibly present (false
+    positives at the standard (1-e^{-kn/m})^k rate), False = certainly
+    absent."""
+    pos = _bloom_hashes(values, m_bits, k)
+    hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return hit.all(axis=0).astype(bool)
+
+
+def customers_with_urgent_order_bloom(sf_dir: str,
+                                      m_bits: int = 1 << 20,
+                                      k: int = 5):
+    """The bloom-join optimization of the exact semi join
+    (``analytics_ext.customers_order_antijoin(semi=True)``, SAME
+    oracle): a Bloom filter over the urgent orders' custkeys
+    broadcasts (m_bits/8 bytes, row-count-independent — the thing the
+    exact key set is NOT at 10¹² orders) and pre-filters the customer
+    stream; the surviving candidates (true matches + the small
+    false-positive tail) then verify against the exact distinct-key
+    set. At scale the pre-filter is what cuts the probe-side exchange
+    before the exact join; here the verify side is the same
+    count-gated plan, so the result is exactly EXISTS semantics."""
+    import ray
+    import ray.data as rd
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Count
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT")
+    bits = bloom_build(orders, "o_custkey", m_bits, k)
+    bref = ray.put(bits)
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"o_custkey": pc.unique(
+            batch.column("o_custkey").combine_chunks())})
+
+    keys = (orders.map_batches(local_distinct, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby("o_custkey").aggregate(Count(alias_name="_n"))
+            .select_columns(["o_custkey"]))
+    kt = pa.concat_tables(list(keys.iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow")))
+    kref = ray.put(kt.column("o_custkey").combine_chunks())
+
+    def filt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from .broadcast import cached_get
+        cand = bloom_contains(cached_get(bref),
+                              batch.column("c_custkey").to_numpy(),
+                              m_bits, k)
+        batch = batch.filter(pa.array(cand))
+        if batch.num_rows == 0:
+            return batch
+        hit = pc.is_in(batch.column("c_custkey"),
+                       value_set=cached_get(kref))
+        return batch.filter(hit)
+
+    return rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"]) \
+        .map_batches(filt, batch_format="pyarrow", batch_size=65536)
+
+
 def _td_compress(means: np.ndarray, weights: np.ndarray,
                  delta: float) -> tuple[np.ndarray, np.ndarray]:
     """Merge a centroid list down to ~delta centroids (Dunning's

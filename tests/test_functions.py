@@ -790,3 +790,34 @@ def test_redact_pii_planted(ray_session, tmp_path):
     assert got.loc[0, "clean_hash"] == hashlib.md5(
         want.encode()).hexdigest()
     assert got.loc[1, "n_redactions"] == 0
+
+
+def test_bloom_filter_and_bloom_join(ray_session):
+    """Bloom membership: zero false negatives, false positives under
+    2x the theoretical rate; the bloom-join returns exactly the exact
+    semi join's rows."""
+    import numpy as np
+
+    from rdfx_ray.functions.sketch import (
+        _bloom_hashes, bloom_contains,
+        customers_with_urgent_order_bloom)
+    from rdfx_ray.pipelines.analytics_ext import customers_order_antijoin
+
+    m_bits, k = 1 << 14, 5
+    members = np.arange(1000, dtype=np.int64)
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    pos = _bloom_hashes(members, m_bits, k).ravel()
+    np.bitwise_or.at(bits, pos >> 3,
+                     np.uint8(1) << (pos & 7).astype(np.uint8))
+    assert bloom_contains(bits, members, m_bits, k).all()
+    probe = np.arange(10_000, 60_000, dtype=np.int64)
+    fp = bloom_contains(bits, probe, m_bits, k).mean()
+    theo = (1 - np.exp(-k * len(members) / m_bits)) ** k
+    assert fp < 2 * theo + 1e-3
+
+    SF = "/root/testdata/sf0.001"
+    exact = set(customers_order_antijoin(SF, semi=True)
+                .to_pandas()["c_custkey"])
+    bloom = set(customers_with_urgent_order_bloom(SF)
+                .to_pandas()["c_custkey"])
+    assert bloom == exact
