@@ -414,6 +414,14 @@ def _orders_quantiles_tdigest(sf_dir: str):
     return orders_price_quantiles_tdigest(sf_dir)
 
 
+def _corpus_curate(sf_dir: str):
+    """Flagship curation composition: split → exact dedup → model
+    quality filter → domain balance → sequence packing, end-to-end
+    hash-checked by ONE DuckDB statement."""
+    from rdfx_ray.pipelines.curate import curate_corpus
+    return curate_corpus(sf_dir)
+
+
 def _packing():
     from rdfx_ray.functions import packing
     return packing
@@ -559,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: text.repetition_stats(sf),
         "docs_redact_pii": lambda sf: text.redact_pii(sf),
         # training-batch preparation
+        "corpus_curate": _corpus_curate,
         "corpus_pack_sequences": lambda sf: _packing().pack_sequences(sf),
         "corpus_split_hash": lambda sf: _packing().split_corpus(sf),
         "corpus_balance_sources":
@@ -853,6 +862,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_redact_pii": __import__(
             "rdfx_ray.functions.text",
             fromlist=["REDACT_PII_SQL"]).REDACT_PII_SQL,
+        "corpus_curate": __import__(
+            "rdfx_ray.pipelines.curate",
+            fromlist=["CURATE_SQL"]).CURATE_SQL,
         "corpus_pack_sequences": r"""
             WITH t AS (
                 SELECT doc_id,

@@ -821,3 +821,30 @@ def test_bloom_filter_and_bloom_join(ray_session):
     bloom = set(customers_with_urgent_order_bloom(SF)
                 .to_pandas()["c_custkey"])
     assert bloom == exact
+
+
+def test_curate_composition_consistent(ray_session):
+    """The curation pipeline's kept set is the intersection of its
+    stage predicates, and offsets are the exclusive prefix sum over
+    the kept docs in doc_id order."""
+    import numpy as np
+
+    from rdfx_ray.pipelines.curate import curate_corpus
+
+    SF = "/root/testdata/sf0.001"
+    got = curate_corpus(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert 0 < len(got) < 500
+    # prefix-sum property
+    expect = np.concatenate(
+        [[0], np.cumsum(got["n_tokens"].to_numpy())[:-1]])
+    assert (got["start_offset"].to_numpy() == expect).all()
+    # every kept doc is a train-split doc and a quality keeper
+    from rdfx_ray.functions.packing import split_corpus
+    from rdfx_ray.functions.scoring import score_documents
+    train = set(split_corpus(SF).to_pandas().query(
+        "split == 'train'")["doc_id"])
+    keep = set(score_documents(SF).to_pandas().query(
+        "keep")["doc_id"])
+    kept = set(got["doc_id"])
+    assert kept <= train and kept <= keep
