@@ -63,6 +63,22 @@ def main(argv=None):
     pg.add_argument("--entities", type=int, default=10_000)
     pg.add_argument("--seed", type=int, default=42)
 
+    pc_ = sub.add_parser(
+        "curate", help="split→dedup→quality→balance→pack over a "
+                       "documents.parquet corpus dir")
+    pc_.add_argument("--input", required=True,
+                     help="dir containing documents.parquet")
+    pc_.add_argument("--output", required=True,
+                     help="output dir for the kept-doc manifest parquet")
+    pc_.add_argument("--cpus", type=int, default=None)
+
+    pf = sub.add_parser(
+        "profile", help="corpus quality/repetition/language profile "
+                        "(one JSON line)")
+    pf.add_argument("--input", required=True,
+                    help="dir containing documents.parquet")
+    pf.add_argument("--cpus", type=int, default=None)
+
     # the reference's Streamlit app flow (app/rdfxWebApp.py:20-54) as a
     # CLI: pick a read system → read a graph → preview → pick a write
     # system + format + comments → write. Remote-system credentials
@@ -155,6 +171,39 @@ def main(argv=None):
         shim = generate_documents(args.output, n_docs=args.docs,
                                   n_entities=args.entities, seed=args.seed)
         print(f"wrote {shim.count_rows()} docs to {args.output}")
+        return 0
+
+    if args.method == "curate":
+        _ensure_ray(args.cpus)
+        from .pipelines.curate import curate_corpus
+        ds = curate_corpus(args.input)
+        ds.write_parquet(args.output)
+        import pyarrow.dataset as pads
+        n = pads.dataset(args.output).count_rows()
+        print(f"kept {n} docs -> {args.output}")
+        import ray
+        ray.shutdown()
+        return 0
+
+    if args.method == "profile":
+        _ensure_ray(args.cpus)
+        import json
+
+        from .functions.scoring import score_documents
+        from .functions.text import repetition_stats, token_stats
+        tok = token_stats(args.input).to_pandas()
+        rep = repetition_stats(args.input).to_pandas()
+        keep = score_documents(args.input).to_pandas()["keep"]
+        print(json.dumps({
+            "n_docs": int(len(tok)),
+            "total_tokens": int(tok["n_tokens"].sum()),
+            "mean_tokens": round(float(tok["n_tokens"].mean()), 1),
+            "mean_distinct_bp": int(rep["distinct_bp"].mean()),
+            "mean_top_word_bp": int(rep["top_word_bp"].mean()),
+            "quality_keep_rate": round(float(keep.mean()), 4),
+        }))
+        import ray
+        ray.shutdown()
         return 0
 
     if args.method == "pipe":

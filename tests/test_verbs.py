@@ -263,3 +263,29 @@ def test_merge_large_output_streams_without_driver_graph(tmp_path,
     # streamed output is globally sorted by the triple key
     body = [l for l in big.read_text().splitlines() if l.strip()]
     assert body == sorted(body)
+
+
+def test_cli_profile_and_curate(tmp_path):
+    """Subprocess e2e for the training-data verbs: profile prints one
+    JSON line; curate writes a kept-doc manifest parquet."""
+    import json
+
+    env = {**__import__("os").environ, "RAY_GRAFT_CPUS": "4"}
+    r = subprocess.run(
+        ["python", "-m", "rdfx_ray", "profile",
+         "--input", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    prof = json.loads(r.stdout.strip().splitlines()[-1])
+    assert prof["n_docs"] == 500 and prof["total_tokens"] > 0
+
+    out = tmp_path / "curated"
+    r = subprocess.run(
+        ["python", "-m", "rdfx_ray", "curate",
+         "--input", "/root/testdata/sf0.001", "--output", str(out)],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    import pyarrow.dataset as pads
+    t = pads.dataset(str(out)).to_table()
+    assert 0 < t.num_rows < 500
+    assert set(t.schema.names) == {"doc_id", "n_tokens", "start_offset"}
