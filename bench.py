@@ -160,7 +160,14 @@ def run_suite() -> dict:
     # RAY_GRAFT_HEADLINE_REPEATS=1 for a single timed run.
     head = None
     noise_runs = []
-    for _ in range(int(os.environ.get("RAY_GRAFT_HEADLINE_REPEATS", "3"))):
+    repeats = int(os.environ.get("RAY_GRAFT_HEADLINE_REPEATS", "3"))
+    # if EVERY run so far was steal-contaminated, keep rolling (up to
+    # 2 extra attempts) — a best-of over uniformly-throttled runs
+    # measures the neighbour, not the engine (observed: steal 17-31%
+    # inflating identical code 9.4 s → 28-39 s)
+    extra_budget = 2 if repeats > 1 else 0
+    attempt = 0
+    while attempt < repeats + extra_budget:
         s0, t0 = _steal_jiffies(), time.time()
         r = run_headline(NUM_CPUS, sf)
         s1, t1 = _steal_jiffies(), time.time()
@@ -171,6 +178,11 @@ def run_suite() -> dict:
                            "loadavg_1m": _loadavg()})
         if head is None or r["seconds"] < head["seconds"]:
             head = r
+        attempt += 1
+        if attempt >= repeats and any(
+                n["steal_pct"] is not None and n["steal_pct"] < 2.0
+                for n in noise_runs):
+            break
     queries["kg_extract"] = head["seconds"]
 
     from rdfx_ray.functions import dedup, similarity, text
