@@ -217,8 +217,12 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
 """
 
 
+DECONTAMINATE_BROADCAST_CUTOFF = 2_000_000
+
+
 def decontaminate(sf_dir: str, n: int = 8, test_pct: int = SPLIT_PCT,
-                  hashed: bool = False):
+                  hashed: bool = False,
+                  broadcast_cutoff: int = DECONTAMINATE_BROADCAST_CUTOFF):
     """Test-set decontamination: test docs sharing at least one word
     ``n``-gram with ANY train doc → (doc_id, n_shared) with the count
     of distinct shared grams. Composes the engine's hash split and
@@ -259,8 +263,11 @@ def decontaminate(sf_dir: str, n: int = 8, test_pct: int = SPLIT_PCT,
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    BROADCAST_CUTOFF = 2_000_000
-    gram_type = pa.uint64() if hashed else pa.string()
+    # hashed grams travel as int64 (the same 64 bits reinterpreted):
+    # Ray's hash aggregate/join plane handles uint64 keys by falling
+    # back to pickled-object columns, which then cannot join — the
+    # int64 view keeps equality semantics and stays a native Arrow key
+    gram_type = pa.int64() if hashed else pa.string()
 
     def grams_batch(batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -284,7 +291,7 @@ def decontaminate(sf_dir: str, n: int = 8, test_pct: int = SPLIT_PCT,
                 acc = acc * C + h[i:i + m]
             valid = doc[:m] == doc[n - 1:]
             out = pl.DataFrame({"doc_id": doc[:m][valid],
-                                "g": acc[valid]}).unique()
+                                "g": acc[valid].view(np.int64)}).unique()
         else:
             parts = [pl.col("w")] + [
                 pl.col("w").shift(-i).over("doc_id") for i in range(1, n)]
@@ -326,7 +333,7 @@ def decontaminate(sf_dir: str, n: int = 8, test_pct: int = SPLIT_PCT,
                          "n_shared": pa.array(vc.field("counts"),
                                               pa.int64())})
 
-    if train_rows.count() <= BROADCAST_CUTOFF:
+    if train_rows.count() <= broadcast_cutoff:
         # collect the (pre-deduped per doc) train grams once; the
         # driver-side unique fold replaces a whole distinct-shuffle
         # round (seconds of fixed exchange cost on collision-sized

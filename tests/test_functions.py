@@ -848,3 +848,21 @@ def test_curate_composition_consistent(ray_session):
         "keep")["doc_id"])
     kept = set(got["doc_id"])
     assert kept <= train and kept <= keep
+
+
+def test_decontaminate_join_route_matches_broadcast(ray_session):
+    """The distinct-shuffle + native-hash-join scale route of
+    decontamination (forced via broadcast_cutoff=0) returns the
+    identical per-doc overlap report as the broadcast route, in both
+    the string and the uint64-hashed gram modes."""
+    import pandas as pd
+
+    from rdfx_ray.functions.packing import decontaminate
+
+    SF = "/root/testdata/sf0.001"
+    for hashed in (False, True):
+        a = decontaminate(SF, hashed=hashed).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        b = decontaminate(SF, hashed=hashed, broadcast_cutoff=0) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
