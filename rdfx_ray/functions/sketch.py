@@ -119,7 +119,8 @@ def bloom_contains(bits: np.ndarray, values: np.ndarray,
 
 def customers_with_urgent_order_bloom(sf_dir: str,
                                       m_bits: int = 1 << 20,
-                                      k: int = 5):
+                                      k: int = 5,
+                                      broadcast_cutoff: int = 2_000_000):
     """The bloom-join optimization of the exact semi join
     (``analytics_ext.customers_order_antijoin(semi=True)``, SAME
     oracle): a Bloom filter over the urgent orders' custkeys
@@ -150,11 +151,14 @@ def customers_with_urgent_order_bloom(sf_dir: str,
                                batch_size=65536)
             .groupby("o_custkey").aggregate(Count(alias_name="_n"))
             .select_columns(["o_custkey"]))
-    kt = pa.concat_tables(list(keys.iter_batches(
-        batch_size=1 << 20, batch_format="pyarrow")))
-    kref = ray.put(kt.column("o_custkey").combine_chunks())
+    n_keys = keys.count()
+    kref = None
+    if n_keys <= broadcast_cutoff:
+        kt = pa.concat_tables(list(keys.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")))
+        kref = ray.put(kt.column("o_custkey").combine_chunks())
 
-    def filt(batch: pa.Table) -> pa.Table:
+    def bloom_filt(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         from .broadcast import cached_get
@@ -162,15 +166,27 @@ def customers_with_urgent_order_bloom(sf_dir: str,
                               batch.column("c_custkey").to_numpy(),
                               m_bits, k)
         batch = batch.filter(pa.array(cand))
-        if batch.num_rows == 0:
+        if kref is None or batch.num_rows == 0:
             return batch
         hit = pc.is_in(batch.column("c_custkey"),
                        value_set=cached_get(kref))
         return batch.filter(hit)
 
-    return rd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_name"]) \
-        .map_batches(filt, batch_format="pyarrow", batch_size=65536)
+    cands = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_name"]) \
+        .map_batches(bloom_filt, batch_format="pyarrow",
+                     batch_size=65536)
+    if kref is not None:
+        return cands
+    # large key set: the exact verify is a native hash semi join over
+    # the (already bloom-thinned) candidate stream — the filter cut
+    # the probe-side exchange, the join never sees dropped rows
+    renamed = keys.map_batches(
+        lambda b: b.rename_columns(["_o_custkey_r"]),
+        batch_format="pyarrow")
+    return (cands.join(renamed, "inner", 16, on=("c_custkey",),
+                       right_on=("_o_custkey_r",))
+            .select_columns(["c_custkey", "c_name"]))
 
 
 def _td_compress(means: np.ndarray, weights: np.ndarray,

@@ -36,8 +36,16 @@ from ..functions.packing import SPLIT_PCT
 from ..functions.scoring import KEEP_THRESHOLD, QualityModel
 
 
+# keeper-set rows above which the dedup filter routes through a hash
+# join instead of a broadcast id set (keepers ≈ distinct texts ≈
+# corpus size at low dup rates — the one side of this pipeline that
+# is NOT bounded)
+CURATE_BROADCAST_CUTOFF = 2_000_000
+
+
 def curate_corpus(sf_dir: str, test_pct: int = SPLIT_PCT,
-                  range_docs: int = 8192):
+                  range_docs: int = 8192,
+                  broadcast_cutoff: int = CURATE_BROADCAST_CUTOFF):
     import ray
     import ray.data as rd
     from ray.data.aggregate import Min, Sum
@@ -79,14 +87,29 @@ def curate_corpus(sf_dir: str, test_pct: int = SPLIT_PCT,
                          batch_size=4096)
             .materialize())
 
-    # dedup keepers: min doc_id per text hash (O(distinct) exchange)
+    # dedup keepers: min doc_id per text hash (O(distinct) exchange).
+    # Count-gated delivery: the keeper set is corpus-sized at low dup
+    # rates, so above the cutoff it must NOT collect on the driver —
+    # the keeper flag rides a native hash join on doc_id instead.
     keepers = (base.select_columns(["text_hash", "doc_id"])
                .groupby("text_hash")
                .aggregate(Min("doc_id", alias_name="keeper")))
-    k_tbl = pa.concat_tables(list(keepers.iter_batches(
-        batch_size=1 << 20, batch_format="pyarrow")))
-    kref = ray.put(pa.chunked_array(
-        [k_tbl.column("keeper").combine_chunks()]).combine_chunks())
+    n_keepers = keepers.count()
+    kref = None
+    if n_keepers <= broadcast_cutoff:
+        k_tbl = pa.concat_tables(list(keepers.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")))
+        kref = ray.put(k_tbl.column("keeper").combine_chunks())
+    else:
+        marked = keepers.map_batches(
+            lambda b: pa.table({
+                "_keeper_r": b.column("keeper"),
+                "_is_keeper": pa.array(
+                    np.ones(b.num_rows, dtype=np.int8))}),
+            batch_format="pyarrow")
+        base = (base.join(marked, "left_outer", 16, on=("doc_id",),
+                          right_on=("_keeper_r",))
+                .materialize())
 
     # balance rates from EXACT per-source counts (tiny exchange)
     def src_partial(b: pa.Table) -> pa.Table:
@@ -108,8 +131,12 @@ def curate_corpus(sf_dir: str, test_pct: int = SPLIT_PCT,
         from ..functions.broadcast import cached_get
         keep = pc.and_(batch.column("is_train"),
                        batch.column("score_keep"))
-        keep = pc.and_(keep, pc.is_in(batch.column("doc_id"),
-                                      value_set=cached_get(kref)))
+        if kref is not None:
+            is_keeper = pc.is_in(batch.column("doc_id"),
+                                 value_set=cached_get(kref))
+        else:
+            is_keeper = pc.is_valid(batch.column("_is_keeper"))
+        keep = pc.and_(keep, is_keeper)
         rates = np.fromiter(
             (rate_bp[s] for s in batch.column("source").to_pylist()),
             dtype=np.int64, count=batch.num_rows)

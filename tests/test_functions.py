@@ -866,3 +866,26 @@ def test_decontaminate_join_route_matches_broadcast(ray_session):
         b = decontaminate(SF, hashed=hashed, broadcast_cutoff=0) \
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_curate_and_bloom_scale_routes_agree(ray_session):
+    """The join-based scale routes (forced via broadcast_cutoff=0) of
+    the curation keeper filter and the bloom-join verify return rows
+    identical to their broadcast twins."""
+    import pandas as pd
+
+    from rdfx_ray.functions.sketch import customers_with_urgent_order_bloom
+    from rdfx_ray.pipelines.curate import curate_corpus
+
+    SF = "/root/testdata/sf0.001"
+    a = curate_corpus(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = curate_corpus(SF, broadcast_cutoff=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    x = set(customers_with_urgent_order_bloom(SF)
+            .to_pandas()["c_custkey"])
+    y = set(customers_with_urgent_order_bloom(SF, broadcast_cutoff=0)
+            .to_pandas()["c_custkey"])
+    assert x == y
