@@ -193,8 +193,15 @@ def pagerank_pinned(edges_ds, n: int, node_idx: "pd.Series",
 
     blocks = edges_ds.to_arrow_refs()
     idx_ref = ray.put(node_idx)
-    actors = [EdgeSlice.remote(blocks[i::n_actors], idx_ref)
-              for i in range(min(n_actors, max(len(blocks), 1)))]
+    # cap the pool by the cluster's CPUs (minus one for the driver
+    # loop) — more pending actors than schedulable CPUs deadlocks the
+    # first ray.get forever (the library's actor-pool starvation rule)
+    cpus = int(ray.cluster_resources().get("CPU", 1))
+    pool = max(1, min(n_actors, cpus - 1 if cpus > 1 else 1,
+                      max(len(blocks), 1)))
+    # stride by the ACTUAL pool size so every block is owned
+    actors = [EdgeSlice.remote(blocks[i::pool], idx_ref)
+              for i in range(pool)]
 
     rank = np.full(n, 1.0 / n)
     safe_deg = np.maximum(outdeg, 1.0)

@@ -47,7 +47,9 @@ class QualityModel:
             pl.col("doc_id"),
             pl.col("text").str.count_matches(r"\S+")
               .cast(pl.Int64).alias("n_tokens"),
-            pl.col("text").str.len_bytes()
+            # len_chars, not len_bytes: DuckDB length() counts
+            # CHARACTERS — byte counts diverge on any non-ASCII doc
+            pl.col("text").str.len_chars()
               .cast(pl.Int64).alias("n_chars"),
             pl.col("text").str.count_matches("[a-zA-Z]")
               .cast(pl.Int64).alias("n_alpha"),
@@ -88,11 +90,11 @@ def _score_batch(batch: pa.Table) -> pa.Table:
     return _PROC_MODEL[0](batch)
 
 
-def score_documents(sf_dir: str, concurrency: int | None = 2):
+def score_documents(sf_dir: str, concurrency: int | None = None):
     """Score every document with the quality model → (doc_id, score,
-    keep). ``concurrency=N`` runs an actor pool (model built once per
-    actor); ``None`` falls back to stateless tasks with a per-process
-    model cache."""
+    keep). Default is STATELESS TASKS with a per-process model cache
+    (the library rule: stacked actor pools starve small sessions);
+    pass ``concurrency=N`` to opt into an actor pool."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",

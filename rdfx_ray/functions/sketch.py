@@ -133,25 +133,19 @@ def customers_with_urgent_order_bloom(sf_dir: str,
     count-gated plan, so the result is exactly EXISTS semantics."""
     import ray
     import ray.data as rd
-    import pyarrow.dataset as pads
-    from ray.data.aggregate import Count
 
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
-        filter=pads.field("o_orderpriority") == "1-URGENT")
-    bits = bloom_build(orders, "o_custkey", m_bits, k)
-    bref = ray.put(bits)
+    from ..pipelines.analytics_ext import distinct_order_custkeys
 
-    def local_distinct(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return pa.table({"o_custkey": pc.unique(
-            batch.column("o_custkey").combine_chunks())})
-
-    keys = (orders.map_batches(local_distinct, batch_format="pyarrow",
-                               batch_size=65536)
-            .groupby("o_custkey").aggregate(Count(alias_name="_n"))
-            .select_columns(["o_custkey"]))
+    # one orders scan total: the materialized distinct-key set feeds
+    # BOTH the bloom build and the exact verify
+    keys = distinct_order_custkeys(sf_dir, "1-URGENT")
     n_keys = keys.count()
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    if n_keys == 0:
+        return cust.limit(0)
+    bits = bloom_build(keys, "o_custkey", m_bits, k)
+    bref = ray.put(bits)
     kref = None
     if n_keys <= broadcast_cutoff:
         kt = pa.concat_tables(list(keys.iter_batches(
@@ -172,10 +166,8 @@ def customers_with_urgent_order_bloom(sf_dir: str,
                        value_set=cached_get(kref))
         return batch.filter(hit)
 
-    cands = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                            columns=["c_custkey", "c_name"]) \
-        .map_batches(bloom_filt, batch_format="pyarrow",
-                     batch_size=65536)
+    cands = cust.map_batches(bloom_filt, batch_format="pyarrow",
+                             batch_size=65536)
     if kref is not None:
         return cands
     # large key set: the exact verify is a native hash semi join over

@@ -485,14 +485,19 @@ def redact_pii(sf_dir: str):
 
     def fn(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        text = batch.column("text").combine_chunks()
+        # null text = empty doc (every sibling kernel's fill_null
+        # discipline; the SQL mirrors with COALESCE)
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        half = pc.replace_substring_regex(text, PII_EMAIL_RE,
+                                          "<EMAIL>")
+        clean = pc.replace_substring_regex(half, PII_LONGNUM_RE,
+                                           "<NUM>")
+        # count substitutions actually performed: the number-run count
+        # runs on the email-redacted text, else an address like
+        # 1234567@x.org double-counts
         n_red = pc.add(
             pc.count_substring_regex(text, PII_EMAIL_RE),
-            pc.count_substring_regex(text, PII_LONGNUM_RE))
-        clean = pc.replace_substring_regex(text, PII_EMAIL_RE,
-                                           "<EMAIL>")
-        clean = pc.replace_substring_regex(clean, PII_LONGNUM_RE,
-                                           "<NUM>")
+            pc.count_substring_regex(half, PII_LONGNUM_RE))
         hashes = [hashlib.md5((s or "").encode()).hexdigest()
                   for s in clean.to_pylist()]
         return pa.table({
@@ -508,19 +513,23 @@ def redact_pii(sf_dir: str):
 
 
 REDACT_PII_SQL = r"""
-SELECT doc_id,
-       md5(regexp_replace(
-           regexp_replace(text,
+WITH h AS (
+    SELECT doc_id,
+           COALESCE(text, '') AS text,
+           regexp_replace(COALESCE(text, ''),
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
-               '<EMAIL>', 'g'),
+               '<EMAIL>', 'g') AS half
+    FROM documents)
+SELECT doc_id,
+       md5(regexp_replace(half,
            '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g'))
            AS clean_hash,
        CAST(len(regexp_extract_all(text,
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
-            + len(regexp_extract_all(text,
+            + len(regexp_extract_all(half,
                 '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+'))
             AS BIGINT) AS n_redactions
-FROM documents
+FROM h
 """
 
 

@@ -449,6 +449,30 @@ QUALIFY row_number() OVER (PARTITION BY event_type
 ANTI_JOIN_BROADCAST_CUTOFF = 2_000_000
 
 
+def distinct_order_custkeys(sf_dir: str, priority: str):
+    """DISTINCT custkeys of orders with the given priority — the
+    build side both the anti/semi join and its bloom-join variant
+    share. Predicate pushed into the read; per-batch ``unique`` + the
+    distinct groupby compress away order multiplicity; MATERIALIZED so
+    the count gate and the delivery route don't re-run the scan."""
+    import ray.data as rd
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Count
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": pc.unique(
+            batch.column("o_custkey").combine_chunks())})
+
+    return (rd.read_parquet(
+                f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+                filter=pads.field("o_orderpriority") == priority)
+            .map_batches(local_distinct, batch_format="pyarrow",
+                         batch_size=65536)
+            .groupby("o_custkey").aggregate(Count(alias_name="_n"))
+            .select_columns(["o_custkey"])
+            .materialize())
+
+
 def customers_order_antijoin(sf_dir: str, semi: bool = False,
                              priority: str = "1-URGENT",
                              broadcast_cutoff: int =
@@ -473,26 +497,16 @@ def customers_order_antijoin(sf_dir: str, semi: bool = False,
     anti — the minus_bgp construction)."""
     import ray
     import ray.data as rd
-    import pyarrow.dataset as pads
-    from ray.data.aggregate import Count
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"])
-
-    def local_distinct(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return pa.table({"o_custkey": pc.unique(
-            batch.column("o_custkey").combine_chunks())})
-
-    keys = (rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_custkey"],
-                filter=pads.field("o_orderpriority") == priority)
-            .map_batches(local_distinct, batch_format="pyarrow",
-                         batch_size=65536)
-            .groupby("o_custkey").aggregate(Count(alias_name="_n"))
-            .select_columns(["o_custkey"]))
+    keys = distinct_order_custkeys(sf_dir, priority)
     n_keys = keys.count()
+
+    if n_keys == 0:
+        # NOT EXISTS over an empty set keeps everything; EXISTS
+        # nothing (concat of zero batches would otherwise throw)
+        return cust if not semi else cust.limit(0)
 
     if n_keys <= broadcast_cutoff:
         kt = pa.concat_tables(list(keys.iter_batches(

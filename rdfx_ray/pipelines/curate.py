@@ -93,7 +93,8 @@ def curate_corpus(sf_dir: str, test_pct: int = SPLIT_PCT,
     # the keeper flag rides a native hash join on doc_id instead.
     keepers = (base.select_columns(["text_hash", "doc_id"])
                .groupby("text_hash")
-               .aggregate(Min("doc_id", alias_name="keeper")))
+               .aggregate(Min("doc_id", alias_name="keeper"))
+               .materialize())    # count gate + delivery: one groupby
     n_keepers = keepers.count()
     kref = None
     if n_keepers <= broadcast_cutoff:

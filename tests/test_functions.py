@@ -780,9 +780,11 @@ def test_redact_pii_planted(ray_session, tmp_path):
     from rdfx_ray.functions.text import redact_pii
 
     pq.write_table(pa.table({
-        "doc_id": pa.array([0, 1], pa.int64()),
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
         "text": ["mail me at jo.doe+x@ex-a.mple.org or 12345678 now",
-                 "nothing sensitive here 123456"],
+                 "nothing sensitive here 123456",
+                 "digits inside an email 1234567@ex.org only",
+                 None],
     }), tmp_path / "documents.parquet")
     got = redact_pii(str(tmp_path)).to_pandas().set_index("doc_id")
     assert got.loc[0, "n_redactions"] == 2
@@ -790,6 +792,13 @@ def test_redact_pii_planted(ray_session, tmp_path):
     assert got.loc[0, "clean_hash"] == hashlib.md5(
         want.encode()).hexdigest()
     assert got.loc[1, "n_redactions"] == 0
+    # digits consumed by the email replacement are not double-counted
+    assert got.loc[2, "n_redactions"] == 1
+    assert got.loc[2, "clean_hash"] == hashlib.md5(
+        b"digits inside an email <EMAIL> only").hexdigest()
+    # null text = empty doc, not INT64_MIN garbage
+    assert got.loc[3, "n_redactions"] == 0
+    assert got.loc[3, "clean_hash"] == hashlib.md5(b"").hexdigest()
 
 
 def test_bloom_filter_and_bloom_join(ray_session):
@@ -889,3 +898,15 @@ def test_curate_and_bloom_scale_routes_agree(ray_session):
     y = set(customers_with_urgent_order_bloom(SF, broadcast_cutoff=0)
             .to_pandas()["c_custkey"])
     assert x == y
+
+
+def test_antijoin_empty_key_set(ray_session):
+    """A priority matching zero orders: anti join keeps ALL customers,
+    semi join keeps none (no crash on the empty key set)."""
+    from rdfx_ray.pipelines.analytics_ext import customers_order_antijoin
+
+    SF = "/root/testdata/sf0.001"
+    anti = customers_order_antijoin(SF, priority="NO-SUCH")
+    assert anti.count() == 150
+    semi = customers_order_antijoin(SF, semi=True, priority="NO-SUCH")
+    assert semi.count() == 0
