@@ -430,6 +430,7 @@ def _packing():
 def queries() -> dict[str, Callable[[str], Any]]:
     from rdfx_ray.functions import dedup, doc_triples, similarity, text
     from rdfx_ray.pipelines import analytics, analytics_ext
+    from rdfx_ray.pipelines import analytics_window as _win
 
     def kg_extract(sf_dir: str):
         from rdfx_ray.pipelines.kg import read_final_triples
@@ -552,6 +553,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_quantiles_tdigest": _orders_quantiles_tdigest,
         "events_asof_orders": _events_asof_orders,
         "events_hll_users": _events_hll_users,
+        # window family: histogram / moving frame / argmax / moments
+        "events_value_histogram":
+            lambda sf: _win.events_value_histogram(sf),
+        "orders_daily_moving":
+            lambda sf: _win.orders_daily_moving(sf),
+        "events_latest_per_user":
+            lambda sf: _win.events_latest_per_user(sf),
+        "events_value_moments":
+            lambda sf: _win.events_value_moments(sf),
         # text analysis
         "text_token_stats": lambda sf: text.token_stats(sf),
         "text_fingerprints": lambda sf: text.fingerprints(sf),
@@ -616,6 +626,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT s AS subj, o AS obj FROM closure
     """
     from rdfx_ray.pipelines import analytics_ext as _EXT
+    from rdfx_ray.pipelines import analytics_window as _WIN
     from rdfx_ray.pipelines.asof import EVENTS_ASOF_ORDERS_SQL as _ASOF_SQL
     from rdfx_ray.pipelines.analytics import (
         REVENUE_BY_REGION_SQL as _REVENUE_SQL_REF,
@@ -807,6 +818,10 @@ def oracle_sql() -> dict[str, str]:
         "events_hopping_windows": _EXT.EVENTS_HOPPING_SQL,
         "orders_price_quantiles": _EXT.ORDERS_QUANTILES_SQL,
         "events_asof_orders": _ASOF_SQL,
+        "events_value_histogram": _WIN.EVENTS_VALUE_HISTOGRAM_SQL,
+        "orders_daily_moving": _WIN.ORDERS_DAILY_MOVING_SQL,
+        "events_latest_per_user": _WIN.EVENTS_LATEST_PER_USER_SQL,
+        "events_value_moments": _WIN.EVENTS_VALUE_MOMENTS_SQL,
         "text_token_stats": r"""
             SELECT doc_id,
                    len(list_filter(regexp_split_to_array(text, '\s+'),

@@ -1,0 +1,274 @@
+"""Window-family operators the round-3 surface still lacked: fixed-width
+histogram (width_bucket), moving-window aggregates over a bounded time
+grid, latest-row-per-key (DISTINCT ON / argmax), and sufficient-statistic
+moments (the distributed building block for variance/correlation).
+
+Each follows the house rules: predicate/column-pruned reads, per-batch
+partial aggregation before any exchange, integer-scaled money/values so
+the DuckDB oracle hash-matches exactly, deterministic tiebreaks, and the
+bucketed map_groups pattern (never per-singleton-group pandas calls —
+the measured ~ms/group trap in CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def events_value_histogram(sf_dir: str, width: float = 50.0):
+    """Fixed-width histogram of ``value`` per event type — the
+    width_bucket shape → (event_type, bucket, n, sum_value_1e2).
+
+    One streaming pass: the bucket id ``floor(value / width)`` and the
+    integer-quantized value are vectorized per batch, partial
+    (type, bucket) counts/sums fold locally, and the only exchange is
+    the tiny ``groupby`` over O(types × buckets) keys. ``value / width``
+    is a single IEEE-754 division on both engines, so bucket edges are
+    bit-identical; sums quantize each value THEN sum (lossless integer
+    folds — the embedding_label_centroids rule)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        bucket = np.floor(v / width).astype(np.int64)
+        q = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"event_type": batch.column("event_type")
+                           .to_pandas(), "bucket": bucket, "q": q})
+        g = df.groupby(["event_type", "bucket"], as_index=False).agg(
+            n=("q", "size"), sum_value_1e2=("q", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["event_type", "bucket", "n", "sum_value_1e2"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(["event_type", "bucket"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_value_1e2", alias_name="sum_value_1e2"))
+            .map_batches(rename, batch_format="pyarrow"))
+
+
+EVENTS_VALUE_HISTOGRAM_SQL = """
+SELECT event_type,
+       CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_value_1e2
+FROM events
+GROUP BY event_type, CAST(FLOOR(value / 50.0) AS BIGINT)
+"""
+
+
+def orders_daily_moving(sf_dir: str, window_days: int = 7):
+    """Daily order revenue with a trailing ``window_days``-row moving
+    window — the ROWS BETWEEN N PRECEDING frame →
+    (day_us, n_orders, revenue_cents, win_revenue_cents, win_days).
+
+    Two stages with very different cardinalities: the O(rows) work is a
+    partial-aggregated daily rollup (per-batch (day, count, cents)
+    fold, then one small groupby — days are the grid, bounded by the
+    calendar: ~2.4k for this corpus, ≤ a few 10⁵ for decades of
+    seconds-resolution feeds). The window fold then runs over the
+    O(days) grid on the driver via two cumsum differences — scale-safe
+    because the grid, not the row count, bounds it; a 100 TB order
+    stream still has the same number of days. Day keys are emitted as
+    epoch-µs BIGINT (timestamps never hash-match across engines)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").to_numpy() \
+            .astype("datetime64[D]").astype("datetime64[us]") \
+            .astype(np.int64)
+        cents = np.floor(batch.column("o_totalprice")
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        df = pd.DataFrame({"day_us": ts, "cents": cents})
+        g = df.groupby("day_us", as_index=False).agg(
+            n_orders=("cents", "size"), revenue_cents=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("day_us")
+             .aggregate(Sum("n_orders", alias_name="n_orders"),
+                        Sum("revenue_cents", alias_name="revenue_cents"))
+             .to_pandas())
+    daily = daily.sort_values("day_us", kind="mergesort") \
+        .reset_index(drop=True)
+    rev = daily["revenue_cents"].to_numpy(np.int64)
+    # trailing window sum over the day grid: cumsum difference (exact
+    # integer arithmetic, no float accumulation)
+    cs = np.concatenate([[0], np.cumsum(rev)])
+    n = len(rev)
+    lo = np.maximum(np.arange(n) - (window_days - 1), 0)
+    win = cs[np.arange(n) + 1] - cs[lo]
+    win_days = np.arange(n) - lo + 1
+    out = pa.table({
+        "day_us": pa.array(daily["day_us"].to_numpy(np.int64)),
+        "n_orders": pa.array(daily["n_orders"].to_numpy(np.int64)),
+        "revenue_cents": pa.array(rev),
+        "win_revenue_cents": pa.array(win.astype(np.int64)),
+        "win_days": pa.array(win_days.astype(np.int64)),
+    })
+    return out
+
+
+ORDERS_DAILY_MOVING_SQL = """
+WITH d AS (
+    SELECT epoch_us(date_trunc('day', o_orderdate)) AS day_us,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders GROUP BY 1)
+SELECT day_us, n_orders, revenue_cents,
+       CAST(SUM(revenue_cents) OVER (
+            ORDER BY day_us
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS win_revenue_cents,
+       CAST(COUNT(*) OVER (
+            ORDER BY day_us
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS win_days
+FROM d
+"""
+
+
+def _last_per_user(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized argmax fold: keep each user's row with the largest
+    (ts_us, event_id) — one lexsort + last-occurrence mask, no
+    per-user pandas calls."""
+    if len(df) == 0:
+        return df
+    order = np.lexsort((df["last_event_id"].to_numpy(),
+                        df["last_ts_us"].to_numpy(),
+                        df["user_id"].to_numpy()))
+    s = df.iloc[order]
+    uid = s["user_id"].to_numpy()
+    is_last = np.concatenate([uid[1:] != uid[:-1], [True]])
+    return s[is_last]
+
+
+def events_latest_per_user(sf_dir: str, n_buckets: int = 32):
+    """Latest event per user — the DISTINCT ON / argmax-per-key shape
+    → (user_id, last_ts_us, last_event_id, last_event_type).
+
+    Per-batch partial argmax (one lexsort, keep last row per user)
+    caps the exchange at O(users × blocks) rows; the final fold hashes
+    users into ``n_buckets`` groups and repeats the same vectorized
+    reduction per BUCKET — #bucket group calls total, never the
+    per-singleton-group pandas trap. Ties on ts break by event_id, so
+    the selected row is deterministic across engines (DuckDB
+    ``row_number() OVER (... ORDER BY ts DESC, event_id DESC) = 1``)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "last_ts_us": ts_us,
+            "last_event_id": batch.column("event_id").to_numpy(
+                zero_copy_only=False),
+            "last_event_type": batch.column("event_type").to_pandas(),
+        })
+        out = _last_per_user(df)
+        out = out.assign(_jb=(out["user_id"].to_numpy(np.int64)
+                              % n_buckets).astype(np.int32))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return _last_per_user(g).drop(columns=["_jb"]).astype(
+            {"user_id": np.int64, "last_ts_us": np.int64,
+             "last_event_id": np.int64})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("_jb").map_groups(bucket_fold,
+                                       batch_format="pandas"))
+
+
+EVENTS_LATEST_PER_USER_SQL = """
+SELECT user_id, epoch_us(ts) AS last_ts_us,
+       event_id AS last_event_id, event_type AS last_event_type
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def events_value_moments(sf_dir: str):
+    """Sufficient statistics of ``value`` per event type →
+    (event_type, n, sum_v_1e2, sum_v2_1e4, min_v_1e2, max_v_1e2) —
+    the mergeable building block for mean/variance/z-scores (and,
+    joined pairwise, correlation) that stays EXACT under any fold
+    order, unlike streaming float variance.
+
+    Values quantize to int (×100) per batch; sums and sums-of-squares
+    fold as integers. Headroom: q ≤ 10⁵ here → q² ≤ 10¹⁰, so int64
+    partial sums hold to ~10⁸ rows per (type, batch-fold path) — 10⁴×
+    this corpus; beyond that the quantization scale is the knob (the
+    oracle pins the contract, not the scale). One tiny groupby over
+    O(types) keys is the only exchange."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = np.floor(batch.column("value")
+                     .to_numpy(zero_copy_only=False) * 100.0
+                     + 0.5).astype(np.int64)
+        df = pd.DataFrame({"event_type": batch.column("event_type")
+                           .to_pandas(), "q": q, "q2": q * q})
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("q", "size"), sum_v_1e2=("q", "sum"),
+            sum_v2_1e4=("q2", "sum"), min_v_1e2=("q", "min"),
+            max_v_1e2=("q", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["event_type", "n", "sum_v_1e2",
+                                 "sum_v2_1e4", "min_v_1e2",
+                                 "max_v_1e2"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_v_1e2", alias_name="sum_v_1e2"),
+                       Sum("sum_v2_1e4", alias_name="sum_v2_1e4"),
+                       Min("min_v_1e2", alias_name="min_v_1e2"),
+                       Max("max_v_1e2", alias_name="max_v_1e2"))
+            .map_batches(rename, batch_format="pyarrow"))
+
+
+EVENTS_VALUE_MOMENTS_SQL = """
+WITH q AS (
+    SELECT event_type,
+           CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS q
+    FROM events)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(q) AS BIGINT) AS sum_v_1e2,
+       CAST(SUM(q * q) AS BIGINT) AS sum_v2_1e4,
+       CAST(MIN(q) AS BIGINT) AS min_v_1e2,
+       CAST(MAX(q) AS BIGINT) AS max_v_1e2
+FROM q GROUP BY event_type
+"""

@@ -1,0 +1,108 @@
+"""Window-family operator tests (histogram / moving frame / argmax /
+moments) — DuckDB cross-checks at sf0.001 plus edge-case pins."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    return ray_session
+
+
+def _duck(sql, views=("events", "orders")):
+    import duckdb
+
+    con = duckdb.connect()
+    for v in views:
+        con.execute(f"CREATE VIEW {v} AS SELECT * FROM "
+                    f"'{SF}/{v}.parquet'")
+    return con.execute(sql).df()
+
+
+def test_value_histogram_matches_duckdb():
+    from rdfx_ray.pipelines.analytics_window import (
+        EVENTS_VALUE_HISTOGRAM_SQL, events_value_histogram)
+
+    got = events_value_histogram(SF).to_pandas() \
+        .sort_values(["event_type", "bucket"]).reset_index(drop=True)
+    want = _duck(EVENTS_VALUE_HISTOGRAM_SQL) \
+        .sort_values(["event_type", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    # bucket edges partition: total count equals the table size
+    n_total = _duck("SELECT COUNT(*) AS n FROM events")["n"][0]
+    assert got["n"].sum() == n_total
+
+
+def test_daily_moving_matches_duckdb():
+    from rdfx_ray.pipelines.analytics_window import (
+        ORDERS_DAILY_MOVING_SQL, orders_daily_moving)
+
+    got = orders_daily_moving(SF).to_pandas() \
+        .sort_values("day_us").reset_index(drop=True)
+    want = _duck(ORDERS_DAILY_MOVING_SQL) \
+        .sort_values("day_us").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    # the trailing frame is ROWS over the day grid: first row's window
+    # is itself; steady-state windows span exactly 7 grid rows
+    assert got.loc[0, "win_revenue_cents"] == got.loc[0, "revenue_cents"]
+    assert (got["win_days"].iloc[7:] == 7).all()
+    rev = got["revenue_cents"].to_numpy(np.int64)
+    k = 8  # spot-check one mid-grid window against a direct sum
+    assert got.loc[k, "win_revenue_cents"] == rev[k - 6:k + 1].sum()
+
+
+def test_latest_per_user_matches_duckdb():
+    from rdfx_ray.pipelines.analytics_window import (
+        EVENTS_LATEST_PER_USER_SQL, events_latest_per_user)
+
+    got = events_latest_per_user(SF).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    want = _duck(EVENTS_LATEST_PER_USER_SQL) \
+        .sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    # exactly one row per user present in the table
+    n_users = _duck("SELECT COUNT(DISTINCT user_id) AS n "
+                    "FROM events")["n"][0]
+    assert len(got) == n_users
+
+
+def test_latest_per_user_tiebreak_deterministic():
+    """Equal timestamps break by event_id DESC — the fold picks the
+    same row regardless of batch split order."""
+    from rdfx_ray.pipelines.analytics_window import _last_per_user
+
+    df = pd.DataFrame({
+        "user_id": [7, 7, 7, 9],
+        "last_ts_us": [100, 100, 50, 10],
+        "last_event_id": [3, 12, 99, 1],
+        "last_event_type": ["a", "b", "c", "d"],
+    })
+    out = _last_per_user(df).sort_values("user_id")
+    assert out["last_event_id"].tolist() == [12, 1]
+    # invariant under input permutation
+    out2 = _last_per_user(df.iloc[::-1]).sort_values("user_id")
+    assert out2["last_event_id"].tolist() == [12, 1]
+
+
+def test_value_moments_matches_duckdb():
+    from rdfx_ray.pipelines.analytics_window import (
+        EVENTS_VALUE_MOMENTS_SQL, events_value_moments)
+
+    got = events_value_moments(SF).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    want = _duck(EVENTS_VALUE_MOMENTS_SQL) \
+        .sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    # the sufficient statistics reconstruct a sane variance:
+    # E[x²] − E[x]² ≥ 0 for every group (integer math, no drift)
+    ex2 = got["sum_v2_1e4"] / got["n"]
+    ex = got["sum_v_1e2"] / got["n"]
+    assert ((ex2 - ex * ex) >= -1e-9).all()
