@@ -132,6 +132,15 @@ def _events_asof_orders(sf_dir: str):
     return events_asof_orders(sf_dir)
 
 
+def _events_in_order_windows(sf_dir: str):
+    """Range (interval) join: each derived per-order promo window
+    collects its customer's events with w_start <= ts < w_end (bucket
+    exchange + per-bucket sorted-interval probe with exact integer
+    prefix sums — the second join operator Ray Data lacks natively)."""
+    from rdfx_ray.pipelines.rangejoin import events_in_order_windows
+    return events_in_order_windows(sf_dir)
+
+
 def _events_hll_users(sf_dir: str):
     """HyperLogLog distinct-user estimate per event type (mergeable
     sketch; approximate → rows-only check, error pinned by tests)."""
@@ -553,6 +562,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_quantiles_tdigest": _orders_quantiles_tdigest,
         "events_asof_orders": _events_asof_orders,
         "events_hll_users": _events_hll_users,
+        # range (interval) join: events into derived per-order windows
+        "events_in_order_windows": _events_in_order_windows,
         # window family: histogram / moving frame / argmax / moments
         "events_value_histogram":
             lambda sf: _win.events_value_histogram(sf),
@@ -628,6 +639,9 @@ def oracle_sql() -> dict[str, str]:
     from rdfx_ray.pipelines import analytics_ext as _EXT
     from rdfx_ray.pipelines import analytics_window as _WIN
     from rdfx_ray.pipelines.asof import EVENTS_ASOF_ORDERS_SQL as _ASOF_SQL
+    from rdfx_ray.pipelines.rangejoin import (
+        EVENTS_IN_ORDER_WINDOWS_SQL as _RANGEJOIN_SQL,
+    )
     from rdfx_ray.pipelines.analytics import (
         REVENUE_BY_REGION_SQL as _REVENUE_SQL_REF,
         SESSIONIZE_SQL as _SESSIONIZE_SQL_REF,
@@ -818,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hopping_windows": _EXT.EVENTS_HOPPING_SQL,
         "orders_price_quantiles": _EXT.ORDERS_QUANTILES_SQL,
         "events_asof_orders": _ASOF_SQL,
+        "events_in_order_windows": _RANGEJOIN_SQL,
         "events_value_histogram": _WIN.EVENTS_VALUE_HISTOGRAM_SQL,
         "orders_daily_moving": _WIN.ORDERS_DAILY_MOVING_SQL,
         "events_latest_per_user": _WIN.EVENTS_LATEST_PER_USER_SQL,
