@@ -573,6 +573,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _win.events_latest_per_user(sf),
         "events_value_moments":
             lambda sf: _win.events_value_moments(sf),
+        "lineitem_comoments":
+            lambda sf: _win.lineitem_comoments(sf),
+        "orders_year_priority_pivot":
+            lambda sf: analytics_ext.orders_year_priority_pivot(sf),
         # text analysis
         "text_token_stats": lambda sf: text.token_stats(sf),
         "text_fingerprints": lambda sf: text.fingerprints(sf),
@@ -837,6 +841,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_daily_moving": _WIN.ORDERS_DAILY_MOVING_SQL,
         "events_latest_per_user": _WIN.EVENTS_LATEST_PER_USER_SQL,
         "events_value_moments": _WIN.EVENTS_VALUE_MOMENTS_SQL,
+        "lineitem_comoments": _WIN.LINEITEM_COMOMENTS_SQL,
+        "orders_year_priority_pivot":
+            _EXT.ORDERS_YEAR_PRIORITY_PIVOT_SQL,
         "text_token_stats": r"""
             SELECT doc_id,
                    len(list_filter(regexp_split_to_array(text, '\s+'),

@@ -751,3 +751,74 @@ WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey
                 AND o.o_orderpriority = '1-URGENT')
 """
+
+
+_PIVOT_PRIORITIES = (
+    ("1-URGENT", "n_urgent"),
+    ("2-HIGH", "n_high"),
+    ("3-MEDIUM", "n_medium"),
+    ("4-NOT SPECIFIED", "n_notspec"),
+    ("5-LOW", "n_low"),
+)
+
+
+def orders_year_priority_pivot(sf_dir: str):
+    """PIVOT / conditional-aggregation shape: order counts per year,
+    spread wide over the five fixed priorities, plus total revenue →
+    (year, n_urgent, n_high, n_medium, n_notspec, n_low,
+    revenue_cents).
+
+    The pivot happens INSIDE each batch (five boolean masks folded by
+    year — one pandas groupby per batch, no per-priority pass over the
+    data), so the exchange carries one already-wide row per
+    (batch, year) and the only shuffle is a groupby over O(years)
+    keys. The priority domain is part of the operator contract (as in
+    SQL PIVOT ... IN (...)); an unexpected value would surface as a
+    count-sum mismatch, not silent loss, because every row lands in
+    the revenue column regardless."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        year = (batch.column("o_orderdate").to_numpy()
+                .astype("datetime64[Y]").astype(np.int64) + 1970)
+        pri = batch.column("o_orderpriority").to_pandas().to_numpy()
+        cents = np.floor(batch.column("o_totalprice")
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        df = pd.DataFrame({"year": year, "revenue_cents": cents})
+        for val, col in _PIVOT_PRIORITIES:
+            df[col] = (pri == val).astype(np.int64)
+        g = df.groupby("year", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cols = ["year"] + [c for _, c in _PIVOT_PRIORITIES] + \
+        ["revenue_cents"]
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.select(cols)
+
+    aggs = [c for _, c in _PIVOT_PRIORITIES] + ["revenue_cents"]
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("year")
+            .aggregate(*[Sum(c, alias_name=c) for c in aggs])
+            .map_batches(rename, batch_format="pyarrow"))
+
+
+ORDERS_YEAR_PRIORITY_PIVOT_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+       COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS n_high,
+       COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_medium,
+       COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED')
+           AS n_notspec,
+       COUNT(*) FILTER (o_orderpriority = '5-LOW') AS n_low,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM orders GROUP BY 1
+"""

@@ -272,3 +272,66 @@ SELECT event_type, COUNT(*) AS n,
        CAST(MAX(q) AS BIGINT) AS max_v_1e2
 FROM q GROUP BY event_type
 """
+
+
+def lineitem_comoments(sf_dir: str):
+    """Pairwise co-moments of (l_quantity, l_discount) per return flag
+    → (l_returnflag, n, sum_q_1e2, sum_d_1e4, sum_q2_1e4, sum_d2_1e8,
+    sum_qd_1e6) — the mergeable sufficient statistics for covariance /
+    Pearson correlation, exact under any fold order.
+
+    Quantization headroom: q = qty×100 ≤ 5,000 and d = disc×10,000
+    ≤ 1,000 here, so the largest per-row term (q² ≤ 2.5×10⁷) keeps
+    int64 partial sums exact to ~3×10¹¹ rows per group — far past any
+    realistic lineitem shard; the scale factors are the knob beyond
+    that. The only exchange is a groupby over O(flags) keys."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = np.floor(batch.column("l_quantity")
+                     .to_numpy(zero_copy_only=False) * 100.0
+                     + 0.5).astype(np.int64)
+        d = np.floor(batch.column("l_discount")
+                     .to_numpy(zero_copy_only=False) * 10000.0
+                     + 0.5).astype(np.int64)
+        df = pd.DataFrame({"l_returnflag": batch.column("l_returnflag")
+                           .to_pandas(), "q": q, "d": d,
+                           "q2": q * q, "d2": d * d, "qd": q * d})
+        g = df.groupby("l_returnflag", as_index=False).agg(
+            n=("q", "size"), sum_q_1e2=("q", "sum"),
+            sum_d_1e4=("d", "sum"), sum_q2_1e4=("q2", "sum"),
+            sum_d2_1e8=("d2", "sum"), sum_qd_1e6=("qd", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cols = ["l_returnflag", "n", "sum_q_1e2", "sum_d_1e4",
+            "sum_q2_1e4", "sum_d2_1e8", "sum_qd_1e6"]
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(cols)
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("l_returnflag")
+            .aggregate(*[Sum(c, alias_name=c) for c in cols[1:]])
+            .map_batches(rename, batch_format="pyarrow"))
+
+
+LINEITEM_COMOMENTS_SQL = """
+WITH q AS (
+    SELECT l_returnflag,
+           CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) AS q,
+           CAST(FLOOR(l_discount * 10000.0 + 0.5) AS BIGINT) AS d
+    FROM lineitem)
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(q) AS BIGINT) AS sum_q_1e2,
+       CAST(SUM(d) AS BIGINT) AS sum_d_1e4,
+       CAST(SUM(q * q) AS BIGINT) AS sum_q2_1e4,
+       CAST(SUM(d * d) AS BIGINT) AS sum_d2_1e8,
+       CAST(SUM(q * d) AS BIGINT) AS sum_qd_1e6
+FROM q GROUP BY l_returnflag
+"""

@@ -106,3 +106,44 @@ def test_value_moments_matches_duckdb():
     ex2 = got["sum_v2_1e4"] / got["n"]
     ex = got["sum_v_1e2"] / got["n"]
     assert ((ex2 - ex * ex) >= -1e-9).all()
+
+
+def test_lineitem_comoments_matches_duckdb():
+    from rdfx_ray.pipelines.analytics_window import (
+        LINEITEM_COMOMENTS_SQL, lineitem_comoments)
+
+    got = lineitem_comoments(SF).to_pandas() \
+        .sort_values("l_returnflag").reset_index(drop=True)
+    want = _duck(LINEITEM_COMOMENTS_SQL, views=("lineitem",)) \
+        .sort_values("l_returnflag").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    # reconstructed Pearson r is a valid correlation for every group
+    n = got["n"].to_numpy(float)
+    sq, sd = got["sum_q_1e2"].to_numpy(float), got["sum_d_1e4"].to_numpy(float)
+    sq2, sd2 = got["sum_q2_1e4"].to_numpy(float), got["sum_d2_1e8"].to_numpy(float)
+    sqd = got["sum_qd_1e6"].to_numpy(float)
+    cov = sqd / n - (sq / n) * (sd / n)
+    vq = sq2 / n - (sq / n) ** 2
+    vd = sd2 / n - (sd / n) ** 2
+    r = cov / np.sqrt(vq * vd)
+    assert (np.abs(r) <= 1.0 + 1e-12).all()
+
+
+def test_year_priority_pivot_matches_duckdb():
+    from rdfx_ray.pipelines.analytics_ext import (
+        ORDERS_YEAR_PRIORITY_PIVOT_SQL, orders_year_priority_pivot)
+
+    got = orders_year_priority_pivot(SF).to_pandas() \
+        .sort_values("year").reset_index(drop=True)
+    want = _duck(ORDERS_YEAR_PRIORITY_PIVOT_SQL, views=("orders",)) \
+        .sort_values("year").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    # the wide counts partition the table: row sums == per-year totals
+    n_by_year = _duck(
+        "SELECT CAST(year(o_orderdate) AS BIGINT) AS year, COUNT(*) n "
+        "FROM orders GROUP BY 1 ORDER BY 1", views=("orders",))
+    wide = got[["n_urgent", "n_high", "n_medium", "n_notspec",
+                "n_low"]].sum(axis=1).to_numpy()
+    assert (wide == n_by_year["n"].to_numpy()).all()
