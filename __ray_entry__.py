@@ -141,6 +141,28 @@ def _events_in_order_windows(sf_dir: str):
     return events_in_order_windows(sf_dir)
 
 
+def _kg_query_ask(sf_dir: str):
+    """ASK over two probes (one true, one false) → (probe, ask 0/1).
+    The true branch short-circuits via limit(1); the false branch is a
+    single column-pruned scan (SOP.asset_exists issues this shape)."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import ask_report
+
+    return ask_report(doc_triples(sf_dir), [
+        ("lang_en", {"pred": SDO + "inLanguage", "obj_value": "en"}),
+        ("lang_zz", {"pred": SDO + "inLanguage", "obj_value": "zz"}),
+    ])
+
+
+def _kg_query_bind(sf_dir: str):
+    """BIND expression: ?s isBasedOn ?v . BIND(STRLEN(?v) AS ?len) —
+    streaming vectorized utf8_length, no shuffle."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import bind_strlen_bgp
+
+    return bind_strlen_bgp(doc_triples(sf_dir), SDO + "isBasedOn")
+
+
 def _events_hll_users(sf_dir: str):
     """HyperLogLog distinct-user estimate per event type (mergeable
     sketch; approximate → rows-only check, error pinned by tests)."""
@@ -518,6 +540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_validate_shapes": _kg_validate_shapes,
         "kg_query_construct": _kg_query_construct,
         "kg_query_group_concat": _kg_query_group_concat,
+        "kg_query_ask": _kg_query_ask,
+        "kg_query_bind": _kg_query_bind,
         "kg_query_group_count": _kg_query_group_count,
         "kg_query_filter_expr": _kg_query_filter_expr,
         "kg_query_filter_regex": _kg_query_filter_regex,
@@ -577,6 +601,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _win.lineitem_comoments(sf),
         "orders_year_priority_pivot":
             lambda sf: analytics_ext.orders_year_priority_pivot(sf),
+        # set operations (INTERSECT / EXCEPT) from one presence fold
+        "events_users_intersect":
+            lambda sf: analytics_ext.users_type_intersect(sf),
+        "events_users_except":
+            lambda sf: analytics_ext.users_type_except(sf),
         # text analysis
         "text_token_stats": lambda sf: text.token_stats(sf),
         "text_fingerprints": lambda sf: text.fingerprints(sf),
@@ -844,6 +873,25 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_comoments": _WIN.LINEITEM_COMOMENTS_SQL,
         "orders_year_priority_pivot":
             _EXT.ORDERS_YEAR_PRIORITY_PIVOT_SQL,
+        "events_users_intersect": _EXT.USERS_TYPE_INTERSECT_SQL,
+        "events_users_except": _EXT.USERS_TYPE_EXCEPT_SQL,
+        "kg_query_ask": """
+            SELECT 'lang_en' AS probe,
+                   CAST(CASE WHEN EXISTS (SELECT 1 FROM documents
+                                          WHERE lang = 'en')
+                        THEN 1 ELSE 0 END AS BIGINT) AS ask
+            UNION ALL
+            SELECT 'lang_zz',
+                   CAST(CASE WHEN EXISTS (SELECT 1 FROM documents
+                                          WHERE lang = 'zz')
+                        THEN 1 ELSE 0 END AS BIGINT)
+        """,
+        "kg_query_bind": """
+            SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj,
+                   source AS v,
+                   CAST(LENGTH(source) AS BIGINT) AS len
+            FROM documents
+        """,
         "text_token_stats": r"""
             SELECT doc_id,
                    len(list_filter(regexp_split_to_array(text, '\s+'),

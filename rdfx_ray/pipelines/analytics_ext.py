@@ -822,3 +822,89 @@ SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
             AS BIGINT) AS revenue_cents
 FROM orders GROUP BY 1
 """
+
+
+def _users_type_flags(sf_dir: str, type_a: str, type_b: str,
+                      value_min: float):
+    """One-pass per-user presence flags for two qualified event
+    predicates (type match AND value ≥ value_min) → (user_id, has_a,
+    has_b) as 0/1 BIGINTs. Per-batch partial MAX of the two boolean
+    masks folds locally, so the only exchange is a groupby over
+    O(users) keys — both INTERSECT and EXCEPT then read off this one
+    fold instead of two scans plus a distinct each. The value
+    qualifier keeps the demo non-degenerate (every user has every
+    bare type in this corpus); the comparison is double-vs-constant,
+    identical in both engines."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").to_pandas().to_numpy()
+        hi = (batch.column("value").to_numpy(zero_copy_only=False)
+              >= value_min)
+        df = pd.DataFrame({
+            "user_id": uid.astype(np.int64),
+            "has_a": ((et == type_a) & hi).astype(np.int64),
+            "has_b": ((et == type_b) & hi).astype(np.int64)})
+        g = df.groupby("user_id", as_index=False).max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.select(["user_id", "has_a", "has_b"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("user_id")
+            .aggregate(Max("has_a", alias_name="has_a"),
+                       Max("has_b", alias_name="has_b"))
+            .map_batches(rename, batch_format="pyarrow"))
+
+
+def users_type_intersect(sf_dir: str, type_a: str = "purchase",
+                         type_b: str = "click",
+                         value_min: float = 150.0):
+    """INTERSECT shape: distinct users with BOTH qualified events."""
+
+    def fold(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(b.column("has_a"), 1),
+                       pc.equal(b.column("has_b"), 1))
+        return b.filter(keep).select(["user_id"])
+
+    return _users_type_flags(sf_dir, type_a, type_b, value_min) \
+        .map_batches(fold, batch_format="pyarrow")
+
+
+def users_type_except(sf_dir: str, type_a: str = "purchase",
+                      type_b: str = "click",
+                      value_min: float = 150.0):
+    """EXCEPT shape: distinct users with a qualified type_a event but
+    no qualified type_b event."""
+
+    def fold(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(b.column("has_a"), 1),
+                       pc.equal(b.column("has_b"), 0))
+        return b.filter(keep).select(["user_id"])
+
+    return _users_type_flags(sf_dir, type_a, type_b, value_min) \
+        .map_batches(fold, batch_format="pyarrow")
+
+
+USERS_TYPE_INTERSECT_SQL = """
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND value >= 150.0
+INTERSECT
+SELECT user_id FROM events
+WHERE event_type = 'click' AND value >= 150.0
+"""
+
+USERS_TYPE_EXCEPT_SQL = """
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND value >= 150.0
+EXCEPT
+SELECT user_id FROM events
+WHERE event_type = 'click' AND value >= 150.0
+"""

@@ -1048,3 +1048,39 @@ def bgp_join_native(triples_ds, pred_a: str, pred_b: str,
     return side_a.join(side_b, "inner", num_partitions,
                        on=("subj",), right_on=("subj_b",)) \
                  .select_columns(["subj", "va", "vb"])
+
+
+def ask_report(triples_ds, probes):
+    """SPARQL ASK over several patterns at once → (probe, ask) with
+    ``ask`` as BIGINT 0/1 (booleans hash differently across engines;
+    the 0/1 contract follows the CLAUDE.md integer-emission rule).
+
+    ``probes`` is ``[(name, pattern_kwargs), ...]``. Each ASK is a
+    ``limit(1)`` over the vectorized pattern filter — the streaming
+    executor short-circuits as soon as one matching block exists, so
+    a true ASK touches O(one block), and a false one is a single
+    column-pruned scan. Reference: SOP.asset_exists issues exactly
+    this shape (rdfx/persistence_systems.py ASK query)."""
+    names, flags = [], []
+    for name, pattern in probes:
+        hit = triple_pattern(triples_ds, **pattern).limit(1)
+        names.append(name)
+        flags.append(1 if len(hit.take(1)) > 0 else 0)
+    return pa.table({"probe": pa.array(names, pa.string()),
+                     "ask": pa.array(flags, pa.int64())})
+
+
+def bind_strlen_bgp(triples_ds, pred: str):
+    """SPARQL BIND expression: ``?s pred ?v . BIND(STRLEN(?v) AS
+    ?len)`` → (subj, v, len). Pure streaming: one vectorized
+    ``utf8_length`` per batch (codepoint semantics, matching DuckDB's
+    LENGTH), no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = batch.column("obj_value")
+        return pa.table({
+            "subj": batch.column("subj"), "v": v,
+            "len": pc.cast(pc.utf8_length(v), pa.int64())})
+
+    return triple_pattern(triples_ds, pred=pred) \
+        .map_batches(fn, batch_format="pyarrow")
