@@ -141,6 +141,16 @@ def _events_in_order_windows(sf_dir: str):
     return events_in_order_windows(sf_dir)
 
 
+def _orders_price_rank(sf_dir: str):
+    """Full-table window ranking: every order's RANK / ROW_NUMBER /
+    NTILE(4) within its priority by quantized price — value-bucket
+    co-location + driver prefix sum over the tiny bucket-count table
+    (exact, including ties; pipelines/rank.py)."""
+    from rdfx_ray.pipelines.rank import orders_price_rank
+
+    return orders_price_rank(sf_dir)
+
+
 def _kg_query_ask(sf_dir: str):
     """ASK over two probes (one true, one false) → (probe, ask 0/1).
     The true branch short-circuits via limit(1); the false branch is a
@@ -601,6 +611,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _win.lineitem_comoments(sf),
         "orders_year_priority_pivot":
             lambda sf: analytics_ext.orders_year_priority_pivot(sf),
+        # distributed full-table window rank (RANK / ROW_NUMBER / NTILE)
+        "orders_price_rank": _orders_price_rank,
         # set operations (INTERSECT / EXCEPT) from one presence fold
         "events_users_intersect":
             lambda sf: analytics_ext.users_type_intersect(sf),
@@ -675,6 +687,7 @@ def oracle_sql() -> dict[str, str]:
     from rdfx_ray.pipelines.rangejoin import (
         EVENTS_IN_ORDER_WINDOWS_SQL as _RANGEJOIN_SQL,
     )
+    from rdfx_ray.pipelines.rank import ORDERS_PRICE_RANK_SQL as _RANK_SQL
     from rdfx_ray.pipelines.analytics import (
         REVENUE_BY_REGION_SQL as _REVENUE_SQL_REF,
         SESSIONIZE_SQL as _SESSIONIZE_SQL_REF,
@@ -873,6 +886,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_comoments": _WIN.LINEITEM_COMOMENTS_SQL,
         "orders_year_priority_pivot":
             _EXT.ORDERS_YEAR_PRIORITY_PIVOT_SQL,
+        "orders_price_rank": _RANK_SQL,
         "events_users_intersect": _EXT.USERS_TYPE_INTERSECT_SQL,
         "events_users_except": _EXT.USERS_TYPE_EXCEPT_SQL,
         "kg_query_ask": """
