@@ -611,6 +611,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _win.lineitem_comoments(sf),
         "orders_year_priority_pivot":
             lambda sf: analytics_ext.orders_year_priority_pivot(sf),
+        "docs_cube_stats":
+            lambda sf: analytics_ext.docs_cube_stats(sf),
         # distributed full-table window rank (RANK / ROW_NUMBER / NTILE)
         "orders_price_rank": _orders_price_rank,
         # set operations (INTERSECT / EXCEPT) from one presence fold
@@ -886,6 +888,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_comoments": _WIN.LINEITEM_COMOMENTS_SQL,
         "orders_year_priority_pivot":
             _EXT.ORDERS_YEAR_PRIORITY_PIVOT_SQL,
+        "docs_cube_stats": _EXT.DOCS_CUBE_SQL,
         "orders_price_rank": _RANK_SQL,
         "events_users_intersect": _EXT.USERS_TYPE_INTERSECT_SQL,
         "events_users_except": _EXT.USERS_TYPE_EXCEPT_SQL,

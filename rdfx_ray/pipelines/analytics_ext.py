@@ -544,19 +544,11 @@ def customers_order_antijoin(sf_dir: str, semi: bool = False,
         batch_format="pyarrow")
 
 
-def docs_rollup_stats(sf_dir: str):
-    """GROUP BY ROLLUP(lang, source): doc count + char sum at three
-    aggregation levels — (lang, source), (lang), () — with NULL
-    marking each rolled-up dimension (the OLAP subtotal shape) →
-    (lang, source, n_docs, sum_chars).
-
-    Only the FINEST level touches the corpus (the usual per-batch
-    partial fold + one distributed groupby); every coarser level is a
-    re-aggregation of that result, which is bounded by the group
-    cardinality (|langs|×|sources|), not the row count — so the
-    rollup adds zero extra passes over the data. The small post-
-    aggregate table folds on the driver (the same bounded collect
-    every aggregate's consumer does)."""
+def _docs_lang_source_finest(sf_dir: str) -> pd.DataFrame:
+    """Finest-level (lang, source) doc count + char sum — the ONE pass
+    over the corpus that every grouping-set level re-aggregates from.
+    Per-batch partial fold + one distributed groupby; the result is
+    bounded by |langs|×|sources|, not the row count."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -570,28 +562,64 @@ def docs_rollup_stats(sf_dir: str):
             ("lang", pa.string()), ("source", pa.string()),
             ("n_docs", pa.int64()), ("sum_chars", pa.int64())]))
 
-    finest = (rd.read_parquet(f"{sf_dir}/documents.parquet",
-                              columns=["lang", "source", "n_chars"])
-              .map_batches(partial, batch_format="pyarrow",
-                           batch_size=65536)
-              .groupby(["lang", "source"])
-              .aggregate(Sum("n_docs", alias_name="n_docs"),
-                         Sum("sum_chars", alias_name="sum_chars"))
-              .to_pandas())
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source", "n_chars"])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536)
+            .groupby(["lang", "source"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("sum_chars", alias_name="sum_chars"))
+            .to_pandas())
 
-    by_lang = (finest.groupby("lang", as_index=False)
-               [["n_docs", "sum_chars"]].sum())
-    by_lang["source"] = None
-    total = pd.DataFrame({
-        "lang": [None], "source": [None],
-        "n_docs": [finest["n_docs"].sum()],
-        "sum_chars": [finest["sum_chars"].sum()]})
-    out = pd.concat([finest, by_lang, total], ignore_index=True)
+
+def _grouping_set_levels(finest: pd.DataFrame, levels) -> pa.Table:
+    """Assemble GROUPING SETS output from the finest aggregate: each
+    level is a re-aggregation of the tiny finest table (driver-side —
+    the same bounded collect every aggregate's consumer does), with
+    NULL marking each rolled-up dimension."""
+    parts = []
+    for keep in levels:
+        if keep == ("lang", "source"):
+            parts.append(finest.copy())
+            continue
+        if keep:
+            lv = (finest.groupby(list(keep), as_index=False)
+                  [["n_docs", "sum_chars"]].sum())
+        else:
+            lv = pd.DataFrame({
+                "n_docs": [finest["n_docs"].sum()],
+                "sum_chars": [finest["sum_chars"].sum()]})
+        for col in ("lang", "source"):
+            if col not in keep:
+                lv[col] = None
+        parts.append(lv)
+    out = pd.concat(parts, ignore_index=True)
     return pa.Table.from_pandas(
         out[["lang", "source", "n_docs", "sum_chars"]],
         preserve_index=False).cast(pa.schema([
             ("lang", pa.string()), ("source", pa.string()),
             ("n_docs", pa.int64()), ("sum_chars", pa.int64())]))
+
+
+def docs_rollup_stats(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source): doc count + char sum at three
+    aggregation levels — (lang, source), (lang), () — with NULL
+    marking each rolled-up dimension (the OLAP subtotal shape) →
+    (lang, source, n_docs, sum_chars). Only the finest level touches
+    the corpus; the rollup adds zero extra passes over the data."""
+    return _grouping_set_levels(
+        _docs_lang_source_finest(sf_dir),
+        [("lang", "source"), ("lang",), ()])
+
+
+def docs_cube_stats(sf_dir: str):
+    """GROUP BY CUBE(lang, source): all four grouping sets —
+    (lang, source), (lang), (source), () — from the same single
+    corpus pass as the rollup (the extra (source) level is one more
+    re-aggregation of the |langs|×|sources|-bounded finest table)."""
+    return _grouping_set_levels(
+        _docs_lang_source_finest(sf_dir),
+        [("lang", "source"), ("lang",), ("source",), ()])
 
 
 DOCS_ROLLUP_SQL = """
@@ -907,4 +935,11 @@ WHERE event_type = 'purchase' AND value >= 150.0
 EXCEPT
 SELECT user_id FROM events
 WHERE event_type = 'click' AND value >= 150.0
+"""
+
+
+DOCS_CUBE_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE(lang, source)
 """

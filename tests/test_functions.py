@@ -728,6 +728,28 @@ def test_rollup_levels_consistent(ray_session):
     assert (cov["n_a"] == 0).any() and (cov["n_b"] == 0).any()
 
 
+def test_cube_is_rollup_plus_source_level(ray_session):
+    """CUBE(lang, source) = ROLLUP(lang, source) ∪ the (source)-only
+    level, and that level's subtotals sum the finest rows."""
+    from rdfx_ray.pipelines.analytics_ext import (
+        docs_cube_stats, docs_rollup_stats)
+
+    SF = "/root/testdata/sf0.001"
+    cube = docs_cube_stats(SF).to_pandas()
+    roll = docs_rollup_stats(SF).to_pandas()
+    key = ["lang", "source", "n_docs", "sum_chars"]
+    cube_set = set(map(tuple, cube[key].fillna("∅").itertuples(index=False)))
+    roll_set = set(map(tuple, roll[key].fillna("∅").itertuples(index=False)))
+    assert roll_set < cube_set
+    extra = cube[cube["lang"].isna() & cube["source"].notna()]
+    assert len(cube) == len(roll) + len(extra)
+    finest = cube[cube["lang"].notna() & cube["source"].notna()]
+    for _, r in extra.iterrows():
+        sub = finest[finest["source"] == r["source"]]
+        assert r["n_docs"] == sub["n_docs"].sum()
+        assert r["sum_chars"] == sub["sum_chars"].sum()
+
+
 def test_model_scoring_actor_and_task_routes_agree(ray_session):
     """The model-scoring stage returns identical scores whether it
     runs as an actor pool or as stateless tasks, and the keep flag is
