@@ -154,13 +154,22 @@ def test_pagerank_routes_agree(ray_session):
                          num_partitions=4).to_pandas()
     # per-round join route (nodes too big for one machine)
     dist_df = pagerank(edges, n_iter=10, broadcast_cutoff_rows=0,
-                       pinned_nodes_cutoff=0,
-                       num_partitions=4).to_pandas()
+                       pinned_nodes_cutoff=0, num_partitions=4,
+                       large_route="join").to_pandas()
+    # Pregel-sharded route (edges AND rank sharded; default above the
+    # pinned cutoff) — float fold order differs, so agreement is
+    # pinned to the 1e-9 quantum rather than bit-exact
+    shard_df = pagerank(edges, n_iter=10, broadcast_cutoff_rows=0,
+                        pinned_nodes_cutoff=0,
+                        large_route="sharded").to_pandas()
 
     for other in (pinned_df, dist_df):
         m = small_df.merge(other, on="node", suffixes=("_s", "_d"))
         assert len(m) == len(small_df) == 500
         assert (m["rank_1e9_s"] == m["rank_1e9_d"]).all()
+    m = small_df.merge(shard_df, on="node", suffixes=("_s", "_d"))
+    assert len(m) == len(small_df) == 500
+    assert (m["rank_1e9_s"] - m["rank_1e9_d"]).abs().max() <= 1
     assert abs(small_df["rank_1e9"].sum() / 1e9 - 1.0) < 1e-6
     # chain edges point N -> N-1: the chain roots (doc_id % 16 == 0)
     # are the sinks and must outrank their chain's first hop
