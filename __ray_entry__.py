@@ -151,6 +151,15 @@ def _orders_price_rank(sf_dir: str):
     return orders_price_rank(sf_dir)
 
 
+def _customer_triangles(sf_dir: str):
+    """Triangle count over the deterministic derived customer chain
+    graph — bucketed wedge generation + distinct-key closing join
+    (functions/graph.py; the clustering-coefficient building block)."""
+    from rdfx_ray.functions.graph import customer_triangles
+
+    return customer_triangles(sf_dir)
+
+
 def _kg_query_ask(sf_dir: str):
     """ASK over two probes (one true, one false) → (probe, ask 0/1).
     The true branch short-circuits via limit(1); the false branch is a
@@ -615,6 +624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: analytics_ext.docs_cube_stats(sf),
         # distributed full-table window rank (RANK / ROW_NUMBER / NTILE)
         "orders_price_rank": _orders_price_rank,
+        # distributed triangle counting (wedge + closing-edge join)
+        "customer_triangles": _customer_triangles,
         # set operations (INTERSECT / EXCEPT) from one presence fold
         "events_users_intersect":
             lambda sf: analytics_ext.users_type_intersect(sf),
@@ -690,6 +701,7 @@ def oracle_sql() -> dict[str, str]:
         EVENTS_IN_ORDER_WINDOWS_SQL as _RANGEJOIN_SQL,
     )
     from rdfx_ray.pipelines.rank import ORDERS_PRICE_RANK_SQL as _RANK_SQL
+    from rdfx_ray.functions.graph import CUSTOMER_TRIANGLES_SQL as _TRI_SQL
     from rdfx_ray.pipelines.analytics import (
         REVENUE_BY_REGION_SQL as _REVENUE_SQL_REF,
         SESSIONIZE_SQL as _SESSIONIZE_SQL_REF,
@@ -890,6 +902,7 @@ def oracle_sql() -> dict[str, str]:
             _EXT.ORDERS_YEAR_PRIORITY_PIVOT_SQL,
         "docs_cube_stats": _EXT.DOCS_CUBE_SQL,
         "orders_price_rank": _RANK_SQL,
+        "customer_triangles": _TRI_SQL,
         "events_users_intersect": _EXT.USERS_TYPE_INTERSECT_SQL,
         "events_users_except": _EXT.USERS_TYPE_EXCEPT_SQL,
         "kg_query_ask": """

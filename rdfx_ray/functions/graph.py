@@ -1,0 +1,161 @@
+"""Distributed triangle counting — the canonical "wedge + closing
+edge" graph analytic (the shape behind clustering coefficients and
+community features).
+
+Algorithm (standard node-iterator with id orientation):
+
+1. edges arrive oriented ``a < b`` (dedup + orientation is the
+   caller's derivation step);
+2. wedge generation co-locates each node's out-neighbour list ONCE
+   via a hash-bucket exchange (``a % B`` — B group calls, never
+   per-singleton-group pandas; the CLAUDE.md map_groups rule) and
+   emits every neighbour pair ``(b, c), b < c`` with vectorized
+   repeat/cumsum combinatorics — no Python loop over nodes;
+3. a distributed hash join of wedges against the edge set on the
+   packed ``(b, c)`` key counts the closed ones. Each closed wedge is
+   exactly one triangle counted exactly once (at its minimum vertex).
+
+Scale notes (custom-operator rule): wedge volume is Σ C(out-deg, 2) —
+bounded here by the derivation's max degree; for power-law graphs the
+standard refinement is degree-ordering (emit wedges at the
+lower-degree endpoint), which drops worst-case volume to O(E^1.5) —
+the orientation hook is ``orient_by_degree`` and slots in front of
+step 2 without changing anything downstream. The packed int64 join
+key requires node ids < 2^31 (asserted); wider graphs would pack into
+two columns and join on both.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_PACK_SHIFT = 31
+
+
+def _pack(b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    assert b.max(initial=0) < (1 << _PACK_SHIFT)
+    assert c.max(initial=0) < (1 << _PACK_SHIFT)
+    return (b.astype(np.int64) << _PACK_SHIFT) | c.astype(np.int64)
+
+
+def triangle_count(edges_ds, n_buckets: int = 32) -> int:
+    """Count triangles in an oriented (a < b, deduplicated) edge
+    Dataset with int64 ``a``/``b`` columns."""
+    from ray.data.aggregate import Sum
+
+    # materialize ONCE: both the wedge branch and the edge-key branch
+    # read the edge set, and any join in its derivation would
+    # otherwise re-execute in each branch — concurrent JoinOperators
+    # starve each other's actor pools on small CPU counts (the
+    # CLAUDE.md stacked-actor-pool deadlock, observed here at 4 cpus)
+    edges_ds = edges_ds.materialize()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_jb", pa.array((a % n_buckets).astype(np.int32), pa.int32()))
+
+    def wedges_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["a"].to_numpy(np.int64)
+        b = g["b"].to_numpy(np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        # neighbour-list offsets per node, then all pairs (i < j)
+        # inside each list via vectorized index arithmetic
+        _, starts, degs = np.unique(a, return_index=True,
+                                    return_counts=True)
+        if not ((degs >= 2).any()):
+            return pd.DataFrame({"wkey": pd.Series([], dtype=np.int64)})
+        # all neighbour pairs per node, vectorized per DEGREE CLASS
+        # (few distinct degrees; every node of degree d shares one
+        # triu_indices template, applied as one broadcast gather)
+        out = []
+        for d in np.unique(degs[degs >= 2]):
+            nodes_d = np.nonzero(degs == d)[0]
+            p_idx, q_idx = np.triu_indices(int(d), k=1)
+            base = starts[nodes_d][:, None]
+            out.append(_pack(b[base + p_idx[None, :]].ravel(),
+                             b[base + q_idx[None, :]].ravel()))
+        return pd.DataFrame({"wkey": np.concatenate(out)})
+
+    wedges = (edges_ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("_jb").map_groups(wedges_bucket,
+                                         batch_format="pandas"))
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        k = _pack(batch.column("a").to_numpy(zero_copy_only=False),
+                  batch.column("b").to_numpy(zero_copy_only=False))
+        return pa.table({"wkey": pa.array(k, pa.int64()),
+                         "_e": pa.array(np.ones(len(k), np.int64),
+                                        pa.int64())})
+
+    ekeys = edges_ds.map_batches(edge_keys, batch_format="pyarrow")
+
+    # closing join: wedge keys ⋈ edge keys. Wedge multiplicity per key
+    # is folded FIRST (partial counts), so the join input is bounded
+    # by distinct keys, not wedge volume.
+    def wedge_partial(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas().groupby("wkey", as_index=False)
+              .size().rename(columns={"size": "n_w"}))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    wcounts = (wedges.map_batches(wedge_partial, batch_format="pyarrow")
+               .groupby("wkey").aggregate(Sum("n_w", alias_name="n_w"))
+               .materialize())
+    closed = wcounts.join(ekeys, "inner", min(n_buckets, 16),
+                          on=("wkey",))
+    total = 0
+    for bt in closed.iter_batches(batch_size=1 << 20,
+                                  batch_format="pyarrow"):
+        total += int(np.sum(bt.column("n_w").to_numpy(
+            zero_copy_only=False)))
+    return total
+
+
+def customer_chain_edges(sf_dir: str):
+    """Deterministic derived graph over the customer table: edges
+    (k, k+1) and (k, k+2) for every pair of EXISTING custkeys — both
+    engines derive the identical set (the asof/rangejoin derivation
+    convention), and every consecutive key triple closes a triangle.
+    Existence of the +1/+2 endpoint is verified with a distributed
+    semi join (native hash join against the key set), not assumed."""
+    import ray.data as rd
+
+    keys = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+
+    def gen(batch: pa.Table) -> pa.Table:
+        k = batch.column("c_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        a = np.concatenate([k, k])
+        b = np.concatenate([k + 1, k + 2])
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    cand = keys.map_batches(gen, batch_format="pyarrow")
+    exist = keys.map_batches(
+        lambda t: t.rename_columns(["_bk"]), batch_format="pyarrow")
+    return (cand.join(exist, "inner", 16, on=("b",), right_on=("_bk",))
+            .select_columns(["a", "b"]))
+
+
+def customer_triangles(sf_dir: str):
+    """Triangle count over the derived customer chain graph →
+    one-row table (n_triangles)."""
+    n = triangle_count(customer_chain_edges(sf_dir))
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
+CUSTOMER_TRIANGLES_SQL = """
+WITH e AS (
+    SELECT c1.c_custkey AS a, c2.c_custkey AS b
+    FROM customer c1
+    JOIN customer c2 ON c2.c_custkey - c1.c_custkey IN (1, 2)
+)
+SELECT COUNT(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+"""

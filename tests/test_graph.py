@@ -1,0 +1,53 @@
+"""Distributed triangle counting tests — DuckDB cross-check at
+sf0.001 plus a dense planted graph where the count is known."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    return ray_session
+
+
+def test_customer_triangles_match_duckdb():
+    import duckdb
+
+    from rdfx_ray.functions.graph import (CUSTOMER_TRIANGLES_SQL,
+                                          customer_triangles)
+
+    got = customer_triangles(SF).to_pandas()["n_triangles"][0]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM "
+                f"'{SF}/customer.parquet'")
+    want = con.execute(CUSTOMER_TRIANGLES_SQL).fetchone()[0]
+    assert got == want
+    assert got > 0  # the derived chain graph really has triangles
+
+
+def test_triangle_count_known_graphs():
+    """K5 has C(5,3)=10 triangles; a square (4-cycle) has none; a
+    high-degree hub exercises the per-degree-class pair generation."""
+    import ray.data as rd
+
+    from rdfx_ray.functions.graph import triangle_count
+
+    def edges_ds(pairs):
+        import pyarrow as pa
+        a = np.array([p[0] for p in pairs], np.int64)
+        b = np.array([p[1] for p in pairs], np.int64)
+        return rd.from_arrow(pa.table({"a": pa.array(a),
+                                       "b": pa.array(b)}))
+
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    assert triangle_count(edges_ds(k5), n_buckets=3) == 10
+
+    square = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    assert triangle_count(edges_ds(square), n_buckets=3) == 0
+
+    # hub 0 connected to 1..30, plus edges (1,2) and (10,11):
+    # exactly the two closed wedges at the hub
+    hub = [(0, j) for j in range(1, 31)] + [(1, 2), (10, 11)]
+    assert triangle_count(edges_ds(hub), n_buckets=4) == 2
