@@ -160,6 +160,16 @@ def _customer_triangles(sf_dir: str):
     return customer_triangles(sf_dir)
 
 
+def _kg_query_path_inverse(sf_dir: str):
+    """SPARQL inverse path ?s ^citation ?o — streaming role swap over
+    the pattern filter (SPARQL 1.1 property-path feature)."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_citation_triples
+    from rdfx_ray.pipelines.query import property_path_inverse
+
+    return property_path_inverse(doc_citation_triples(sf_dir),
+                                 SDO + "citation")
+
+
 def _kg_query_ask(sf_dir: str):
     """ASK over two probes (one true, one false) → (probe, ask 0/1).
     The true branch short-circuits via limit(1); the false branch is a
@@ -561,6 +571,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_query_group_concat": _kg_query_group_concat,
         "kg_query_ask": _kg_query_ask,
         "kg_query_bind": _kg_query_bind,
+        "kg_query_path_inverse": _kg_query_path_inverse,
+        # correlated subquery (decorrelated max-per-group filter)
+        "docs_max_chars_per_lang":
+            lambda sf: analytics_ext.docs_max_chars_per_lang(sf),
+        # ratio-to-report window (share of total)
+        "events_type_share":
+            lambda sf: analytics_ext.events_type_share(sf),
         "kg_query_group_count": _kg_query_group_count,
         "kg_query_filter_expr": _kg_query_filter_expr,
         "kg_query_filter_regex": _kg_query_filter_regex,
@@ -845,6 +862,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT e1.s AS subj, e2.o AS obj
             FROM ({_CITE_SQL}) e1 JOIN ({_CITE_SQL}) e2 ON e1.o = e2.s
         """,
+        "kg_query_path_inverse": f"""
+            SELECT o AS subj, s AS obj FROM ({_CITE_SQL})
+        """,
         "kg_query_path_star": f"""
             {_PATH_PLUS_SQL}
             UNION
@@ -904,6 +924,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_rank": _RANK_SQL,
         "customer_triangles": _TRI_SQL,
         "events_users_intersect": _EXT.USERS_TYPE_INTERSECT_SQL,
+        "docs_max_chars_per_lang": _EXT.DOCS_MAX_CHARS_SQL,
+        "events_type_share": _EXT.EVENTS_TYPE_SHARE_SQL,
         "events_users_except": _EXT.USERS_TYPE_EXCEPT_SQL,
         "kg_query_ask": """
             SELECT 'lang_en' AS probe,

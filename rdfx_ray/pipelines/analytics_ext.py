@@ -943,3 +943,92 @@ SELECT lang, source, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY CUBE(lang, source)
 """
+
+
+def docs_max_chars_per_lang(sf_dir: str):
+    """Correlated-subquery shape: documents whose n_chars equals the
+    MAX within their lang → (subj, lang, n_chars). Two passes over
+    pruned columns: a partial-folded MAX per lang (exchange O(langs)),
+    broadcast as a dict, then a streaming equality filter — the
+    standard decorrelation of `WHERE x = (SELECT MAX(x) ... WHERE
+    grp = outer.grp)` into aggregate + filter."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from ..functions.broadcast import cached_get
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+
+    def partial_max(batch: pa.Table) -> pa.Table:
+        df = (batch.select(["lang", "n_chars"]).to_pandas()
+              .groupby("lang", as_index=False).max())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    maxes = (ds.map_batches(partial_max, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("lang")
+             .aggregate(Max("n_chars", alias_name="n_chars"))
+             .to_pandas())
+    max_ref = ray.put(dict(zip(maxes["lang"], maxes["n_chars"])))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        mx = cached_get(max_ref)
+        df = batch.to_pandas()
+        keep = df["n_chars"].to_numpy() == \
+            df["lang"].map(mx).to_numpy()
+        out = df[keep]
+        return pa.table({
+            "subj": pa.array(["urn:doc:" + str(i)
+                              for i in out["doc_id"]], pa.string()),
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_chars": pa.array(out["n_chars"].to_numpy(np.int64),
+                                pa.int64())})
+
+    return ds.map_batches(filt, batch_format="pyarrow",
+                          batch_size=65536)
+
+
+DOCS_MAX_CHARS_SQL = """
+SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj, lang,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE n_chars = (SELECT MAX(n_chars) FROM documents
+                 WHERE lang = d.lang)
+"""
+
+
+def events_type_share(sf_dir: str):
+    """Ratio-to-report window shape: each event type's count plus the
+    grand total → (event_type, n, total); the share is n/total,
+    derivable exactly from the two integers (floats never hash-match
+    — the CLAUDE.md emission rule). One partial-folded groupby over
+    O(types) keys; the total folds over that tiny result."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas().groupby("event_type", as_index=False)
+              .size().rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby("event_type")
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    counts["total"] = np.int64(counts["n"].sum())
+    counts["n"] = counts["n"].astype(np.int64)
+    return pa.Table.from_pandas(counts[["event_type", "n", "total"]],
+                                preserve_index=False)
+
+
+EVENTS_TYPE_SHARE_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+FROM events GROUP BY event_type
+"""

@@ -1084,3 +1084,18 @@ def bind_strlen_bgp(triples_ds, pred: str):
 
     return triple_pattern(triples_ds, pred=pred) \
         .map_batches(fn, batch_format="pyarrow")
+
+
+def property_path_inverse(triples_ds, pred: str):
+    """SPARQL inverse path: ``?s ^pred ?o`` ≡ ``?o pred ?s`` →
+    (subj, obj) with the roles swapped. Pure streaming: the pattern
+    filter plus a column swap per batch — the inverse of a path is a
+    relabeling, not a different access pattern, so it costs exactly
+    what the forward path costs."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({"subj": batch.column("obj_value"),
+                         "obj": batch.column("subj")})
+
+    return triple_pattern(triples_ds, pred=pred) \
+        .map_batches(fn, batch_format="pyarrow")

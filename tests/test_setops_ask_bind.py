@@ -71,3 +71,43 @@ def test_bind_strlen_matches_duckdb():
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
                                   check_dtype=False)
     assert (got["len"] == got["v"].str.len()).all()
+
+
+def test_path_inverse_is_forward_swapped():
+    from rdfx_ray.functions.doc_triples import SDO, doc_citation_triples
+    from rdfx_ray.pipelines.query import (property_path_inverse,
+                                          triple_pattern)
+
+    inv = property_path_inverse(doc_citation_triples(SF),
+                                SDO + "citation").to_pandas()
+    fwd = triple_pattern(doc_citation_triples(SF),
+                         pred=SDO + "citation").to_pandas()
+    assert set(zip(inv["subj"], inv["obj"])) == \
+        set(zip(fwd["obj_value"], fwd["subj"]))
+    assert len(inv) == len(fwd) > 0
+
+
+def test_subquery_max_matches_duckdb():
+    from rdfx_ray.pipelines.analytics_ext import (DOCS_MAX_CHARS_SQL,
+                                                  docs_max_chars_per_lang)
+
+    got = docs_max_chars_per_lang(SF).to_pandas() \
+        .sort_values("subj").reset_index(drop=True)
+    want = _duck(DOCS_MAX_CHARS_SQL).sort_values("subj") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    # every lang is represented, each row really is its lang's max
+    per_lang = _duck("SELECT lang, MAX(n_chars) AS m FROM documents "
+                     "GROUP BY lang").set_index("lang")["m"]
+    assert set(got["lang"]) == set(per_lang.index)
+    for _, r in got.iterrows():
+        assert r["n_chars"] == per_lang[r["lang"]]
+
+
+def test_type_share_total_consistent():
+    from rdfx_ray.pipelines.analytics_ext import events_type_share
+
+    got = events_type_share(SF).to_pandas()
+    assert (got["total"] == got["n"].sum()).all()
+    assert got["total"].nunique() == 1
