@@ -578,6 +578,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ratio-to-report window (share of total)
         "events_type_share":
             lambda sf: analytics_ext.events_type_share(sf),
+        # MODE per group (deterministic tiebreak)
+        "events_value_mode":
+            lambda sf: analytics_ext.events_value_mode(sf),
+        # funnel analysis (ordered step match per user)
+        "events_funnel":
+            lambda sf: analytics_ext.events_funnel(sf),
         "kg_query_group_count": _kg_query_group_count,
         "kg_query_filter_expr": _kg_query_filter_expr,
         "kg_query_filter_regex": _kg_query_filter_regex,
@@ -926,6 +932,8 @@ def oracle_sql() -> dict[str, str]:
         "events_users_intersect": _EXT.USERS_TYPE_INTERSECT_SQL,
         "docs_max_chars_per_lang": _EXT.DOCS_MAX_CHARS_SQL,
         "events_type_share": _EXT.EVENTS_TYPE_SHARE_SQL,
+        "events_value_mode": _EXT.EVENTS_VALUE_MODE_SQL,
+        "events_funnel": _EXT.EVENTS_FUNNEL_SQL,
         "events_users_except": _EXT.USERS_TYPE_EXCEPT_SQL,
         "kg_query_ask": """
             SELECT 'lang_en' AS probe,

@@ -1032,3 +1032,128 @@ SELECT event_type, COUNT(*) AS n,
        CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
 FROM events GROUP BY event_type
 """
+
+
+def events_value_mode(sf_dir: str):
+    """MODE per group with a deterministic tiebreak: the most frequent
+    integer-quantized value per event type → (event_type, mode_v_1e2,
+    n_mode). Per-batch partial (type, v) counts fold locally; the
+    distinct-value groupby is the only O(distinct) exchange; the
+    argmax over each type's distinct values is a tiny final fold.
+    Ties break toward the SMALLEST value (SQL mode() is
+    tie-nondeterministic, so the oracle pins the same ordering via
+    QUALIFY row_number)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = np.floor(batch.column("value").to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"event_type": batch.column("event_type")
+                           .to_pandas(), "v": q})
+        g = df.groupby(["event_type", "v"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def argmax_fold(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # (n DESC, v ASC) per type — one lexsort + first-occurrence
+        order = np.lexsort((df["v"].to_numpy(),
+                            -df["n"].to_numpy()))
+        s = df.iloc[order]
+        out = s[~s["event_type"].duplicated()]
+        return pa.table({
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "v": pa.array(out["v"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64))})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby(["event_type", "v"])
+              .aggregate(Sum("n", alias_name="n")))
+    # the distinct table is O(types × distinct values); its argmax
+    # folds per-batch then once over batch winners (each batch emits
+    # ≤ |types| rows, so the final repartition(1) input is tiny)
+    return (counts.map_batches(argmax_fold, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(argmax_fold, batch_format="pyarrow")
+            .map_batches(lambda b: b.rename_columns(
+                ["event_type", "mode_v_1e2", "n_mode"]),
+                batch_format="pyarrow"))
+
+
+EVENTS_VALUE_MODE_SQL = """
+WITH c AS (
+    SELECT event_type,
+           CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2)
+SELECT event_type, v AS mode_v_1e2, n AS n_mode
+FROM c
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY n DESC, v ASC) = 1
+"""
+
+
+def events_funnel(sf_dir: str, step_a: str = "click",
+                  step_b: str = "purchase"):
+    """Funnel analysis: per user, did a step_a event precede a step_b
+    event → one row (n_users, n_step_a, n_converted). The ORDERED
+    sequence match reduces to per-user (min ts of a, max ts of b) —
+    both mergeable min/max folds, so one partial-aggregated groupby
+    over O(users) keys decides conversion; no per-user event sorting.
+    Timestamps compare as epoch-µs integers (strict <: a conversion
+    needs step_a strictly before step_b)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    big = np.int64(1 << 62)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        et = batch.column("event_type").to_pandas().to_numpy()
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": uid.astype(np.int64),
+            "min_a": np.where(et == step_a, ts, big),
+            "max_b": np.where(et == step_b, ts, -big)})
+        g = df.groupby("user_id", as_index=False).agg(
+            min_a=("min_a", "min"), max_b=("max_b", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    folded = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby("user_id")
+              .aggregate(Min("min_a", alias_name="min_a"),
+                         Max("max_b", alias_name="max_b"))
+              .to_pandas())
+    has_a = folded["min_a"].to_numpy() < big
+    converted = has_a & (folded["min_a"].to_numpy()
+                         < folded["max_b"].to_numpy())
+    return pa.table({
+        "n_users": pa.array([np.int64(len(folded))]),
+        "n_step_a": pa.array([np.int64(has_a.sum())]),
+        "n_converted": pa.array([np.int64(converted.sum())])})
+
+
+EVENTS_FUNNEL_SQL = """
+WITH f AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               AS min_a,
+           MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS max_b
+    FROM events GROUP BY user_id)
+SELECT COUNT(*) AS n_users,
+       COUNT(min_a) AS n_step_a,
+       CAST(COUNT(*) FILTER (min_a IS NOT NULL AND max_b IS NOT NULL
+                             AND min_a < max_b) AS BIGINT)
+           AS n_converted
+FROM f
+"""

@@ -111,3 +111,25 @@ def test_type_share_total_consistent():
     got = events_type_share(SF).to_pandas()
     assert (got["total"] == got["n"].sum()).all()
     assert got["total"].nunique() == 1
+
+
+def test_mode_and_funnel_match_duckdb():
+    from rdfx_ray.pipelines.analytics_ext import (
+        EVENTS_FUNNEL_SQL, EVENTS_VALUE_MODE_SQL, events_funnel,
+        events_value_mode)
+
+    got = events_value_mode(SF).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    want = _duck(EVENTS_VALUE_MODE_SQL).sort_values("event_type") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+
+    gotf = events_funnel(SF).to_pandas()
+    wantf = _duck(EVENTS_FUNNEL_SQL)
+    pd.testing.assert_frame_equal(gotf[wantf.columns.tolist()], wantf,
+                                  check_dtype=False)
+    # funnel stages only narrow
+    assert (gotf["n_users"] >= gotf["n_step_a"]).all()
+    assert (gotf["n_step_a"] >= gotf["n_converted"]).all()
+    assert gotf["n_converted"][0] > 0
