@@ -584,6 +584,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # funnel analysis (ordered step match per user)
         "events_funnel":
             lambda sf: analytics_ext.events_funnel(sf),
+        # all-pairs cosine histogram (near-dup threshold diagnostic)
+        "embedding_pair_sim_histogram":
+            lambda sf: similarity.pair_sim_histogram(sf),
         "kg_query_group_count": _kg_query_group_count,
         "kg_query_filter_expr": _kg_query_filter_expr,
         "kg_query_filter_regex": _kg_query_filter_regex,
@@ -725,6 +728,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from rdfx_ray.pipelines.rank import ORDERS_PRICE_RANK_SQL as _RANK_SQL
     from rdfx_ray.functions.graph import CUSTOMER_TRIANGLES_SQL as _TRI_SQL
+    from rdfx_ray.functions.similarity import (
+        PAIR_SIM_HISTOGRAM_SQL as _PAIR_HIST_SQL,
+    )
     from rdfx_ray.pipelines.analytics import (
         REVENUE_BY_REGION_SQL as _REVENUE_SQL_REF,
         SESSIONIZE_SQL as _SESSIONIZE_SQL_REF,
@@ -933,6 +939,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_max_chars_per_lang": _EXT.DOCS_MAX_CHARS_SQL,
         "events_type_share": _EXT.EVENTS_TYPE_SHARE_SQL,
         "events_value_mode": _EXT.EVENTS_VALUE_MODE_SQL,
+        "embedding_pair_sim_histogram": _PAIR_HIST_SQL,
         "events_funnel": _EXT.EVENTS_FUNNEL_SQL,
         "events_users_except": _EXT.USERS_TYPE_EXCEPT_SQL,
         "kg_query_ask": """

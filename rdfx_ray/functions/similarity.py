@@ -663,3 +663,93 @@ FROM (SELECT label, unnest(embedding) AS v,
       FROM embeddings)
 GROUP BY label, dim
 """
+
+
+def pair_sim_histogram(sf_dir: str, bucket_q: int = 50_000):
+    """All-pairs cosine-similarity histogram over the embedding corpus
+    → (bucket, n_pairs) with ``bucket = floor(cos_1e6 / bucket_q)`` —
+    the distribution diagnostic a near-dup threshold is tuned against,
+    and the first ALL-PAIRS similarity op with a DuckDB hash-match
+    oracle (the ``cos_1e6`` integer-quantization contract proven by
+    ``brute_topk_quantized``, applied before BOTH the bucketing and
+    the count).
+
+    Distributed shape: the L2-normalized matrix broadcasts once
+    (``ray.put``, object-store-shared per node); each batch computes
+    its rows against the full matrix with one float64 matmul and masks
+    ``j > i`` by vec_id so every unordered pair counts exactly once;
+    per-batch bucket counts fold via bincount and the only exchange is
+    a groupby over O(buckets) keys.
+
+    Scale honesty: pair DIAGNOSTICS are Θ(n²) by definition — this is
+    the sample-scale tool (the corpus here is the embeddings table,
+    already a sample/projection of the document corpus). Production
+    near-dup at 100 TB goes through the IVF/LSH-bucketed candidate
+    paths in ``dedup.py``; the broadcast matrix bounds this operator
+    to corpora whose embeddings fit worker heaps, which is the same
+    bound brute-force ANN already documents."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .broadcast import cached_get
+
+    import pyarrow.parquet as pq
+    all_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    all_ids = np.asarray(all_tbl.column("vec_id").to_pylist(),
+                         dtype=np.int64)
+    mat = np.asarray(all_tbl.column("embedding").to_pylist(),
+                     dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((all_ids, mat))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_all, m_all = cached_get(ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(),
+                         dtype=np.int64)
+        m = np.asarray(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m_all.T                           # (batch, N)
+        q = np.floor(sims * 1_000_000 + 0.5).astype(np.int64)
+        bucket = np.floor_divide(q, bucket_q)
+        keep = ids[:, None] < ids_all[None, :]       # each pair once
+        b = bucket[keep]
+        if len(b) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64())})
+        off = b.min()
+        cnt = np.bincount(b - off)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({
+            "bucket": pa.array(nz + off, pa.int64()),
+            "n_pairs": pa.array(cnt[nz].astype(np.int64), pa.int64())})
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["bucket", "n_pairs"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=1024)
+            .groupby("bucket")
+            .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+            .map_batches(rename, batch_format="pyarrow"))
+
+
+PAIR_SIM_HISTOGRAM_SQL = """
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings),
+p AS (
+    SELECT CAST(FLOOR(CAST(FLOOR(
+               list_cosine_similarity(a.v, b.v)
+               * 1000000 + 0.5) AS BIGINT) / 50000.0) AS BIGINT)
+           AS bucket
+    FROM e a
+    JOIN e b ON a.vec_id < b.vec_id)
+SELECT bucket, COUNT(*) AS n_pairs FROM p GROUP BY bucket
+"""

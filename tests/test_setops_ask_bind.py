@@ -133,3 +133,21 @@ def test_mode_and_funnel_match_duckdb():
     assert (gotf["n_users"] >= gotf["n_step_a"]).all()
     assert (gotf["n_step_a"] >= gotf["n_converted"]).all()
     assert gotf["n_converted"][0] > 0
+
+
+def test_pair_sim_histogram_matches_duckdb():
+    from rdfx_ray.functions.similarity import (PAIR_SIM_HISTOGRAM_SQL,
+                                               pair_sim_histogram)
+
+    got = pair_sim_histogram(SF).to_pandas() \
+        .sort_values("bucket").reset_index(drop=True)
+    want = _duck(PAIR_SIM_HISTOGRAM_SQL, views=("embeddings",)) \
+        .sort_values("bucket").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    # every unordered pair counted exactly once
+    import duckdb
+    con = duckdb.connect()
+    n = con.execute(f"SELECT COUNT(*) FROM "
+                    f"'{SF}/embeddings.parquet'").fetchone()[0]
+    assert got["n_pairs"].sum() == n * (n - 1) // 2
