@@ -584,6 +584,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # funnel analysis (ordered step match per user)
         "events_funnel":
             lambda sf: analytics_ext.events_funnel(sf),
+        # interpolated median as exact 2x integer (percentile_cont)
+        "orders_price_median2x":
+            lambda sf: analytics_ext.orders_price_median2x(sf),
         # all-pairs cosine histogram (near-dup threshold diagnostic)
         "embedding_pair_sim_histogram":
             lambda sf: similarity.pair_sim_histogram(sf),
@@ -941,6 +944,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_mode": _EXT.EVENTS_VALUE_MODE_SQL,
         "embedding_pair_sim_histogram": _PAIR_HIST_SQL,
         "events_funnel": _EXT.EVENTS_FUNNEL_SQL,
+        "orders_price_median2x": _EXT.ORDERS_MEDIAN2X_SQL,
         "events_users_except": _EXT.USERS_TYPE_EXCEPT_SQL,
         "kg_query_ask": """
             SELECT 'lang_en' AS probe,

@@ -1157,3 +1157,71 @@ SELECT COUNT(*) AS n_users,
            AS n_converted
 FROM f
 """
+
+
+def orders_price_median2x(sf_dir: str):
+    """Interpolated median (percentile_cont(0.5)) in EXACT integer
+    form: ``med2x_cents = lower middle + upper middle`` = exactly
+    2 × the interpolated median, with no float midpoint → (priority,
+    med2x_cents, n_orders). Same distributed shape as
+    :func:`grouped_quantiles_distributed`: the shuffle carries one row
+    per distinct (group, value); the two order statistics read off
+    each group's cumulative distinct-value histogram."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column("o_totalprice")
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        df = pd.DataFrame({"o_orderpriority":
+                           batch.column("o_orderpriority").to_pandas(),
+                           "v": cents})
+        g = df.groupby(["o_orderpriority", "v"], as_index=False) \
+            .size().rename(columns={"size": "_n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby(["o_orderpriority", "v"])
+              .aggregate(Sum("_n", alias_name="_n")))
+
+    def med_select(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["v"].to_numpy())
+        vals = g["v"].to_numpy()[order]
+        cum = np.cumsum(g["_n"].to_numpy()[order])
+        n = int(cum[-1])
+        r_lo, r_hi = (n - 1) // 2, n // 2      # 0-based middles
+        v_lo = int(vals[np.searchsorted(cum, r_lo + 1)])
+        v_hi = int(vals[np.searchsorted(cum, r_hi + 1)])
+        return pd.DataFrame({
+            "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+            "med2x_cents": [np.int64(v_lo + v_hi)],
+            "n_orders": [np.int64(n)]})
+
+    return counts.groupby("o_orderpriority").map_groups(
+        med_select, batch_format="pandas")
+
+
+ORDERS_MEDIAN2X_SQL = """
+WITH q AS (
+    SELECT o_orderpriority,
+           CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+    FROM orders),
+r AS (
+    SELECT o_orderpriority, v,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY v) - 1 AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM q)
+SELECT o_orderpriority,
+       CAST(SUM(v * (CASE WHEN n % 2 = 1 THEN 2 ELSE 1 END))
+            AS BIGINT) AS med2x_cents,
+       CAST(MAX(n) AS BIGINT) AS n_orders
+FROM r
+WHERE rn = (n - 1) // 2 OR rn = n // 2
+GROUP BY o_orderpriority
+"""

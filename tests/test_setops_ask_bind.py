@@ -151,3 +151,26 @@ def test_pair_sim_histogram_matches_duckdb():
     n = con.execute(f"SELECT COUNT(*) FROM "
                     f"'{SF}/embeddings.parquet'").fetchone()[0]
     assert got["n_pairs"].sum() == n * (n - 1) // 2
+
+
+def test_median2x_matches_duckdb_and_percentile_cont():
+    from rdfx_ray.pipelines.analytics_ext import (ORDERS_MEDIAN2X_SQL,
+                                                  orders_price_median2x)
+
+    got = orders_price_median2x(SF).to_pandas() \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    want = _duck(ORDERS_MEDIAN2X_SQL, views=("orders",)) \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    # med2x is EXACTLY 2x percentile_cont(0.5) of the quantized values
+    cont = _duck("""
+        WITH q AS (SELECT o_orderpriority,
+                   CAST(FLOOR(o_totalprice*100.0+0.5) AS BIGINT) AS v
+                   FROM orders)
+        SELECT o_orderpriority,
+               2 * percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS m2
+        FROM q GROUP BY 1""", views=("orders",)) \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    assert (got["med2x_cents"].to_numpy().astype(float)
+            == cont["m2"].to_numpy()).all()
