@@ -584,6 +584,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # funnel analysis (ordered step match per user)
         "events_funnel":
             lambda sf: analytics_ext.events_funnel(sf),
+        # cohort retention (first-day cohort x day offset)
+        "events_cohort_retention":
+            lambda sf: analytics_ext.events_cohort_retention(sf),
+        # TPC-H Q3-shaped 3-table top-k revenue pipeline
+        "tpch_q3ish": lambda sf: analytics_ext.tpch_q3ish(sf),
         # interpolated median as exact 2x integer (percentile_cont)
         "orders_price_median2x":
             lambda sf: analytics_ext.orders_price_median2x(sf),
@@ -945,6 +950,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pair_sim_histogram": _PAIR_HIST_SQL,
         "events_funnel": _EXT.EVENTS_FUNNEL_SQL,
         "orders_price_median2x": _EXT.ORDERS_MEDIAN2X_SQL,
+        "events_cohort_retention": _EXT.EVENTS_COHORT_RETENTION_SQL,
+        "tpch_q3ish": _EXT.TPCH_Q3ISH_SQL,
         "events_users_except": _EXT.USERS_TYPE_EXCEPT_SQL,
         "kg_query_ask": """
             SELECT 'lang_en' AS probe,

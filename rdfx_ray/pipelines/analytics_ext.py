@@ -1225,3 +1225,171 @@ FROM r
 WHERE rn = (n - 1) // 2 OR rn = n // 2
 GROUP BY o_orderpriority
 """
+
+
+def events_cohort_retention(sf_dir: str):
+    """Cohort retention: users grouped by their FIRST active day;
+    count distinct users active at each day offset → (cohort_day_us,
+    day_offset, n_users). Two mergeable folds: (1) per-(user, day)
+    batch-local distinct rides the O(users × days-active) groupby;
+    (2) each user's cohort = MIN over their days — derived from the
+    SAME fold output, so the corpus is scanned once. The cohort
+    attach is a broadcast of the (user → first day) table, bounded by
+    |users| (count-gate to a hash join past the broadcast budget —
+    the engine's standard routing rule, noted here because users ≪
+    events always holds for this shape)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.broadcast import cached_get
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    day_us = np.int64(86_400_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        d = (batch.column("ts").to_numpy()
+             .astype("datetime64[D]").astype("datetime64[us]")
+             .astype(np.int64))
+        t = pa.table({
+            "user_id": pa.array(batch.column("user_id")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64), pa.int64()),
+            "day_us": pa.array(d, pa.int64())})
+        return pl.from_arrow(t).unique().to_arrow().cast(t.schema)
+
+    user_days = (ds.map_batches(partial, batch_format="pyarrow",
+                                batch_size=65536)
+                 .groupby(["user_id", "day_us"])
+                 .aggregate(Count(alias_name="_n"))
+                 .select_columns(["user_id", "day_us"])
+                 .materialize())
+
+    cohorts = (user_days.groupby("user_id")
+               .aggregate(Min("day_us", alias_name="cohort_day_us"))
+               .to_pandas())
+    cref = ray.put(pd.Series(
+        cohorts["cohort_day_us"].to_numpy(np.int64),
+        index=cohorts["user_id"].to_numpy(np.int64)))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        cmap = cached_get(cref)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        day = batch.column("day_us").to_numpy(zero_copy_only=False)
+        cd = cmap.loc[uid].to_numpy(np.int64)
+        off = (day - cd) // day_us
+        df = pd.DataFrame({"cohort_day_us": cd, "day_offset": off})
+        g = df.groupby(["cohort_day_us", "day_offset"],
+                       as_index=False).size() \
+            .rename(columns={"size": "n_users"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    return (user_days.map_batches(attach, batch_format="pyarrow")
+            .groupby(["cohort_day_us", "day_offset"])
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+EVENTS_COHORT_RETENTION_SQL = """
+WITH ud AS (
+    SELECT DISTINCT user_id,
+           epoch_us(date_trunc('day', ts)) AS day_us
+    FROM events),
+c AS (SELECT user_id, MIN(day_us) AS cohort_day_us FROM ud
+      GROUP BY user_id)
+SELECT c.cohort_day_us,
+       (ud.day_us - c.cohort_day_us) // 86400000000 AS day_offset,
+       COUNT(*) AS n_users
+FROM ud JOIN c ON ud.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+def tpch_q3ish(sf_dir: str, k: int = 10):
+    """TPC-H Q3-shaped 3-table pipeline: unshipped-revenue top-k —
+    customer('F'-status filter stands in for segment) ⋈ orders ⋈
+    lineitem, revenue = Σ extprice·(1−disc) integer-scaled →
+    (l_orderkey, revenue_1e4, o_orderdate_us) LIMIT k.
+
+    Join strategy per the engine's routing rule: the orders side
+    collapses to (orderkey → date) AFTER its filter; it broadcasts
+    (bounded by the filter's selectivity — count-gate in the general
+    operator, here the filtered dimension is months of one status).
+    Revenue partials fold per batch BEFORE the O(orderkeys) groupby;
+    the top-k sorts the post-aggregate table with the standard
+    (revenue DESC, key ASC) determinism tiebreak."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.broadcast import cached_get
+
+    import pyarrow.parquet as pq
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderdate"],
+        filters=[("o_orderstatus", "=", "F")])
+    okey = orders.column("o_orderkey").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    odate = (orders.column("o_orderdate").to_numpy()
+             .astype("datetime64[us]").astype(np.int64))
+    oref = ray.put(pd.Series(odate, index=okey))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        omap = cached_get(oref)
+        lk = batch.column("l_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # semi-join against the filtered order set (broadcast probe)
+        hit = omap.index.get_indexer(lk)
+        keep = hit >= 0
+        if not keep.any():
+            return pa.table({
+                "l_orderkey": pa.array([], pa.int64()),
+                "revenue_1e4": pa.array([], pa.int64()),
+                "o_orderdate_us": pa.array([], pa.int64())})
+        lk = lk[keep]
+        ep = batch.column("l_extendedprice") \
+            .to_numpy(zero_copy_only=False)[keep]
+        dc = batch.column("l_discount") \
+            .to_numpy(zero_copy_only=False)[keep]
+        # integer revenue: cents × discount-complement basis points
+        rev = (np.floor(ep * 100.0 + 0.5).astype(np.int64)
+               * (100 - np.floor(dc * 100.0 + 0.5).astype(np.int64)))
+        df = pd.DataFrame({
+            "l_orderkey": lk, "revenue_1e4": rev,
+            "o_orderdate_us": omap.to_numpy()[hit[keep]]})
+        g = df.groupby(["l_orderkey", "o_orderdate_us"],
+                       as_index=False).sum()
+        return pa.Table.from_pandas(
+            g[["l_orderkey", "revenue_1e4", "o_orderdate_us"]],
+            preserve_index=False)
+
+    return (li.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(["l_orderkey", "o_orderdate_us"])
+            .aggregate(Sum("revenue_1e4", alias_name="revenue_1e4"))
+            .select_columns(["l_orderkey", "revenue_1e4",
+                             "o_orderdate_us"])
+            .sort(["revenue_1e4", "l_orderkey"],
+                  descending=[True, False])
+            .limit(k))
+
+
+TPCH_Q3ISH_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                * (100 - CAST(FLOOR(l_discount * 100.0 + 0.5)
+                              AS BIGINT))) AS BIGINT) AS revenue_1e4,
+       epoch_us(o_orderdate) AS o_orderdate_us
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_1e4 DESC, l_orderkey
+LIMIT 10
+"""

@@ -174,3 +174,35 @@ def test_median2x_matches_duckdb_and_percentile_cont():
         .sort_values("o_orderpriority").reset_index(drop=True)
     assert (got["med2x_cents"].to_numpy().astype(float)
             == cont["m2"].to_numpy()).all()
+
+
+def test_cohort_retention_matches_duckdb():
+    from rdfx_ray.pipelines.analytics_ext import (
+        EVENTS_COHORT_RETENTION_SQL, events_cohort_retention)
+
+    got = events_cohort_retention(SF).to_pandas() \
+        .sort_values(["cohort_day_us", "day_offset"]) \
+        .reset_index(drop=True)
+    want = _duck(EVENTS_COHORT_RETENTION_SQL) \
+        .sort_values(["cohort_day_us", "day_offset"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    # offset 0 of each cohort counts the whole cohort; retention at
+    # any later offset never exceeds it
+    d0 = got[got["day_offset"] == 0].set_index("cohort_day_us")["n_users"]
+    for _, r in got.iterrows():
+        assert r["n_users"] <= d0[r["cohort_day_us"]]
+    assert (got["day_offset"] >= 0).all()
+
+
+def test_tpch_q3ish_matches_duckdb():
+    from rdfx_ray.pipelines.analytics_ext import (TPCH_Q3ISH_SQL,
+                                                  tpch_q3ish)
+
+    got = tpch_q3ish(SF).to_pandas().reset_index(drop=True)
+    want = _duck(TPCH_Q3ISH_SQL, views=("orders", "lineitem")) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    assert (got["revenue_1e4"].diff().dropna() <= 0).all()
