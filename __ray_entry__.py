@@ -170,6 +170,16 @@ def _kg_query_path_inverse(sf_dir: str):
                                  SDO + "citation")
 
 
+def _kg_query_path_zero_or_one(sf_dir: str):
+    """SPARQL zero-or-one path ?s citation? ?o — one-step pairs plus
+    the zero-length (n, n) set (same term convention as path_star)."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_citation_triples
+    from rdfx_ray.pipelines.query import property_path_zero_or_one
+
+    return property_path_zero_or_one(doc_citation_triples(sf_dir),
+                                     SDO + "citation")
+
+
 def _kg_query_ask(sf_dir: str):
     """ASK over two probes (one true, one false) → (probe, ask 0/1).
     The true branch short-circuits via limit(1); the false branch is a
@@ -572,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_query_ask": _kg_query_ask,
         "kg_query_bind": _kg_query_bind,
         "kg_query_path_inverse": _kg_query_path_inverse,
+        "kg_query_path_zero_or_one": _kg_query_path_zero_or_one,
         # correlated subquery (decorrelated max-per-group filter)
         "docs_max_chars_per_lang":
             lambda sf: analytics_ext.docs_max_chars_per_lang(sf),
@@ -650,6 +661,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _win.events_latest_per_user(sf),
         "events_value_moments":
             lambda sf: _win.events_value_moments(sf),
+        "events_user_rolling":
+            lambda sf: _win.events_user_rolling(sf),
         "lineitem_comoments":
             lambda sf: _win.lineitem_comoments(sf),
         "orders_year_priority_pivot":
@@ -885,6 +898,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_query_path_inverse": f"""
             SELECT o AS subj, s AS obj FROM ({_CITE_SQL})
         """,
+        "kg_query_path_zero_or_one": f"""
+            SELECT s AS subj, o AS obj FROM ({_CITE_SQL})
+            UNION
+            SELECT n AS subj, n AS obj FROM (
+                SELECT s AS n FROM ({_CITE_SQL})
+                UNION
+                SELECT o FROM ({_CITE_SQL}))
+        """,
         "kg_query_path_star": f"""
             {_PATH_PLUS_SQL}
             UNION
@@ -938,6 +959,7 @@ def oracle_sql() -> dict[str, str]:
         "events_latest_per_user": _WIN.EVENTS_LATEST_PER_USER_SQL,
         "events_value_moments": _WIN.EVENTS_VALUE_MOMENTS_SQL,
         "lineitem_comoments": _WIN.LINEITEM_COMOMENTS_SQL,
+        "events_user_rolling": _WIN.EVENTS_USER_ROLLING_SQL,
         "orders_year_priority_pivot":
             _EXT.ORDERS_YEAR_PRIORITY_PIVOT_SQL,
         "docs_cube_stats": _EXT.DOCS_CUBE_SQL,

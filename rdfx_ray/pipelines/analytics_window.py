@@ -335,3 +335,79 @@ SELECT l_returnflag, COUNT(*) AS n,
        CAST(SUM(q * d) AS BIGINT) AS sum_qd_1e6
 FROM q GROUP BY l_returnflag
 """
+
+
+def events_user_rolling(sf_dir: str, frame: int = 3,
+                        n_buckets: int = 32):
+    """Per-KEY row-frame window: for each event, the sum of the SAME
+    user's previous ``frame`` event values (ROWS BETWEEN 3 PRECEDING
+    AND 1 PRECEDING, partitioned by user, ordered by (ts, event_id))
+    → (event_id, user_id, prev3_sum_1e2, n_prev).
+
+    The sessionize partitioning applies: users hash into buckets,
+    each bucket runs ONE vectorized pass — lexsort by (user, ts,
+    event_id), per-user segment boundaries via flag cumsum, frame
+    sums as two cumsum gathers clipped at segment starts. Exact
+    integer arithmetic (values quantized ×100 before the fold); the
+    event_id tiebreak makes equal-timestamp order engine-identical."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "value"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts_us = (batch.column("ts").to_numpy()
+                 .astype("datetime64[us]").astype(np.int64))
+        q = np.floor(batch.column("value")
+                     .to_numpy(zero_copy_only=False) * 100.0
+                     + 0.5).astype(np.int64)
+        return pa.table({
+            "_jb": pa.array((uid % n_buckets).astype(np.int32),
+                            pa.int32()),
+            "user_id": pa.array(uid.astype(np.int64), pa.int64()),
+            "ts_us": pa.array(ts_us, pa.int64()),
+            "event_id": batch.column("event_id"),
+            "q": pa.array(q, pa.int64())})
+
+    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        q = g["q"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, q = uid[order], ts[order], eid[order], q[order]
+        n = len(uid)
+        # segment start index of each row's user run
+        new_seg = np.concatenate([[True], uid[1:] != uid[:-1]])
+        seg_start = np.maximum.accumulate(
+            np.where(new_seg, np.arange(n), -1))
+        pos = np.arange(n)
+        lo = np.maximum(pos - frame, seg_start)  # frame clipped to segment
+        cs = np.concatenate([[0], np.cumsum(q)])
+        prev_sum = cs[pos] - cs[lo]              # rows [lo, pos)
+        n_prev = pos - lo
+        return pd.DataFrame({
+            "event_id": eid, "user_id": uid,
+            "prev3_sum_1e2": prev_sum.astype(np.int64),
+            "n_prev": n_prev.astype(np.int64)})
+
+    return (ds.map_batches(tag, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("_jb").map_groups(roll_bucket,
+                                       batch_format="pandas"))
+
+
+EVENTS_USER_ROLLING_SQL = """
+WITH q AS (
+    SELECT event_id, user_id, ts,
+           CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+    FROM events)
+SELECT event_id, user_id,
+       CAST(COALESCE(SUM(v) OVER w, 0) AS BIGINT) AS prev3_sum_1e2,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_prev
+FROM q
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+"""

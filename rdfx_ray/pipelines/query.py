@@ -1099,3 +1099,32 @@ def property_path_inverse(triples_ds, pred: str):
 
     return triple_pattern(triples_ds, pred=pred) \
         .map_batches(fn, batch_format="pyarrow")
+
+
+def property_path_zero_or_one(triples_ds, pred: str):
+    """SPARQL ``?s pred? ?o`` — the one-step pairs plus the
+    zero-length path (n, n) for every node in the predicate's edge
+    set (same zero-length-term convention as ``property_path_star``,
+    which a plain-SQL oracle can replay; on a loop-free relation the
+    two parts are disjoint, so bag union = set union)."""
+    out_schema = pa.schema([("subj", pa.string()), ("obj", pa.string())])
+
+    def one_step(batch: pa.Table) -> pa.Table:
+        return pa.table({"subj": batch.column("subj"),
+                         "obj": batch.column("obj_value")}) \
+            .cast(out_schema)
+
+    def nodes(batch: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([
+            batch.column("subj").combine_chunks().cast(pa.string()),
+            batch.column("obj_value").combine_chunks().cast(pa.string())])
+        uniq = pc.unique(both)
+        return pa.table({"subj": uniq, "obj": uniq}).cast(out_schema)
+
+    from ray.data.aggregate import Count
+    edges = triple_pattern(triples_ds, pred=pred, obj_kind="iri")
+    one = edges.map_batches(one_step, batch_format="pyarrow")
+    zero = (edges.map_batches(nodes, batch_format="pyarrow")
+            .groupby(["subj", "obj"]).aggregate(Count(alias_name="_n"))
+            .select_columns(["subj", "obj"]))
+    return one.union(zero)

@@ -147,3 +147,24 @@ def test_year_priority_pivot_matches_duckdb():
     wide = got[["n_urgent", "n_high", "n_medium", "n_notspec",
                 "n_low"]].sum(axis=1).to_numpy()
     assert (wide == n_by_year["n"].to_numpy()).all()
+
+
+def test_user_rolling_matches_duckdb_and_bucket_invariant():
+    from rdfx_ray.pipelines.analytics_window import (
+        EVENTS_USER_ROLLING_SQL, events_user_rolling)
+
+    got = events_user_rolling(SF).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want = _duck(EVENTS_USER_ROLLING_SQL) \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    # frame caps at 3 previous rows; each user's first event has none
+    assert got["n_prev"].max() == 3
+    firsts = got.groupby("user_id")["n_prev"].min()
+    assert (firsts == 0).all()
+    # bucket count is an execution knob
+    b = events_user_rolling(SF, n_buckets=5).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), b.reset_index(drop=True))
