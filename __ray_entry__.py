@@ -202,6 +202,14 @@ def _kg_query_bind(sf_dir: str):
     return bind_strlen_bgp(doc_triples(sf_dir), SDO + "isBasedOn")
 
 
+def _events_user_counts_cms(sf_dir: str):
+    """Count-Min sketch estimated counts for the exact top-20 users
+    (mergeable frequency sketch; approximate -> rows-only, overcount
+    +epsilon*N bound pinned by tests)."""
+    from rdfx_ray.functions.sketch import events_user_counts_cms
+    return events_user_counts_cms(sf_dir)
+
+
 def _events_hll_users(sf_dir: str):
     """HyperLogLog distinct-user estimate per event type (mergeable
     sketch; approximate → rows-only check, error pinned by tests)."""
@@ -650,6 +658,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_quantiles_tdigest": _orders_quantiles_tdigest,
         "events_asof_orders": _events_asof_orders,
         "events_hll_users": _events_hll_users,
+        # Count-Min sketch frequency estimates (rows-only; overcount
+        # bound pinned by tests)
+        "events_user_counts_cms": _events_user_counts_cms,
         # range (interval) join: events into derived per-order windows
         "events_in_order_windows": _events_in_order_windows,
         # window family: histogram / moving frame / argmax / moments

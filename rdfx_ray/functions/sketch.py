@@ -356,3 +356,78 @@ def events_hll_users(sf_dir: str, p: int = 12):
     rows.append({"event_type": "__all__",
                  "approx_users": int(round(_estimate(overall, p)))})
     return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — mergeable frequency estimation
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+
+
+def _cms_rows(values: np.ndarray, width: int) -> np.ndarray:
+    """Row-per-depth bucket indices via the bloom filter's double-
+    hashing family (h1 + i·h2 mod width over one splitmix64 pass) —
+    deterministic in every process, no per-value Python. (pandas
+    hash_array ignores hash_key for integer dtypes, so a seed-per-row
+    scheme built on it would silently collapse all rows to one.)"""
+    return _bloom_hashes(values, width, CMS_DEPTH)
+
+
+def cms_build(ds, column: str, width: int = 1 << 14) -> np.ndarray:
+    """Count-Min sketch over one column: a (depth × width) int64
+    counter grid. Per-batch partials are full grids built with one
+    bincount per row; the merge is elementwise SUM — associative and
+    commutative like every sketch here, so partials fold in any order
+    (driver fold over depth×width ints; tree reduce at cluster
+    scale). Estimates overcount only (min over rows bounds the error
+    by ε·N with ε ≈ e/width)."""
+    import pyarrow as pa
+
+    depth = CMS_DEPTH
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(column).to_numpy(zero_copy_only=False)
+        rows = _cms_rows(vals, width)
+        grid = np.zeros((depth, width), dtype=np.int64)
+        for r in range(depth):
+            cnt = np.bincount(rows[r], minlength=width)
+            grid[r] = cnt
+        return pa.table({"grid": pa.array([grid.tobytes()],
+                                          pa.binary())})
+
+    grid = np.zeros((depth, width), dtype=np.int64)
+    for bt in (ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536)
+               .iter_batches(batch_size=256, batch_format="pyarrow")):
+        for buf in bt.column("grid").to_pylist():
+            grid += np.frombuffer(buf, dtype=np.int64) \
+                .reshape(depth, width)
+    return grid
+
+
+def cms_estimate(grid: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Point-frequency estimates: min over the depth rows."""
+    width = grid.shape[1]
+    rows = _cms_rows(values, width)
+    ests = np.stack([grid[r, rows[r]] for r in range(CMS_DEPTH)])
+    return ests.min(axis=0)
+
+
+def events_user_counts_cms(sf_dir: str, width: int = 1 << 14):
+    """Count-Min estimated event counts for the exact top-20 users →
+    (user_id, est_n). Approximate by design (overcount-only) → no SQL
+    hash oracle; the test pins est ≥ exact and the ε·N bound."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+    grid = cms_build(ds, "user_id", width=width)
+
+    from ..pipelines.analytics_ext import events_topk_users
+    top = events_topk_users(sf_dir, k=20).to_pandas()
+    est = cms_estimate(grid, top["user_id"].to_numpy(np.int64))
+    return pa.table({
+        "user_id": pa.array(top["user_id"].to_numpy(np.int64),
+                            pa.int64()),
+        "est_n": pa.array(est.astype(np.int64), pa.int64())})

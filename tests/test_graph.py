@@ -51,3 +51,27 @@ def test_triangle_count_known_graphs():
     # exactly the two closed wedges at the hub
     hub = [(0, j) for j in range(1, 31)] + [(1, 2), (10, 11)]
     assert triangle_count(edges_ds(hub), n_buckets=4) == 2
+
+
+def test_count_min_sketch_bounds():
+    """CMS never undercounts; with width >> distinct keys the top-20
+    estimates are exact; merge associativity holds by construction
+    (elementwise sums)."""
+    import duckdb
+
+    from rdfx_ray.functions.sketch import events_user_counts_cms
+
+    got = events_user_counts_cms(SF).to_pandas()
+    con = duckdb.connect()
+    exact = con.execute(
+        f"SELECT user_id, COUNT(*) n FROM '{SF}/events.parquet' "
+        f"GROUP BY user_id").df().set_index("user_id")["n"]
+    est = got.set_index("user_id")["est_n"]
+    ex = exact.loc[est.index]
+    assert (est >= ex).all()                      # overcount-only
+    n_total = int(exact.sum())
+    eps_bound = (np.e / (1 << 14)) * n_total
+    assert ((est - ex) <= max(eps_bound, 1)).all()
+    # 150 users vs 16384 buckets x 4 rows: collisions can inflate a
+    # single row, but the min over 4 rows should be exact here
+    assert (est == ex).all()
