@@ -674,6 +674,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _win.events_value_moments(sf),
         "events_user_rolling":
             lambda sf: _win.events_user_rolling(sf),
+        # semi-structured: JSON field extraction + aggregate
+        "events_props_k_stats":
+            lambda sf: _win.events_props_k_stats(sf),
+        # sequence transitions (categorical LAG -> Markov counts)
+        "events_type_transitions":
+            lambda sf: _win.events_type_transitions(sf),
         "lineitem_comoments":
             lambda sf: _win.lineitem_comoments(sf),
         "orders_year_priority_pivot":
@@ -971,6 +977,8 @@ def oracle_sql() -> dict[str, str]:
         "events_value_moments": _WIN.EVENTS_VALUE_MOMENTS_SQL,
         "lineitem_comoments": _WIN.LINEITEM_COMOMENTS_SQL,
         "events_user_rolling": _WIN.EVENTS_USER_ROLLING_SQL,
+        "events_props_k_stats": _WIN.EVENTS_PROPS_K_STATS_SQL,
+        "events_type_transitions": _WIN.EVENTS_TYPE_TRANSITIONS_SQL,
         "orders_year_priority_pivot":
             _EXT.ORDERS_YEAR_PRIORITY_PIVOT_SQL,
         "docs_cube_stats": _EXT.DOCS_CUBE_SQL,

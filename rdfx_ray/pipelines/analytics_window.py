@@ -411,3 +411,121 @@ FROM q
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
 """
+
+
+def events_props_k_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` out of the
+    JSON ``props`` column and aggregate per event type →
+    (event_type, n_with_k, sum_k, min_k, max_k). The extraction is
+    one vectorized RE2 ``extract_regex`` per batch — the same engine
+    DuckDB's ``regexp_extract`` uses, so both sides parse identically
+    (the filter_regex_bgp discipline applied to JSON-ish payloads;
+    rows without a ``k`` drop out on both sides). Stats fold as
+    integers through one O(types) groupby."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch.column("props"),
+                               pattern=r'"k": (?P<k>\d+)')
+        valid = pc.is_valid(ext)
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "k": k.to_pandas()})
+        df = df[valid.to_pandas().to_numpy()]
+        g = df.groupby("event_type", as_index=False).agg(
+            n_with_k=("k", "size"), sum_k=("k", "sum"),
+            min_k=("k", "min"), max_k=("k", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cols = ["event_type", "n_with_k", "sum_k", "min_k", "max_k"]
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("event_type")
+            .aggregate(Sum("n_with_k", alias_name="n_with_k"),
+                       Sum("sum_k", alias_name="sum_k"),
+                       Min("min_k", alias_name="min_k"),
+                       Max("max_k", alias_name="max_k"))
+            .map_batches(lambda b: b.select(cols),
+                         batch_format="pyarrow"))
+
+
+EVENTS_PROPS_K_STATS_SQL = """
+WITH e AS (
+    SELECT event_type,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+    FROM events
+    WHERE regexp_extract(props, '"k": (\\d+)', 1) != '')
+SELECT event_type, COUNT(*) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM e GROUP BY event_type
+"""
+
+
+def events_type_transitions(sf_dir: str, n_buckets: int = 32):
+    """Event-sequence transition counts: for each user's events in
+    (ts, event_id) order, count (previous type → type) pairs →
+    (from_type, to_type, n) — the Markov-transition feature a
+    sequence model trains on, and the LAG window applied to a
+    categorical column. Same bucketed one-pass shape as
+    events_user_rolling: lexsort per bucket, shift-compare within
+    user segments, vectorized pair counting."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts_us = (batch.column("ts").to_numpy()
+                 .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "_jb": pa.array((uid % n_buckets).astype(np.int32),
+                            pa.int32()),
+            "user_id": pa.array(uid.astype(np.int64), pa.int64()),
+            "ts_us": pa.array(ts_us, pa.int64()),
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type")})
+
+    def trans_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, et = uid[order], et[order]
+        same_user = uid[1:] == uid[:-1]
+        df = pd.DataFrame({"from_type": et[:-1][same_user],
+                           "to_type": et[1:][same_user]})
+        out = df.groupby(["from_type", "to_type"],
+                         as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return out
+
+    return (ds.map_batches(tag, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("_jb").map_groups(trans_bucket,
+                                       batch_format="pandas")
+            .groupby(["from_type", "to_type"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+EVENTS_TYPE_TRANSITIONS_SQL = """
+WITH s AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events)
+SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""

@@ -168,3 +168,27 @@ def test_user_rolling_matches_duckdb_and_bucket_invariant():
         .sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_props_extraction_and_transitions_match_duckdb():
+    from rdfx_ray.pipelines.analytics_window import (
+        EVENTS_PROPS_K_STATS_SQL, EVENTS_TYPE_TRANSITIONS_SQL,
+        events_props_k_stats, events_type_transitions)
+
+    got = events_props_k_stats(SF).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    want = _duck(EVENTS_PROPS_K_STATS_SQL) \
+        .sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+
+    gt = events_type_transitions(SF).to_pandas() \
+        .sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    wt = _duck(EVENTS_TYPE_TRANSITIONS_SQL) \
+        .sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(gt[wt.columns.tolist()], wt,
+                                  check_dtype=False)
+    # transition-count identity: total transitions = events - users
+    n_ev = _duck("SELECT COUNT(*) n FROM events")["n"][0]
+    n_us = _duck("SELECT COUNT(DISTINCT user_id) n FROM events")["n"][0]
+    assert gt["n"].sum() == n_ev - n_us
