@@ -529,3 +529,44 @@ SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
 FROM s WHERE prev_type IS NOT NULL
 GROUP BY 1, 2
 """
+
+
+def events_hourly_active_users(sf_dir: str):
+    """COUNT(DISTINCT) inside a time window — hourly active users →
+    (hour_us, n_users). The distinct rides the engine's two-stage
+    discipline: batch-local (hour, user) unique first (so the distinct
+    shuffle carries at most one row per (batch, hour, user)), then the
+    distinct groupby, then an O(hours) count fold. Hour keys emit as
+    epoch-µs BIGINT (the timestamp hash rule)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        hour = (batch.column("ts").to_numpy()
+                .astype("datetime64[h]").astype("datetime64[us]")
+                .astype(np.int64))
+        t = pa.table({
+            "hour_us": pa.array(hour, pa.int64()),
+            "user_id": pa.array(batch.column("user_id")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64), pa.int64())})
+        return pl.from_arrow(t).unique().to_arrow().cast(t.schema)
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(["hour_us", "user_id"])
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["hour_us", "user_id"])
+            .groupby("hour_us")
+            .aggregate(Count(alias_name="n_users")))
+
+
+EVENTS_HOURLY_ACTIVE_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""

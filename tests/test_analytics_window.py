@@ -192,3 +192,17 @@ def test_props_extraction_and_transitions_match_duckdb():
     n_ev = _duck("SELECT COUNT(*) n FROM events")["n"][0]
     n_us = _duck("SELECT COUNT(DISTINCT user_id) n FROM events")["n"][0]
     assert gt["n"].sum() == n_ev - n_us
+
+
+def test_hourly_active_users_matches_duckdb():
+    from rdfx_ray.pipelines.analytics_window import (
+        EVENTS_HOURLY_ACTIVE_SQL, events_hourly_active_users)
+
+    got = events_hourly_active_users(SF).to_pandas() \
+        .sort_values("hour_us").reset_index(drop=True)
+    want = _duck(EVENTS_HOURLY_ACTIVE_SQL) \
+        .sort_values("hour_us").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    n_users = _duck("SELECT COUNT(DISTINCT user_id) n FROM events")["n"][0]
+    assert got["n_users"].max() <= n_users
