@@ -180,6 +180,23 @@ def _kg_query_path_zero_or_one(sf_dir: str):
                                      SDO + "citation")
 
 
+def _kg_query_graph_scoped(sf_dir: str):
+    """SPARQL GRAPH clause: predicate counts scoped to ONE named
+    graph (GRAPH <urn:graph:3> { ?s ?p ?o }) — the graph_iri column
+    is a first-class pattern dimension, so scoping is the same
+    vectorized filter as any pattern leg."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    from rdfx_ray.functions.doc_triples import doc_triples
+    from rdfx_ray.pipelines.query import triple_pattern
+
+    return (triple_pattern(doc_triples(sf_dir),
+                           graph_iri="urn:graph:3")
+            .groupby("pred").aggregate(Count(alias_name="n")))
+
+
 def _kg_query_ask(sf_dir: str):
     """ASK over two probes (one true, one false) → (probe, ask 0/1).
     The true branch short-circuits via limit(1); the false branch is a
@@ -591,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_query_bind": _kg_query_bind,
         "kg_query_path_inverse": _kg_query_path_inverse,
         "kg_query_path_zero_or_one": _kg_query_path_zero_or_one,
+        "kg_query_graph_scoped": _kg_query_graph_scoped,
         # correlated subquery (decorrelated max-per-group filter)
         "docs_max_chars_per_lang":
             lambda sf: analytics_ext.docs_max_chars_per_lang(sf),
@@ -1008,6 +1026,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN EXISTS (SELECT 1 FROM documents
                                           WHERE lang = 'zz')
                         THEN 1 ELSE 0 END AS BIGINT)
+        """,
+        "kg_query_graph_scoped": f"""
+            SELECT pred, COUNT(*) AS n
+            FROM ({DOC_TRIPLES_SQL})
+            WHERE graph_iri = 'urn:graph:3'
+            GROUP BY pred
         """,
         "kg_query_bind": """
             SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj,
