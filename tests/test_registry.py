@@ -1,0 +1,67 @@
+"""Driver-contract registry guards — catch registration drift without
+running any pipeline: every query is either SQL-oracled or on the
+explicit rows-only list (each with a documented reason), and every
+oracle SQL parses in DuckDB against the driver's view set."""
+
+import importlib.util
+
+# rows-only queries and why no ANSI-SQL oracle exists for them
+ROWS_ONLY = {
+    "ann_brute_topk": "float32 ranking (quantized twin is oracled)",
+    "ann_ivf_topk": "approximate (recall + full-probe==brute pinned)",
+    "ann_lsh_topk": "approximate (full-ball==brute pinned)",
+    "corpus_decontaminate_hashed": "uint64 rolling hash (string twin oracled)",
+    "dedup_corpus": "composition incl. LSH candidates",
+    "dedup_embedding_pairs": "IVF bucketing not SQL-expressible",
+    "dedup_minhash_pairs": "minhash signatures not SQL-expressible",
+    "dedup_simhash_pairs": "siphash bit folds not SQL-expressible",
+    "events_hll_users": "approximate sketch (error bound pinned)",
+    "events_user_counts_cms": "approximate sketch (overcount bound pinned)",
+    "kg_citation_pagerank": "iterative float (3+1 routes cross-pinned)",
+    "kg_convert_roundtrip": "format round-trip, no tabular oracle",
+    "kg_distributed_merge": "NT-line output of the merge verb",
+    "kg_extract_triples": "full KG pipeline (invariant + P/R pinned)",
+    "kg_media_features": "md5-derived fake decode (stub declared)",
+    "kg_media_frames": "md5-derived fake decode (stub declared)",
+    "kg_media_thumbnails": "md5-derived fake decode (stub declared)",
+    "kg_span_invariant": "pipeline invariant checker",
+    "orders_price_quantiles_tdigest": "approximate (<=1% error pinned)",
+    "text_winnow_fingerprints": "rolling hash not SQL-expressible",
+}
+
+
+def _entry():
+    spec = importlib.util.spec_from_file_location(
+        "e", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_every_query_oracled_or_documented_rows_only():
+    m = _entry()
+    q, o = set(m.queries()), set(m.oracle_sql())
+    assert o <= q, f"oracle without query: {sorted(o - q)}"
+    rows_only = q - o
+    undocumented = rows_only - set(ROWS_ONLY)
+    assert not undocumented, f"rows-only without reason: {sorted(undocumented)}"
+    stale = set(ROWS_ONLY) - rows_only
+    assert not stale, f"stale rows-only entries: {sorted(stale)}"
+
+
+def test_every_oracle_sql_parses_in_duckdb():
+    import duckdb
+
+    m = _entry()
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for v in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"):
+        con.execute(f"CREATE VIEW {v} AS SELECT * FROM "
+                    f"'{sf}/{v}.parquet'")
+    for name, sql in m.oracle_sql().items():
+        try:
+            con.execute(f"SELECT * FROM ({sql}) LIMIT 0")
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"{name}: oracle SQL invalid: {e}")
