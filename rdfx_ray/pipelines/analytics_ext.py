@@ -1393,3 +1393,105 @@ GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue_1e4 DESC, l_orderkey
 LIMIT 10
 """
+
+
+def brand_revenue(sf_dir: str, broadcast_cutoff_rows: int = 2_000_000):
+    """Revenue per part brand: lineitem ⋈ part on partkey →
+    (p_brand, n_items, revenue_1e4). Count-gated like every join plan
+    here — the EXACT part count decides: under the cutoff the
+    (partkey → brand) map broadcasts (ray.put once, per-worker cache)
+    and the whole join is a vectorized indexer probe inside the fact
+    scan; above it the fact side's per-batch revenue fold feeds Ray's
+    native hash join against the dimension, and the brand aggregate
+    runs post-join. Both routes fold revenue BEFORE the O(brands)
+    exchange and emit identical integers (the q3ish cents ×
+    discount-complement basis points form)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.broadcast import cached_get
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    n_parts = part.count()
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def rev_arrays(batch: pa.Table):
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ep = batch.column("l_extendedprice") \
+            .to_numpy(zero_copy_only=False)
+        dc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = (np.floor(ep * 100.0 + 0.5).astype(np.int64)
+               * (100 - np.floor(dc * 100.0 + 0.5).astype(np.int64)))
+        return pk, rev
+
+    agg = (Sum("revenue_1e4", alias_name="revenue_1e4"),
+           Sum("n_items", alias_name="n_items"))
+    cols = ["p_brand", "n_items", "revenue_1e4"]
+
+    if n_parts <= broadcast_cutoff_rows:
+        import pyarrow.parquet as pq
+        pt = pq.read_table(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+        bmap = pd.Series(pt.column("p_brand").to_pandas().to_numpy(),
+                         index=pt.column("p_partkey").to_numpy())
+        bref = ray.put(bmap)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            bm = cached_get(bref)
+            pk, rev = rev_arrays(batch)
+            idx = bm.index.get_indexer(pk)
+            keep = idx >= 0
+            df = pd.DataFrame({
+                "p_brand": bm.to_numpy()[idx[keep]],
+                "revenue_1e4": rev[keep]})
+            g = df.groupby("p_brand", as_index=False).agg(
+                n_items=("revenue_1e4", "size"),
+                revenue_1e4=("revenue_1e4", "sum"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return (li.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536)
+                .groupby("p_brand").aggregate(*agg)
+                .map_batches(lambda b: b.select(cols),
+                             batch_format="pyarrow"))
+
+    # large dimension: pre-fold revenue per (batch, partkey), then the
+    # native hash join moves one row per distinct (batch, partkey)
+    def fact_partial(batch: pa.Table) -> pa.Table:
+        pk, rev = rev_arrays(batch)
+        df = pd.DataFrame({"l_partkey": pk, "revenue_1e4": rev})
+        g = df.groupby("l_partkey", as_index=False).agg(
+            n_items=("revenue_1e4", "size"),
+            revenue_1e4=("revenue_1e4", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    folded = li.map_batches(fact_partial, batch_format="pyarrow",
+                            batch_size=65536)
+    joined = folded.join(part, "inner", 16, on=("l_partkey",),
+                         right_on=("p_partkey",))
+
+    def brand_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["p_brand", "n_items", "revenue_1e4"]) \
+            .to_pandas()
+        g = df.groupby("p_brand", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (joined.map_batches(brand_partial, batch_format="pyarrow")
+            .groupby("p_brand").aggregate(*agg)
+            .map_batches(lambda b: b.select(cols),
+                         batch_format="pyarrow"))
+
+
+BRAND_REVENUE_SQL = """
+SELECT p_brand, COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                * (100 - CAST(FLOOR(l_discount * 100.0 + 0.5)
+                              AS BIGINT))) AS BIGINT) AS revenue_1e4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""

@@ -206,3 +206,20 @@ def test_tpch_q3ish_matches_duckdb():
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
                                   check_dtype=False)
     assert (got["revenue_1e4"].diff().dropna() <= 0).all()
+
+
+def test_brand_revenue_routes_agree():
+    """Broadcast and hash-join routes produce identical brand revenue
+    (the count gate is an execution knob, not a semantic one)."""
+    from rdfx_ray.pipelines.analytics_ext import (BRAND_REVENUE_SQL,
+                                                  brand_revenue)
+
+    bc = brand_revenue(SF).to_pandas() \
+        .sort_values("p_brand").reset_index(drop=True)
+    hj = brand_revenue(SF, broadcast_cutoff_rows=0).to_pandas() \
+        .sort_values("p_brand").reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, hj)
+    want = _duck(BRAND_REVENUE_SQL, views=("lineitem", "part")) \
+        .sort_values("p_brand").reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc[want.columns.tolist()], want,
+                                  check_dtype=False)
