@@ -621,6 +621,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # funnel analysis (ordered step match per user)
         "events_funnel":
             lambda sf: analytics_ext.events_funnel(sf),
+        # referential-integrity data-quality check
+        "orders_lineitem_integrity":
+            lambda sf: analytics_ext.orders_lineitem_integrity(sf),
         # part-dimension join: revenue per brand (count-gated routes)
         "brand_revenue": lambda sf: analytics_ext.brand_revenue(sf),
         # cohort retention (first-day cohort x day offset)
@@ -1016,6 +1019,8 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _EXT.EVENTS_FUNNEL_SQL,
         "orders_price_median2x": _EXT.ORDERS_MEDIAN2X_SQL,
         "brand_revenue": _EXT.BRAND_REVENUE_SQL,
+        "orders_lineitem_integrity":
+            _EXT.ORDERS_LINEITEM_INTEGRITY_SQL,
         "events_cohort_retention": _EXT.EVENTS_COHORT_RETENTION_SQL,
         "tpch_q3ish": _EXT.TPCH_Q3ISH_SQL,
         "events_users_except": _EXT.USERS_TYPE_EXCEPT_SQL,

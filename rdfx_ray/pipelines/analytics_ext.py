@@ -1495,3 +1495,69 @@ SELECT p_brand, COUNT(*) AS n_items,
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """
+
+
+def orders_lineitem_integrity(sf_dir: str):
+    """Referential-integrity check — the data-quality operator every
+    ingest pipeline runs before training: → one row
+    (n_lineitems, n_orders, n_orphan_lineitems, n_childless_orders).
+    Both directions come from ONE distinct-key exchange per side:
+    lineitem compresses to distinct orderkeys (batch-local unique +
+    the distinct groupby), orders contributes its key set, and the
+    full-outer overlap fold is O(distinct keys). Raw row counts ride
+    streaming count() passes over pruned single-column reads."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"])
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey"])
+    n_li = li.count()
+    n_od = od.count()
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        t = batch.rename_columns(["k"])
+        return pl.from_arrow(t).unique().to_arrow().cast(t.schema)
+
+    li_keys = (li.map_batches(local_distinct, batch_format="pyarrow",
+                              batch_size=65536)
+               .groupby("k").aggregate(Count(alias_name="_n"))
+               .select_columns(["k"])
+               .map_batches(lambda b: b.append_column(
+                   "side", pa.array(np.full(b.num_rows, 1, np.int64))),
+                   batch_format="pyarrow"))
+    od_keys = od.map_batches(
+        lambda b: pa.table({
+            "k": b.column("o_orderkey"),
+            "side": pa.array(np.full(b.num_rows, 2, np.int64))}),
+        batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+    overlap = (li_keys.union(od_keys)
+               .groupby("k").aggregate(Sum("side", alias_name="s")))
+
+    orphans = childless = 0
+    for bt in overlap.iter_batches(batch_size=1 << 20,
+                                   batch_format="pyarrow"):
+        s = bt.column("s").to_numpy(zero_copy_only=False)
+        orphans += int((s == 1).sum())    # lineitem key, no order
+        childless += int((s == 2).sum())  # order key, no lineitem
+    return pa.table({
+        "n_lineitems": pa.array([np.int64(n_li)]),
+        "n_orders": pa.array([np.int64(n_od)]),
+        "n_orphan_lineitems": pa.array([np.int64(orphans)]),
+        "n_childless_orders": pa.array([np.int64(childless)])})
+
+
+ORDERS_LINEITEM_INTEGRITY_SQL = """
+SELECT (SELECT COUNT(*) FROM lineitem) AS n_lineitems,
+       (SELECT COUNT(*) FROM orders) AS n_orders,
+       (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+           AS n_orphan_lineitems,
+       (SELECT COUNT(*) FROM orders
+        WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))
+           AS n_childless_orders
+"""
