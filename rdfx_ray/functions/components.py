@@ -525,6 +525,8 @@ def pagerank_sharded(edges_ds, damping: float = 0.85, n_iter: int = 20,
             deterministic) and update owned ranks."""
             contrib = np.zeros(len(self.nodes))
             for part in ray.get(list(incoming_refs)):
+                if isinstance(part, list):   # P == 1: num_returns=1
+                    part = part[0]           # returns the whole list
                 pos, vals = part
                 if len(pos):
                     np.add.at(contrib, pos, vals)
@@ -552,9 +554,13 @@ def pagerank_sharded(edges_ds, damping: float = 0.85, n_iter: int = 20,
 
     pending = []
     for block in edges_ds.to_arrow_refs():
-        subs = split_block.options(num_returns=P).remote(block, P)
         if P == 1:
-            subs = [subs]
+            # single shard owns everything — no split task (with
+            # num_returns=1 the returned LIST would itself be the one
+            # value, handing add_edges a list instead of a table)
+            pending.append(shards[0].add_edges.remote(block))
+            continue
+        subs = split_block.options(num_returns=P).remote(block, P)
         for j in range(P):
             pending.append(shards[j].add_edges.remote(subs[j]))
     ray.get(pending)
@@ -562,7 +568,13 @@ def pagerank_sharded(edges_ds, damping: float = 0.85, n_iter: int = 20,
     # node registration: each shard's distinct dsts go to their owners
     per_owner = [s.build.options(num_returns=P).remote() for s in shards]
     if P == 1:
-        per_owner = [[r] for r in per_owner]
+        # num_returns=1 makes the returned LIST the single value;
+        # unwrap its only element so downstream sees an array ref
+        @ray.remote
+        def _first(lst):
+            return lst[0]
+
+        per_owner = [[_first.remote(r)] for r in per_owner]
     counts = ray.get([shards[j].register_nodes.remote(
         *[per_owner[i][j] for i in range(P)]) for j in range(P)])
     n_total = int(sum(counts))

@@ -175,3 +175,29 @@ def test_pagerank_routes_agree(ray_session):
     # are the sinks and must outrank their chain's first hop
     ranks = dict(zip(small_df["node"], small_df["rank_1e9"]))
     assert ranks["urn:doc:0"] > ranks["urn:doc:15"]
+
+
+def test_pagerank_sharded_edge_cases(ray_session):
+    """The Pregel route's special-cased paths: a single shard (P=1,
+    scalar num_returns) and an empty edge set."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfx_ray.functions.components import pagerank_sharded
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(["a", "b", "c"], pa.string()),
+        "dst": pa.array(["b", "c", "a"], pa.string())}))
+    one = pagerank_sharded(edges, n_iter=5, n_shards=1).to_pandas()
+    two = pagerank_sharded(edges, n_iter=5, n_shards=2).to_pandas()
+    m = one.merge(two, on="node", suffixes=("_1", "_2"))
+    assert len(m) == 3
+    # a 3-cycle is symmetric: every node converges to rank 1/3
+    assert (m["rank_1e9_1"] - m["rank_1e9_2"]).abs().max() <= 1
+    assert (one["rank_1e9"] - 333333333).abs().max() <= 1
+
+    empty = rd.from_arrow(pa.table({
+        "src": pa.array([], pa.string()),
+        "dst": pa.array([], pa.string())}))
+    out = pagerank_sharded(empty, n_iter=3, n_shards=2)
+    assert out.num_rows == 0
