@@ -703,6 +703,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequence transitions (categorical LAG -> Markov counts)
         "events_type_transitions":
             lambda sf: _win.events_type_transitions(sf),
+        # streaming tumbling window with watermark + allowed lateness
+        "events_streaming_tumbling":
+            lambda sf: _win.events_streaming_tumbling(sf),
         # COUNT(DISTINCT) per time window (hourly active users)
         "events_hourly_active_users":
             lambda sf: _win.events_hourly_active_users(sf),
@@ -1006,6 +1009,8 @@ def oracle_sql() -> dict[str, str]:
         "events_props_k_stats": _WIN.EVENTS_PROPS_K_STATS_SQL,
         "events_type_transitions": _WIN.EVENTS_TYPE_TRANSITIONS_SQL,
         "events_hourly_active_users": _WIN.EVENTS_HOURLY_ACTIVE_SQL,
+        "events_streaming_tumbling":
+            _WIN.EVENTS_STREAMING_TUMBLING_SQL,
         "orders_year_priority_pivot":
             _EXT.ORDERS_YEAR_PRIORITY_PIVOT_SQL,
         "docs_cube_stats": _EXT.DOCS_CUBE_SQL,

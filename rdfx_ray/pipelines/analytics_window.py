@@ -570,3 +570,115 @@ SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
        COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1
 """
+
+
+def events_streaming_tumbling(sf_dir: str, window_min: int = 60,
+                              lateness_min: int = 30,
+                              n_buckets: int = 32):
+    """Streaming tumbling windows with a per-key WATERMARK and allowed
+    lateness — the out-of-order/late-data semantics of a streaming
+    engine, replayed deterministically so the result is exact and
+    SQL-oracle-able → (window_us, n_accepted, sum_value_1e2,
+    n_dropped).
+
+    Arrival order is pinned to the deterministic hash permutation
+    ``(event_id · 2654435761) mod 2³¹`` (ties broken by event_id) —
+    NOT time order, so genuinely late data exists; both engines
+    compute the identical permutation. Each user's watermark
+    is the running max event time over its arrivals; an event whose
+    timestamp lags its key's watermark by more than ``lateness_min``
+    is DROPPED, exactly as a streaming runtime would after window
+    finalization. Accepted events fold into tumbling windows.
+
+    The watermark is per KEY, so the bucket count stays an execution
+    knob (a partition-global watermark would change semantics with
+    B). Per bucket one vectorized pass: lexsort by (user, event_id),
+    per-segment running max via np.maximum.accumulate, mask, window
+    ids, local fold; the only exchange is the O(windows) groupby.
+    At true streaming scale the same kernel runs inside a stateful
+    actor pool keyed by the same hash, carrying (key → watermark)
+    between micro-batches — the replay here pins the semantics that
+    actor must reproduce."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    win_us = np.int64(window_min * 60_000_000)
+    late_us = np.int64(lateness_min * 60_000_000)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "value"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts_us = (batch.column("ts").to_numpy()
+                 .astype("datetime64[us]").astype(np.int64))
+        q = np.floor(batch.column("value")
+                     .to_numpy(zero_copy_only=False) * 100.0
+                     + 0.5).astype(np.int64)
+        return pa.table({
+            "_jb": pa.array((uid % n_buckets).astype(np.int32),
+                            pa.int32()),
+            "user_id": pa.array(uid.astype(np.int64), pa.int64()),
+            "event_id": batch.column("event_id"),
+            "ts_us": pa.array(ts_us, pa.int64()),
+            "q": pa.array(q, pa.int64())})
+
+    def replay_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        q = g["q"].to_numpy(np.int64)
+        # per-user arrival order: deterministic hash permutation
+        arr = (eid * np.int64(2654435761)) % np.int64(1 << 31)
+        order = np.lexsort((eid, arr, uid))
+        uid, ts, q = uid[order], ts[order], q[order]
+        # per-user running max of ts (the key's watermark) — pandas
+        # groupby cummax is C-level and segment-count-safe
+        wm = pd.Series(ts).groupby(uid).cummax().to_numpy(np.int64)
+        accepted = ts >= wm - late_us
+        w = (ts[accepted] // win_us) * win_us
+        df = pd.DataFrame({"window_us": w, "q": q[accepted]})
+        out = df.groupby("window_us", as_index=False).agg(
+            n_accepted=("q", "size"), sum_value_1e2=("q", "sum"))
+        out["n_dropped"] = np.int64(0)
+        # drop accounting rides a sentinel window row (window_us=-1)
+        # so the global fold sums bucket drop counts exactly once
+        drops = pd.DataFrame({"window_us": [np.int64(-1)],
+                              "n_accepted": [np.int64(0)],
+                              "sum_value_1e2": [np.int64(0)],
+                              "n_dropped":
+                              [np.int64((~accepted).sum())]})
+        return pd.concat([out, drops], ignore_index=True)
+
+    return (ds.map_batches(tag, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("_jb").map_groups(replay_bucket,
+                                       batch_format="pandas")
+            .groupby("window_us")
+            .aggregate(Sum("n_accepted", alias_name="n_accepted"),
+                       Sum("sum_value_1e2",
+                           alias_name="sum_value_1e2"),
+                       Sum("n_dropped", alias_name="n_dropped")))
+
+
+EVENTS_STREAMING_TUMBLING_SQL = """
+WITH a AS (
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS q,
+           MAX(epoch_us(ts)) OVER (
+               PARTITION BY user_id
+               ORDER BY (event_id * 2654435761) % 2147483648,
+                        event_id) AS wm
+    FROM events)
+SELECT (ts_us // 3600000000) * 3600000000 AS window_us,
+       COUNT(*) AS n_accepted,
+       CAST(SUM(q) AS BIGINT) AS sum_value_1e2,
+       CAST(0 AS BIGINT) AS n_dropped
+FROM a WHERE ts_us >= wm - 1800000000
+GROUP BY 1
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       COUNT(*)
+FROM a WHERE ts_us < wm - 1800000000
+"""

@@ -206,3 +206,25 @@ def test_hourly_active_users_matches_duckdb():
                                   check_dtype=False)
     n_users = _duck("SELECT COUNT(DISTINCT user_id) n FROM events")["n"][0]
     assert got["n_users"].max() <= n_users
+
+
+def test_streaming_tumbling_matches_duckdb_and_drops_late_data():
+    from rdfx_ray.pipelines.analytics_window import (
+        EVENTS_STREAMING_TUMBLING_SQL, events_streaming_tumbling)
+
+    got = events_streaming_tumbling(SF).to_pandas() \
+        .sort_values("window_us").reset_index(drop=True)
+    want = _duck(EVENTS_STREAMING_TUMBLING_SQL) \
+        .sort_values("window_us").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    # event_id arrival order genuinely produces late data here, and
+    # accepted + dropped account for every event
+    sentinel = got[got["window_us"] == -1]
+    assert sentinel["n_dropped"].iloc[0] > 0
+    n_ev = _duck("SELECT COUNT(*) n FROM events")["n"][0]
+    assert got["n_accepted"].sum() + sentinel["n_dropped"].iloc[0] == n_ev
+    # per-key watermark keeps the bucket count an execution knob
+    b = events_streaming_tumbling(SF, n_buckets=5).to_pandas() \
+        .sort_values("window_us").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, b)
