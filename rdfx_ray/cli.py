@@ -85,6 +85,19 @@ def main(argv=None):
     # resolve from the app's environment-variable convention
     # ({READ|WRITE}_{SYSTEM}_{LOCATION,USERNAME,PASSWORD} —
     # app/streamlitPS.py:58-99).
+    pq = sub.add_parser(
+        "query", help="run any registered pipeline/query over a "
+                      "testdata-shaped parquet dir")
+    pq.add_argument("name", nargs="?",
+                    help="query name (omit with --list)")
+    pq.add_argument("--input", default="/root/testdata/sf0.001",
+                    help="dir with the parquet tables")
+    pq.add_argument("--limit", type=int, default=20,
+                    help="rows to print (JSON lines); 0 = count only")
+    pq.add_argument("--list", action="store_true",
+                    help="list registered query names and exit")
+    pq.add_argument("--cpus", type=int, default=None)
+
     pp = sub.add_parser(
         "pipe", help="read from one persistence system, write to another")
     pp.add_argument("--read-system", required=True,
@@ -206,9 +219,48 @@ def main(argv=None):
         ray.shutdown()
         return 0
 
+    if args.method == "query":
+        return _query(args)
+
     if args.method == "pipe":
         return _pipe(args)
     return 1
+
+
+def _query(args) -> int:
+    """Run one registered driver-contract query from the CLI — the
+    user-facing face of `__ray_entry__.queries()` (every operator in
+    COVERAGE.md is reachable here by name)."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", str(Path(__file__).parent.parent
+                             / "__ray_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    registry = mod.queries()
+    if args.list or not args.name:
+        for name in sorted(registry):
+            print(name)
+        return 0
+    if args.name not in registry:
+        print(f"unknown query: {args.name}", file=sys.stderr)
+        return 2
+    _ensure_ray(args.cpus)
+    res = registry[args.name](args.input)
+    if hasattr(res, "to_pandas"):
+        df = res.to_pandas()
+    else:
+        import pandas as pd
+        df = res if isinstance(res, pd.DataFrame) else pd.DataFrame(res)
+    print(json.dumps({"query": args.name, "rows": int(len(df)),
+                      "columns": list(map(str, df.columns))}))
+    if args.limit:
+        for rec in json.loads(
+                df.head(args.limit).to_json(orient="records")):
+            print(json.dumps(rec))
+    return 0
 
 
 def _env_ps(system: str, role: str):

@@ -65,3 +65,27 @@ def test_every_oracle_sql_parses_in_duckdb():
             con.execute(f"SELECT * FROM ({sql}) LIMIT 0")
         except Exception as e:  # pragma: no cover
             raise AssertionError(f"{name}: oracle SQL invalid: {e}")
+
+
+def test_cli_query_verb(tmp_path):
+    """`python -m rdfx_ray query` lists every registered query and
+    runs one end-to-end in a subprocess (its own Ray session)."""
+    import json
+    import subprocess
+    import sys
+
+    names = subprocess.run(
+        [sys.executable, "-m", "rdfx_ray", "query", "--list"],
+        capture_output=True, text=True, cwd="/root/repo",
+        check=True).stdout.split()
+    assert "events_type_share" in names and len(names) >= 120
+
+    out = subprocess.run(
+        [sys.executable, "-m", "rdfx_ray", "query", "events_type_share",
+         "--cpus", "2", "--limit", "0"],
+        capture_output=True, text=True, cwd="/root/repo",
+        check=True).stdout
+    head = json.loads([ln for ln in out.splitlines()
+                       if ln.startswith("{")][0])
+    assert head["rows"] == 5
+    assert head["columns"] == ["event_type", "n", "total"]
