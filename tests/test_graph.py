@@ -75,3 +75,34 @@ def test_count_min_sketch_bounds():
     # 150 users vs 16384 buckets x 4 rows: collisions can inflate a
     # single row, but the min over 4 rows should be exact here
     assert (est == ex).all()
+
+
+def test_degree_orientation_preserves_count_and_caps_wedges():
+    """orient_by_degree relabels by (degree, id) rank: the triangle
+    count is invariant, and a star graph's wedge volume collapses
+    (the hub becomes every edge's HIGH end, so it generates no
+    wedges)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfx_ray.functions.graph import orient_by_degree, triangle_count
+
+    def edges_ds(pairs):
+        a = np.array([p[0] for p in pairs], np.int64)
+        b = np.array([p[1] for p in pairs], np.int64)
+        return rd.from_arrow(pa.table({"a": pa.array(a),
+                                       "b": pa.array(b)}))
+
+    # hub graph: 2 triangles at the hub (node 0) — count invariant
+    hub = [(0, j) for j in range(1, 31)] + [(1, 2), (10, 11)]
+    oriented = orient_by_degree(edges_ds(hub)).materialize()
+    assert triangle_count(oriented, n_buckets=4) == 2
+    # the hub (max degree) must be the HIGH end of every edge it
+    # touches after relabeling → its out-degree is 0
+    tbl = oriented.to_pandas()
+    hub_rank = tbl[["a", "b"]].to_numpy().max()  # highest rank
+    assert (tbl["a"] != hub_rank).all()
+    # K5 unchanged by symmetry
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    assert triangle_count(orient_by_degree(edges_ds(k5)),
+                          n_buckets=3) == 10
