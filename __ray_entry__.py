@@ -160,6 +160,15 @@ def _customer_triangles(sf_dir: str):
     return customer_triangles(sf_dir)
 
 
+def _customer_clustering(sf_dir: str):
+    """Global clustering coefficient (3x triangles, wedge total) over
+    the derived customer graph — exact integer parts so the oracle
+    hashes (functions/graph.py)."""
+    from rdfx_ray.functions.graph import customer_clustering
+
+    return customer_clustering(sf_dir)
+
+
 def _kg_query_path_inverse(sf_dir: str):
     """SPARQL inverse path ?s ^citation ?o — streaming role swap over
     the pattern filter (SPARQL 1.1 property-path feature)."""
@@ -719,6 +728,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_rank": _orders_price_rank,
         # distributed triangle counting (wedge + closing-edge join)
         "customer_triangles": _customer_triangles,
+        # global clustering coefficient as exact integer parts
+        "customer_clustering": _customer_clustering,
         # set operations (INTERSECT / EXCEPT) from one presence fold
         "events_users_intersect":
             lambda sf: analytics_ext.users_type_intersect(sf),
@@ -794,7 +805,10 @@ def oracle_sql() -> dict[str, str]:
         EVENTS_IN_ORDER_WINDOWS_SQL as _RANGEJOIN_SQL,
     )
     from rdfx_ray.pipelines.rank import ORDERS_PRICE_RANK_SQL as _RANK_SQL
-    from rdfx_ray.functions.graph import CUSTOMER_TRIANGLES_SQL as _TRI_SQL
+    from rdfx_ray.functions.graph import (
+        CUSTOMER_CLUSTERING_SQL as _CLUST_SQL,
+        CUSTOMER_TRIANGLES_SQL as _TRI_SQL,
+    )
     from rdfx_ray.functions.similarity import (
         PAIR_SIM_HISTOGRAM_SQL as _PAIR_HIST_SQL,
     )
@@ -1016,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_cube_stats": _EXT.DOCS_CUBE_SQL,
         "orders_price_rank": _RANK_SQL,
         "customer_triangles": _TRI_SQL,
+        "customer_clustering": _CLUST_SQL,
         "events_users_intersect": _EXT.USERS_TYPE_INTERSECT_SQL,
         "docs_max_chars_per_lang": _EXT.DOCS_MAX_CHARS_SQL,
         "events_type_share": _EXT.EVENTS_TYPE_SHARE_SQL,

@@ -222,3 +222,55 @@ def orient_by_degree(edges_ds, broadcast_cutoff_nodes: int = 2_000_000):
                          "b": pa.array(nb, pa.int64())})
 
     return edges_ds.map_batches(relabel, batch_format="pyarrow")
+
+
+def customer_clustering(sf_dir: str):
+    """Global clustering coefficient of the derived customer graph,
+    emitted as its exact integer parts → one row (n_triangles_x3,
+    n_wedges): coefficient = n_triangles_x3 / n_wedges (closed wedges
+    over all wedges). Triangles reuse :func:`triangle_count`; the
+    wedge total is Σ C(deg, 2) over UNDIRECTED degrees — one
+    endpoint-count fold, no wedge materialization."""
+    from ray.data.aggregate import Sum
+
+    edges = customer_chain_edges(sf_dir).materialize()
+    tri = triangle_count(edges)
+
+    def endpoint_counts(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        nodes, cnt = np.unique(np.concatenate([a, b]),
+                               return_counts=True)
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "deg": pa.array(cnt.astype(np.int64))})
+
+    deg = (edges.map_batches(endpoint_counts, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("deg", alias_name="deg")))
+    wedges = 0
+    for bt in deg.iter_batches(batch_size=1 << 20,
+                               batch_format="pyarrow"):
+        d = bt.column("deg").to_numpy(zero_copy_only=False)
+        wedges += int((d * (d - 1) // 2).sum())
+    return pa.table({
+        "n_triangles_x3": pa.array([np.int64(3 * tri)]),
+        "n_wedges": pa.array([np.int64(wedges)])})
+
+
+CUSTOMER_CLUSTERING_SQL = """
+WITH e AS (
+    SELECT c1.c_custkey AS a, c2.c_custkey AS b
+    FROM customer c1
+    JOIN customer c2 ON c2.c_custkey - c1.c_custkey IN (1, 2)),
+deg AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+    GROUP BY node),
+tri AS (
+    SELECT COUNT(*) AS t
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+SELECT CAST(3 * (SELECT t FROM tri) AS BIGINT) AS n_triangles_x3,
+       CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT)
+           AS n_wedges
+"""
