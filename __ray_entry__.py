@@ -712,6 +712,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequence transitions (categorical LAG -> Markov counts)
         "events_type_transitions":
             lambda sf: _win.events_type_transitions(sf),
+        # time-series resample with gap fill (zero rows included)
+        "events_resample_15min":
+            lambda sf: _win.events_resample_15min(sf),
         # streaming tumbling window with watermark + allowed lateness
         "events_streaming_tumbling":
             lambda sf: _win.events_streaming_tumbling(sf),
@@ -1025,6 +1028,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_active_users": _WIN.EVENTS_HOURLY_ACTIVE_SQL,
         "events_streaming_tumbling":
             _WIN.EVENTS_STREAMING_TUMBLING_SQL,
+        "events_resample_15min": _WIN.EVENTS_RESAMPLE_SQL,
         "orders_year_priority_pivot":
             _EXT.ORDERS_YEAR_PRIORITY_PIVOT_SQL,
         "docs_cube_stats": _EXT.DOCS_CUBE_SQL,

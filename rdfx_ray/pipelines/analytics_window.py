@@ -682,3 +682,65 @@ SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
        COUNT(*)
 FROM a WHERE ts_us < wm - 1800000000
 """
+
+
+def events_resample_15min(sf_dir: str):
+    """Time-series resample with gap fill: event counts on the full
+    15-minute grid from the corpus's first to last bucket, zero rows
+    INCLUDED, per event type → (grid_us, event_type, n). The O(rows)
+    work is the usual per-batch partial count fold; the dense grid is
+    an O(grid × types) driver expansion — bounded by the calendar and
+    the type domain, not the row count (the orders_daily_moving
+    argument), left-joined against the sparse counts with exact
+    integer keys."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    step = np.int64(15 * 60_000_000)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g_us = (batch.column("ts").to_numpy()
+                .astype("datetime64[us]").astype(np.int64)
+                // step) * step
+        df = pd.DataFrame({"grid_us": g_us,
+                           "event_type": batch.column("event_type")
+                           .to_pandas()})
+        out = df.groupby(["grid_us", "event_type"],
+                         as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    sparse = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby(["grid_us", "event_type"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    lo, hi = sparse["grid_us"].min(), sparse["grid_us"].max()
+    grid = np.arange(lo, hi + step, step, dtype=np.int64)
+    types = np.sort(sparse["event_type"].unique())
+    dense = pd.DataFrame({
+        "grid_us": np.repeat(grid, len(types)),
+        "event_type": np.tile(types, len(grid))})
+    out = dense.merge(sparse, on=["grid_us", "event_type"],
+                      how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EVENTS_RESAMPLE_SQL = """
+WITH c AS (
+    SELECT (epoch_us(ts) // 900000000) * 900000000 AS grid_us,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2),
+grid AS (
+    SELECT UNNEST(generate_series((SELECT MIN(grid_us) FROM c),
+                                  (SELECT MAX(grid_us) FROM c),
+                                  900000000)) AS grid_us),
+types AS (SELECT DISTINCT event_type FROM events)
+SELECT g.grid_us, t.event_type,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM grid g CROSS JOIN types t
+LEFT JOIN c ON c.grid_us = g.grid_us AND c.event_type = t.event_type
+"""

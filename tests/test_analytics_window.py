@@ -228,3 +228,23 @@ def test_streaming_tumbling_matches_duckdb_and_drops_late_data():
     b = events_streaming_tumbling(SF, n_buckets=5).to_pandas() \
         .sort_values("window_us").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, b)
+
+
+def test_resample_gap_fill_matches_duckdb():
+    from rdfx_ray.pipelines.analytics_window import (
+        EVENTS_RESAMPLE_SQL, events_resample_15min)
+
+    got = events_resample_15min(SF).to_pandas() \
+        .sort_values(["grid_us", "event_type"]).reset_index(drop=True)
+    want = _duck(EVENTS_RESAMPLE_SQL) \
+        .sort_values(["grid_us", "event_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    # the dense grid is complete: every (slot, type) exists exactly
+    # once, and zero-fill rows are present
+    slots = got["grid_us"].nunique()
+    types = got["event_type"].nunique()
+    assert len(got) == slots * types
+    assert (got["n"] == 0).any()
+    n_ev = _duck("SELECT COUNT(*) n FROM events")["n"][0]
+    assert got["n"].sum() == n_ev
