@@ -197,6 +197,12 @@ def run_suite() -> dict:
     queries["dedup_exact"] = timed(dedup.exact_dedup, SF_DIR)
     queries["dedup_minhash"] = timed(dedup.minhash_lsh_pairs, SF_DIR)
     queries["ann_brute_topk"] = timed(similarity.brute_topk, SF_DIR)
+    from rdfx_ray.pipelines.rangejoin import events_in_order_windows
+    from rdfx_ray.pipelines.rank import orders_price_rank
+    queries["range_join"] = timed(events_in_order_windows, SF_DIR)
+    queries["window_rank"] = timed(orders_price_rank, SF_DIR)
+    queries["pair_sim_histogram"] = timed(similarity.pair_sim_histogram,
+                                          SF_DIR)
 
     result = {
         "metric": "kg_extract_wall_seconds",
