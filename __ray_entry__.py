@@ -169,6 +169,14 @@ def _customer_clustering(sf_dir: str):
     return customer_clustering(sf_dir)
 
 
+def _customer_local_clustering(sf_dir: str):
+    """Per-node local clustering: each closed wedge credits all three
+    corners; coefficient = n_tri / n_pairs (functions/graph.py)."""
+    from rdfx_ray.functions.graph import customer_local_clustering
+
+    return customer_local_clustering(sf_dir)
+
+
 def _kg_query_path_inverse(sf_dir: str):
     """SPARQL inverse path ?s ^citation ?o — streaming role swap over
     the pattern filter (SPARQL 1.1 property-path feature)."""
@@ -187,6 +195,17 @@ def _kg_query_path_zero_or_one(sf_dir: str):
 
     return property_path_zero_or_one(doc_citation_triples(sf_dir),
                                      SDO + "citation")
+
+
+def _kg_query_group_count_distinct(sf_dir: str):
+    """SPARQL GROUP BY + COUNT(DISTINCT ?v): distinct sources per
+    language over the two-pattern BGP (query.py)."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import group_count_distinct_bgp
+
+    return group_count_distinct_bgp(doc_triples(sf_dir),
+                                    SDO + "inLanguage",
+                                    SDO + "isBasedOn")
 
 
 def _kg_query_graph_scoped(sf_dir: str):
@@ -618,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_query_path_inverse": _kg_query_path_inverse,
         "kg_query_path_zero_or_one": _kg_query_path_zero_or_one,
         "kg_query_graph_scoped": _kg_query_graph_scoped,
+        "kg_query_group_count_distinct": _kg_query_group_count_distinct,
         # correlated subquery (decorrelated max-per-group filter)
         "docs_max_chars_per_lang":
             lambda sf: analytics_ext.docs_max_chars_per_lang(sf),
@@ -733,6 +753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_triangles": _customer_triangles,
         # global clustering coefficient as exact integer parts
         "customer_clustering": _customer_clustering,
+        # per-node local clustering (triangle credit attribution)
+        "customer_local_clustering": _customer_local_clustering,
         # set operations (INTERSECT / EXCEPT) from one presence fold
         "events_users_intersect":
             lambda sf: analytics_ext.users_type_intersect(sf),
@@ -810,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
     from rdfx_ray.pipelines.rank import ORDERS_PRICE_RANK_SQL as _RANK_SQL
     from rdfx_ray.functions.graph import (
         CUSTOMER_CLUSTERING_SQL as _CLUST_SQL,
+        CUSTOMER_LOCAL_CLUSTERING_SQL as _LOCAL_CLUST_SQL,
         CUSTOMER_TRIANGLES_SQL as _TRI_SQL,
     )
     from rdfx_ray.functions.similarity import (
@@ -1035,6 +1058,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_rank": _RANK_SQL,
         "customer_triangles": _TRI_SQL,
         "customer_clustering": _CLUST_SQL,
+        "customer_local_clustering": _LOCAL_CLUST_SQL,
         "events_users_intersect": _EXT.USERS_TYPE_INTERSECT_SQL,
         "docs_max_chars_per_lang": _EXT.DOCS_MAX_CHARS_SQL,
         "events_type_share": _EXT.EVENTS_TYPE_SHARE_SQL,
@@ -1058,6 +1082,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN EXISTS (SELECT 1 FROM documents
                                           WHERE lang = 'zz')
                         THEN 1 ELSE 0 END AS BIGINT)
+        """,
+        "kg_query_group_count_distinct": """
+            SELECT lang AS g, COUNT(DISTINCT source) AS n_distinct
+            FROM documents GROUP BY lang
         """,
         "kg_query_graph_scoped": f"""
             SELECT pred, COUNT(*) AS n

@@ -274,3 +274,164 @@ SELECT CAST(3 * (SELECT t FROM tri) AS BIGINT) AS n_triangles_x3,
        CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT)
            AS n_wedges
 """
+
+
+def local_clustering(edges_ds, n_buckets: int = 32):
+    """Per-node local clustering numerators/denominators over an
+    oriented (a < b) edge Dataset → (node, n_tri, n_pairs) for every
+    node of degree ≥ 2, with local coefficient = n_tri / n_pairs.
+
+    Same wedge machinery as :func:`triangle_count`, but wedges carry
+    their APEX so each CLOSED wedge credits all three corners: the
+    apex (one credit per closed wedge) and the pair endpoints
+    (unpacked from the key). Credit volume is 3 × triangles — already
+    the candidate-bounded regime; the only exchanges are the wedge
+    bucket co-location, the closing hash join, and the O(nodes)
+    credit/degree groupbys."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    edges_ds = edges_ds.materialize()  # shared by three consumers
+
+    def tag(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_jb", pa.array((a % n_buckets).astype(np.int32),
+                            pa.int32()))
+
+    def wedges_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["a"].to_numpy(np.int64)
+        b = g["b"].to_numpy(np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        uniq, starts, degs = np.unique(a, return_index=True,
+                                       return_counts=True)
+        if not ((degs >= 2).any()):
+            return pd.DataFrame({
+                "wkey": pd.Series([], dtype=np.int64),
+                "apex": pd.Series([], dtype=np.int64)})
+        keys, apexes = [], []
+        for d in np.unique(degs[degs >= 2]):
+            nodes_d = np.nonzero(degs == d)[0]
+            p_idx, q_idx = np.triu_indices(int(d), k=1)
+            base = starts[nodes_d][:, None]
+            keys.append(_pack(b[base + p_idx[None, :]].ravel(),
+                              b[base + q_idx[None, :]].ravel()))
+            apexes.append(np.repeat(uniq[nodes_d], len(p_idx)))
+        return pd.DataFrame({"wkey": np.concatenate(keys),
+                             "apex": np.concatenate(apexes)})
+
+    wedge_schema = pa.schema([("wkey", pa.int64()),
+                              ("apex", pa.int64())])
+    wedges = (edges_ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("_jb").map_groups(wedges_bucket,
+                                         batch_format="pandas")
+              # map_groups(pandas) output is pandas-backed; the hash
+              # join needs one canonical arrow schema (the CLAUDE.md
+              # chained-join rule — empty buckets otherwise surface
+              # as FieldRef mismatches inside the join aggregator)
+              .map_batches(lambda b: b.cast(wedge_schema),
+                           batch_format="pyarrow")
+              .materialize())
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        k = _pack(batch.column("a").to_numpy(zero_copy_only=False),
+                  batch.column("b").to_numpy(zero_copy_only=False))
+        return pa.table({"wkey": pa.array(k, pa.int64())})
+
+    ekeys = edges_ds.map_batches(edge_keys, batch_format="pyarrow")
+    closed = wedges.join(ekeys, "inner", min(n_buckets, 16),
+                         on=("wkey",))
+
+    mask = np.int64((1 << _PACK_SHIFT) - 1)
+
+    def credits(batch: pa.Table) -> pa.Table:
+        k = batch.column("wkey").to_numpy(zero_copy_only=False)
+        apex = batch.column("apex").to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([apex, k >> _PACK_SHIFT, k & mask])
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(uniq, pa.int64()),
+                         "n_tri": pa.array(cnt.astype(np.int64))})
+
+    # materialize between the two joins: chaining the closing join
+    # into the final left_outer puts two JoinOperators in one plan —
+    # the stacked-pool/schema hazard the triangle_count comment pins
+    tri = (closed.map_batches(credits, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("n_tri", alias_name="n_tri"))
+           .materialize())
+
+    def endpoint_counts(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        nodes, cnt = np.unique(np.concatenate([a, b]),
+                               return_counts=True)
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "deg": pa.array(cnt.astype(np.int64))})
+
+    deg = (edges_ds.map_batches(endpoint_counts,
+                                batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("deg", alias_name="deg")))
+
+    # credit attach is count-gated (house rule): the credit table is
+    # bounded by triangle-touching nodes, so it broadcasts cheaply at
+    # any tested scale — and Ray's hash join raises FieldRef errors
+    # when a right-side partition is EMPTY (observed on sparse credit
+    # tables), so the broadcast route is also the robust one. Past
+    # the cutoff, pad-or-join is the documented follow-up.
+    import ray
+
+    from .broadcast import cached_get
+
+    tri_pd = tri.to_pandas()
+    tref = ray.put(pd.Series(tri_pd["n_tri"].to_numpy(np.int64),
+                             index=tri_pd["node"].to_numpy(np.int64)))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        tm = cached_get(tref)
+        node = batch.column("node").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = batch.column("deg").to_numpy(zero_copy_only=False)
+        idx = tm.index.get_indexer(node)
+        t = np.where(idx >= 0, tm.to_numpy()[np.maximum(idx, 0)], 0) \
+            .astype(np.int64)
+        keep = d >= 2
+        return pa.table({
+            "node": pa.array(node, pa.int64()),
+            "n_tri": pa.array(t, pa.int64()),
+            "n_pairs": pa.array((d * (d - 1) // 2).astype(np.int64)),
+        }).filter(pa.array(keep))
+
+    return deg.map_batches(finish, batch_format="pyarrow")
+
+
+def customer_local_clustering(sf_dir: str):
+    """Per-node local clustering over the derived customer graph →
+    (node, n_tri, n_pairs) for degree ≥ 2 nodes."""
+    return local_clustering(customer_chain_edges(sf_dir))
+
+
+CUSTOMER_LOCAL_CLUSTERING_SQL = """
+WITH e AS (
+    SELECT c1.c_custkey AS a, c2.c_custkey AS b
+    FROM customer c1
+    JOIN customer c2 ON c2.c_custkey - c1.c_custkey IN (1, 2)),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+credit AS (
+    SELECT node, COUNT(*) AS n_tri FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+    GROUP BY node),
+deg AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+    GROUP BY node)
+SELECT deg.node, CAST(COALESCE(credit.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(deg.d * (deg.d - 1) // 2 AS BIGINT) AS n_pairs
+FROM deg LEFT JOIN credit ON deg.node = credit.node
+WHERE deg.d >= 2
+"""

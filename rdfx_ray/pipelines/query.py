@@ -1128,3 +1128,27 @@ def property_path_zero_or_one(triples_ds, pred: str):
             .groupby(["subj", "obj"]).aggregate(Count(alias_name="_n"))
             .select_columns(["subj", "obj"]))
     return one.union(zero)
+
+
+def group_count_distinct_bgp(triples_ds, group_pred: str,
+                             value_pred: str):
+    """SPARQL COUNT(DISTINCT ?v) aggregate over a two-pattern BGP:
+    ``?s group_pred ?g . ?s value_pred ?v`` → (g, n_distinct). The
+    subject join rides the count-gated BGP planner; the distinct
+    stacks batch-local unique → the distinct groupby → an O(groups)
+    count (the events_distinct_users discipline in triple space)."""
+    from ray.data.aggregate import Count
+
+    joined = bgp_join(triples_ds, group_pred, value_pred)
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        t = batch.select(["va", "vb"])
+        return pl.from_arrow(t).unique().to_arrow().cast(t.schema)
+
+    return (joined.map_batches(local_distinct, batch_format="pyarrow")
+            .groupby(["va", "vb"]).aggregate(Count(alias_name="_n"))
+            .select_columns(["va", "vb"])
+            .groupby("va").aggregate(Count(alias_name="n_distinct"))
+            .map_batches(lambda b: b.rename_columns(["g", "n_distinct"]),
+                         batch_format="pyarrow"))

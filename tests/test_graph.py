@@ -106,3 +106,37 @@ def test_degree_orientation_preserves_count_and_caps_wedges():
     k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
     assert triangle_count(orient_by_degree(edges_ds(k5)),
                           n_buckets=3) == 10
+
+
+def test_local_clustering_credits_all_corners():
+    """K5: every node has C(4,2)=6 pairs and sits in C(4,2)=6
+    triangles → coefficient 1. Hub graph: the hub is in 2 triangles
+    out of C(30,2) pairs; spoke nodes 1,2 share one triangle with 2
+    pairs each... wait — spokes have degree 2 (hub + one chord), so
+    1 triangle / 1 pair = coefficient 1."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfx_ray.functions.graph import local_clustering
+
+    def edges_ds(pairs):
+        a = np.array([p[0] for p in pairs], np.int64)
+        b = np.array([p[1] for p in pairs], np.int64)
+        return rd.from_arrow(pa.table({"a": pa.array(a),
+                                       "b": pa.array(b)}))
+
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    out = local_clustering(edges_ds(k5), n_buckets=3).to_pandas() \
+        .set_index("node")
+    assert len(out) == 5
+    assert (out["n_tri"] == 6).all() and (out["n_pairs"] == 6).all()
+
+    hub = [(0, j) for j in range(1, 31)] + [(1, 2), (10, 11)]
+    out = local_clustering(edges_ds(hub), n_buckets=4).to_pandas() \
+        .set_index("node")
+    assert out.loc[0, "n_tri"] == 2
+    assert out.loc[0, "n_pairs"] == 30 * 29 // 2
+    for n in (1, 2, 10, 11):
+        assert out.loc[n, "n_tri"] == 1 and out.loc[n, "n_pairs"] == 1
+    # degree-1 nodes are excluded, zero-triangle deg>=2 nodes kept
+    assert (out["n_pairs"] >= 1).all()
