@@ -87,9 +87,7 @@ def triangle_count(edges_ds, n_buckets: int = 32) -> int:
     def edge_keys(batch: pa.Table) -> pa.Table:
         k = _pack(batch.column("a").to_numpy(zero_copy_only=False),
                   batch.column("b").to_numpy(zero_copy_only=False))
-        return pa.table({"wkey": pa.array(k, pa.int64()),
-                         "_e": pa.array(np.ones(len(k), np.int64),
-                                        pa.int64())})
+        return pa.table({"wkey": pa.array(k, pa.int64())})
 
     ekeys = edges_ds.map_batches(edge_keys, batch_format="pyarrow")
 
@@ -181,7 +179,6 @@ def orient_by_degree(edges_ds, broadcast_cutoff_nodes: int = 2_000_000):
     than defaulted because the node table is orders of magnitude
     under the edge set this refinement exists for."""
     import ray
-    import ray.data as rd
     from ray.data.aggregate import Sum
 
     from .broadcast import cached_get
@@ -288,7 +285,6 @@ def local_clustering(edges_ds, n_buckets: int = 32):
     the candidate-bounded regime; the only exchanges are the wedge
     bucket co-location, the closing hash join, and the O(nodes)
     credit/degree groupbys."""
-    import ray.data as rd
     from ray.data.aggregate import Sum
 
     edges_ds = edges_ds.materialize()  # shared by three consumers
