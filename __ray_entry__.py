@@ -177,6 +177,16 @@ def _customer_local_clustering(sf_dir: str):
     return customer_local_clustering(sf_dir)
 
 
+def _customer_k_core(sf_dir: str):
+    """2-core of the derived customer graph: iterative peeling until
+    every surviving node has degree >= 2 (rows-only: iterative;
+    invariants pinned in tests/test_graph.py)."""
+    from rdfx_ray.functions.graph import customer_chain_edges, k_core
+
+    out, _stats = k_core(customer_chain_edges(sf_dir), k=2)
+    return out
+
+
 def _kg_query_path_inverse(sf_dir: str):
     """SPARQL inverse path ?s ^citation ?o — streaming role swap over
     the pattern filter (SPARQL 1.1 property-path feature)."""
@@ -755,6 +765,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_clustering": _customer_clustering,
         # per-node local clustering (triangle credit attribution)
         "customer_local_clustering": _customer_local_clustering,
+        # k-core pruning (iterative peeling; rows-only)
+        "customer_k_core": _customer_k_core,
         # set operations (INTERSECT / EXCEPT) from one presence fold
         "events_users_intersect":
             lambda sf: analytics_ext.users_type_intersect(sf),

@@ -431,3 +431,69 @@ SELECT deg.node, CAST(COALESCE(credit.n_tri, 0) AS BIGINT) AS n_tri,
 FROM deg LEFT JOIN credit ON deg.node = credit.node
 WHERE deg.d >= 2
 """
+
+
+def k_core(edges_ds, k: int, max_rounds: int = 100):
+    """k-core: the maximal subgraph where every node has degree ≥ k —
+    iterative peeling (remove under-degree nodes, recompute, repeat
+    until stable) → ((node, deg) table of survivors, stats dict).
+    The classic training-graph pruning op (e.g. keep only densely
+    cross-linked documents); iterative → no SQL oracle, invariants
+    pinned by tests.
+
+    Distributed shape per round (the connected_components recipe):
+    one partial-folded degree groupby over the surviving edge set,
+    the under-degree node set broadcast back (bounded by the REMOVED
+    count, which only shrinks), and a streaming edge filter. State on
+    the driver is O(removed nodes per round); edges stay distributed
+    and re-materialize only when rows were actually dropped. Rounds
+    are O(peeling depth) — degenerate chains peel slowly, which the
+    max_rounds guard surfaces rather than hides."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .broadcast import cached_get
+
+    edges = edges_ds.materialize()
+    stats = {"rounds": 0, "removed_per_round": []}
+
+    def endpoint_counts(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        nodes, cnt = np.unique(np.concatenate([a, b]),
+                               return_counts=True)
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "deg": pa.array(cnt.astype(np.int64))})
+
+    for _ in range(max_rounds):
+        stats["rounds"] += 1
+        deg = (edges.map_batches(endpoint_counts,
+                                 batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("deg", alias_name="deg"))
+               .to_pandas())
+        under = deg.loc[deg["deg"] < k, "node"].to_numpy(np.int64)
+        stats["removed_per_round"].append(int(len(under)))
+        if len(under) == 0:
+            deg_t = pa.table({
+                "node": pa.array(deg["node"].to_numpy(np.int64)),
+                "deg": pa.array(deg["deg"].to_numpy(np.int64))})
+            return deg_t, stats
+        uref = ray.put(np.sort(under))
+
+        def drop(batch: pa.Table) -> pa.Table:
+            bad = cached_get(uref)
+            a = batch.column("a").to_numpy(zero_copy_only=False)
+            b = batch.column("b").to_numpy(zero_copy_only=False)
+            keep = ~(np.isin(a, bad) | np.isin(b, bad))
+            return batch.filter(pa.array(keep))
+
+        edges = edges.map_batches(drop,
+                                  batch_format="pyarrow").materialize()
+        if edges.count() == 0:
+            return (pa.table({"node": pa.array([], pa.int64()),
+                              "deg": pa.array([], pa.int64())}), stats)
+
+    raise RuntimeError(
+        f"k_core did not stabilize in {max_rounds} rounds — "
+        f"pathological peeling depth; raise max_rounds explicitly")

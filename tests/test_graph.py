@@ -140,3 +140,35 @@ def test_local_clustering_credits_all_corners():
         assert out.loc[n, "n_tri"] == 1 and out.loc[n, "n_pairs"] == 1
     # degree-1 nodes are excluded, zero-triangle deg>=2 nodes kept
     assert (out["n_pairs"] >= 1).all()
+
+
+def test_k_core_peeling():
+    """K5 survives 4-core intact; a chain has no 2-core (cascading
+    peel); K4 + pendant chain leaves exactly the K4 at k=2 after the
+    chain cascades away."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdfx_ray.functions.graph import k_core
+
+    def edges_ds(pairs):
+        a = np.array([p[0] for p in pairs], np.int64)
+        b = np.array([p[1] for p in pairs], np.int64)
+        return rd.from_arrow(pa.table({"a": pa.array(a),
+                                       "b": pa.array(b)}))
+
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    out, st = k_core(edges_ds(k5), k=4)
+    got = out.to_pandas()
+    assert sorted(got["node"]) == [0, 1, 2, 3, 4]
+    assert (got["deg"] == 4).all() and st["removed_per_round"] == [0]
+
+    chain = [(i, i + 1) for i in range(10)]
+    out, st = k_core(edges_ds(chain), k=2)
+    assert out.num_rows == 0
+    assert st["rounds"] >= 5  # cascade peels from both ends
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    pendant = [(3, 10), (10, 11), (11, 12)]
+    out, _ = k_core(edges_ds(k4 + pendant), k=2)
+    assert sorted(out.to_pandas()["node"]) == [0, 1, 2, 3]

@@ -27,6 +27,7 @@ ROWS_ONLY = {
     "kg_span_invariant": "pipeline invariant checker",
     "orders_price_quantiles_tdigest": "approximate (<=1% error pinned)",
     "text_winnow_fingerprints": "rolling hash not SQL-expressible",
+    "customer_k_core": "iterative peeling (invariants test-pinned)",
 }
 
 
