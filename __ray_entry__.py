@@ -931,6 +931,7 @@ def oracle_sql() -> dict[str, str]:
                    'literal' AS obj_kind,
                    source AS obj_value,
                    CAST(NULL AS VARCHAR) AS obj_datatype,
+                   CAST(NULL AS VARCHAR) AS obj_lang,
                    'urn:graph:derived' AS graph_iri
             FROM documents WHERE lang = 'en'
         """,

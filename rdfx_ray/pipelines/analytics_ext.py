@@ -1308,9 +1308,10 @@ GROUP BY 1, 2
 
 
 def tpch_q3ish(sf_dir: str, k: int = 10):
-    """TPC-H Q3-shaped 3-table pipeline: unshipped-revenue top-k —
-    customer('F'-status filter stands in for segment) ⋈ orders ⋈
-    lineitem, revenue = Σ extprice·(1−disc) integer-scaled →
+    """TPC-H Q3-shaped 2-table pipeline: unshipped-revenue top-k —
+    orders ⋈ lineitem (the o_orderstatus='F' filter stands in for
+    Q3's customer-segment leg, so no customer join), revenue =
+    Σ extprice·(1−disc) integer-scaled →
     (l_orderkey, revenue_1e4, o_orderdate_us) LIMIT k.
 
     Join strategy per the engine's routing rule: the orders side

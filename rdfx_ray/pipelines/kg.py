@@ -296,10 +296,21 @@ def run_kg_pipeline(input_uri: str, out_dir: str,
             for b, nrows in st["fragment_rows"].items():
                 bucket_rows[int(b)] += int(nrows)
 
-    # any in-flight background compaction must land before the
-    # authoritative pass reads the ledger
+    # give any in-flight background compaction a bounded window to
+    # land, then proceed regardless: the pre-finalize pass below is
+    # authoritative and idempotent, and a hung opportunistic pass (two
+    # driver threads driving Ray Data is the known small-CPU starvation
+    # regime) must not block the job. Racing is safe — compaction only
+    # ADDS run files (originals are never deleted) and finalize reads
+    # the explicit path list this thread computes, so a late background
+    # ledger commit can't invalidate files already chosen.
     if compact_thread is not None:
-        compact_thread.join()
+        compact_thread.join(timeout=300.0)
+        if compact_thread.is_alive():
+            import warnings
+            warnings.warn("background compaction still running after "
+                          "300 s; proceeding with the authoritative "
+                          "pre-finalize pass (idempotent)")
 
     # -- compaction tier: bound fragments-per-bucket before the reduce --------
     if cfg.compact_threshold is not None and any(

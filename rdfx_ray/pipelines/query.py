@@ -536,10 +536,12 @@ def property_path_plus(triples_ds, pred: str,
     - **broadcast** (edges fit the object store): the edge table is
       ``ray.put`` ONCE; each streaming batch of depth-1 edges chases
       its own subjects' chains to completion with in-batch polars
-      joins against the broadcast table — no shuffle at all, rounds
-      bounded by the longest path reachable from the batch. Every
-      closure pair (s, x) is produced exactly once, in the batch that
-      holds s's depth-1 edge.
+      joins against the broadcast table — rounds bounded by the
+      longest path reachable from the batch. A subject whose depth-1
+      edges span blocks chases the same chains in each of them, so a
+      single global ``groupby(subj, obj)`` distinct closes the set
+      semantics (closure size is bounded by the small edge set, so
+      this exchange stays small).
     - **distributed semi-naive** (edges over the cutoff): classic
       Datalog iteration — per round the frontier Δ joins the edge set
       through Ray Data's hash-shuffle ``Dataset.join``, new pairs are
@@ -589,7 +591,15 @@ def property_path_plus(triples_ds, pred: str,
                 frontier = nxt
             return acc.to_arrow().cast(out_schema)
 
-        return edges.map_batches(chase, batch_format="pyarrow")
+        from ray.data.aggregate import Count
+        # global distinct: a subject whose depth-1 edges landed in two
+        # different blocks produced its converging closure pairs twice
+        # (once per block) — batch-local dedup alone violates the
+        # documented set semantics (round-3 ADVICE item).
+        return (edges.map_batches(chase, batch_format="pyarrow")
+                .groupby(["subj", "obj"])
+                .aggregate(Count(alias_name="_n"))
+                .select_columns(["subj", "obj"]))
 
     # distributed semi-naive: acc/delta live as Datasets; per round one
     # hash-shuffle join (extend) + one left-outer anti-join (dedup)
@@ -598,12 +608,28 @@ def property_path_plus(triples_ds, pred: str,
             return b.rename_columns(names)
         return fn
 
+    def _parts(*side_rows: int) -> int:
+        # Ray's native hash join raises ``No match for FieldRef`` when
+        # a per-partition side comes up EMPTY (known bug, see
+        # CLAUDE.md). Clamp partitions so every partition expects
+        # >= 4096 rows from the SMALLER side: tiny frontiers collapse
+        # to one partition (trivially non-empty on both sides), large
+        # rounds keep ``num_partitions`` where an empty partition is
+        # statistically impossible.
+        return max(1, min(num_partitions, min(side_rows) // 4096 + 1))
+
+    # three consumers (hop table, acc seed, first frontier) — pin the
+    # edge blocks once so the upstream filter doesn't run three times
+    edges = edges.materialize()
+    ecnt = edges.count()
+    acc_cnt = ecnt
     hop_r = edges.map_batches(_rename(["_hs", "_ho"]),
                               batch_format="pyarrow")
     acc = edges
     delta = edges
+    dcnt = ecnt
     for _ in range(max_rounds):
-        nxt = (delta.join(hop_r, "inner", num_partitions,
+        nxt = (delta.join(hop_r, "inner", _parts(dcnt, ecnt),
                           on=("obj",), right_on=("_hs",))
                .select_columns(["subj", "_ho"])
                .map_batches(_rename(["subj", "obj"]),
@@ -617,22 +643,25 @@ def property_path_plus(triples_ds, pred: str,
                   .materialize())
         # an empty round must terminate BEFORE the anti-join: an empty
         # aggregate yields a schema-less block that breaks the join
-        if nxt.count() == 0:
+        ncnt = nxt.count()
+        if ncnt == 0:
             break
         marked = acc.map_batches(
             lambda b: b.append_column(
                 "_seen", pa.array(np.ones(b.num_rows, dtype=np.int8))),
             batch_format="pyarrow").map_batches(
             _rename(["_as", "_ao", "_seen"]), batch_format="pyarrow")
-        joined = nxt.join(marked, "left_outer", num_partitions,
+        joined = nxt.join(marked, "left_outer", _parts(ncnt, acc_cnt),
                           on=("subj", "obj"), right_on=("_as", "_ao"))
         delta = joined.map_batches(
             lambda b: b.filter(pc.is_null(b.column("_seen")))
                        .select(["subj", "obj"]),
             batch_format="pyarrow").materialize()
-        if delta.count() == 0:
+        dcnt = delta.count()
+        if dcnt == 0:
             break
         acc = acc.union(delta).materialize()
+        acc_cnt += dcnt
     return acc
 
 
@@ -956,15 +985,18 @@ def construct_bgp(triples_ds, filter_pred: str, filter_obj: str,
                   graph_iri: str = "urn:graph:derived", **kwargs):
     """SPARQL CONSTRUCT: ``CONSTRUCT { ?s <new_pred> ?vb } WHERE
     { ?s filter_pred filter_obj . ?s value_pred ?vb }`` → a NEW triple
-    stream in the engine's full triple schema (materialized-view /
-    inference-rule shape: the output feeds any pipeline that consumes
-    triples, e.g. the partitioned sink). Planning is the star-BGP
-    planner's (count-gated); the template rewrite is a vectorized
-    per-batch projection."""
+    stream carrying the engine's TERM columns (subj, pred, obj_kind,
+    obj_value, obj_datatype, obj_lang, graph_iri — the set the NT
+    renderer consumes; the extract pipeline's lineage columns
+    doc_rank/span_idx are intentionally absent, as CONSTRUCTed triples
+    have no source span). Planning is the star-BGP planner's
+    (count-gated); the template rewrite is a vectorized per-batch
+    projection."""
     out_schema = pa.schema([
         ("subj", pa.string()), ("pred", pa.string()),
         ("obj_kind", pa.string()), ("obj_value", pa.string()),
-        ("obj_datatype", pa.string()), ("graph_iri", pa.string()),
+        ("obj_datatype", pa.string()), ("obj_lang", pa.string()),
+        ("graph_iri", pa.string()),
     ])
 
     matched = star_bgp(triples_ds, [(filter_pred, filter_obj),
@@ -978,6 +1010,7 @@ def construct_bgp(triples_ds, filter_pred: str, filter_obj: str,
             "obj_kind": pa.array(np.repeat("literal", n), pa.string()),
             "obj_value": batch.column("vb"),
             "obj_datatype": pa.nulls(n, pa.string()),
+            "obj_lang": pa.nulls(n, pa.string()),
             "graph_iri": pa.array(np.repeat(graph_iri, n), pa.string()),
         }).cast(out_schema)
 

@@ -320,6 +320,33 @@ def test_property_path_plus_and_star(ray_session):
     assert len(s) == len(want) + len(nodes)
 
 
+def test_property_path_plus_cross_block_convergence(ray_session):
+    """A subject whose depth-1 edges span BLOCKS with chains that
+    converge on one node must still emit each closure pair once:
+    s->a (block 1) and s->b (block 2) both reach c, so both blocks'
+    chases produce (s, c) — the global distinct has to collapse them
+    (round-3 ADVICE regression)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rdfx_ray.pipelines.query import property_path_plus
+
+    def row(s, o):
+        return {"subj": s, "pred": "urn:p", "obj_kind": "iri",
+                "obj_value": o, "obj_datatype": None,
+                "graph_iri": "urn:g"}
+
+    blk1 = pd.DataFrame([row("urn:s", "urn:a"), row("urn:a", "urn:c")])
+    blk2 = pd.DataFrame([row("urn:s", "urn:b"), row("urn:b", "urn:c")])
+    ds = rd.from_pandas([blk1, blk2])
+    want = {("urn:s", "urn:a"), ("urn:s", "urn:b"), ("urn:s", "urn:c"),
+            ("urn:a", "urn:c"), ("urn:b", "urn:c")}
+    for kw in ({}, {"broadcast_cutoff_rows": 0, "num_partitions": 2}):
+        out = property_path_plus(ds, "urn:p", **kw).to_pandas()
+        assert set(zip(out["subj"], out["obj"])) == want
+        assert len(out) == len(want)  # (s, c) exactly once
+
+
 def test_property_path_plus_cycle_terminates(ray_session):
     """A cyclic edge set must terminate (anti-join dedup) and return
     the full closure — every node reaches every node in a 4-cycle."""
@@ -452,6 +479,7 @@ def test_sparql_modifier_shapes_match_duckdb(ray_session):
          "SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS subj, "
          "'urn:derived:langSource' AS pred, 'literal' AS obj_kind, "
          "source AS obj_value, CAST(NULL AS VARCHAR) AS obj_datatype, "
+         "CAST(NULL AS VARCHAR) AS obj_lang, "
          "'urn:graph:derived' AS graph_iri "
          "FROM documents WHERE lang = 'en'", ["subj"]),
         (group_concat_bgp(ds, SDO + "inLanguage", SDO + "isBasedOn"),
