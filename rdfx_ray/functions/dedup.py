@@ -733,10 +733,10 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.40,
         method = "broadcast" if n_rows <= broadcast_cutoff_rows else "ivf"
 
     if method == "broadcast":
+        from .similarity import _i64, _list_matrix
         tbl = _dataset_to_table(ds)
-        ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.asarray(tbl.column("embedding").to_pylist(),
-                         dtype=np.float32)
+        ids = _i64(tbl.column("vec_id"))
+        mat = _list_matrix(tbl.column("embedding"))
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.maximum(norms, 1e-12)
         ref = ray.put((ids, mat))
@@ -744,10 +744,9 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.40,
         def block_pairs(batch: pa.Table) -> pa.Table:
             from .broadcast import cached_get
             all_ids, all_mat = cached_get(ref)
-            bid = np.asarray(batch.column("vec_id").to_pylist(),
-                             dtype=np.int64)
-            bm = np.asarray(batch.column("embedding").to_pylist(),
-                            dtype=np.float32)
+            from .similarity import _i64, _list_matrix
+            bid = _i64(batch.column("vec_id"))
+            bm = _list_matrix(batch.column("embedding"))
             bm = bm / np.maximum(
                 np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
             sims = bm @ all_mat.T
@@ -769,10 +768,9 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.40,
         def assign(batch: pa.Table) -> pa.Table:
             from .broadcast import cached_get
             cent = cached_get(cent_ref)
-            bid = np.asarray(batch.column("vec_id").to_pylist(),
-                             dtype=np.int64)
-            bm = np.asarray(batch.column("embedding").to_pylist(),
-                            dtype=np.float32)
+            from .similarity import _i64, _list_matrix
+            bid = _i64(batch.column("vec_id"))
+            bm = _list_matrix(batch.column("embedding"))
             bm = bm / np.maximum(
                 np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
             k = min(assign_lists, len(cent))

@@ -30,13 +30,38 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _list_matrix(col, dtype=np.float32) -> np.ndarray:
+    """Arrow ``list<float>`` column → (n, dim) numpy matrix without
+    per-row Python objects: ``flatten()`` exposes the contiguous value
+    buffer (honoring offsets/slices; works for list, large_list and
+    fixed_size_list), one ``to_numpy`` views it, and the reshape is
+    free. Replaces the old ``to_pylist()`` path, which materialized
+    n×dim Python floats per batch (round-3 VERDICT minor #6).
+    Embeddings are fixed-dim and non-null by contract — a ragged
+    column surfaces as the reshape error."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(dtype, copy=False).reshape(n, -1)
+
+
+def _i64(col) -> np.ndarray:
+    """Arrow integer column → int64 numpy array, no Python objects."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+
 def default_queries(sf_dir: str, n_queries: int = 4) -> np.ndarray:
     """Deterministic query vectors: the first n embeddings (bounded
     read — only the first row group's head rows leave storage)."""
     import pyarrow.parquet as pq
     f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     head = next(f.iter_batches(batch_size=n_queries, columns=["embedding"]))
-    return np.asarray(head.column("embedding").to_pylist(), dtype=np.float32)
+    return _list_matrix(head.column("embedding"))
 
 
 def _merge_partial_topk(partials_ds, k: int) -> pa.Table:
@@ -73,9 +98,8 @@ def brute_topk(sf_dir: str, queries: Optional[np.ndarray] = None,
     def partial_topk(batch: pa.Table) -> pa.Table:
         from .broadcast import cached_get
         q = cached_get(qref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        m = _normalize(np.asarray(batch.column("embedding").to_pylist(),
-                                  dtype=np.float32))
+        ids = _i64(batch.column("vec_id"))
+        m = _normalize(_list_matrix(batch.column("embedding")))
         sims = q @ m.T                                  # (nq, batch)
         kk = min(k, sims.shape[1])
         idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
@@ -152,8 +176,7 @@ class IvfIndex:
         sample = pa.concat_tables(list(
             ds.limit(max_train).iter_batches(batch_size=1 << 20,
                                              batch_format="pyarrow")))
-        mat = _normalize(np.asarray(sample.column("embedding").to_pylist(),
-                                    dtype=np.float32))
+        mat = _normalize(_list_matrix(sample.column("embedding")))
         rng = np.random.default_rng(seed)
         init = rng.choice(len(mat), size=min(n_lists, len(mat)),
                           replace=False)
@@ -171,10 +194,8 @@ class IvfIndex:
         def assign_write(batch: pa.Table) -> pa.Table:
             from .broadcast import cached_get
             centroids = cached_get(cent_ref)
-            ids = np.asarray(batch.column("vec_id").to_pylist(),
-                             dtype=np.int64)
-            m = _normalize(np.asarray(batch.column("embedding").to_pylist(),
-                                      dtype=np.float32))
+            ids = _i64(batch.column("vec_id"))
+            m = _normalize(_list_matrix(batch.column("embedding")))
             lst = np.argmax(m @ centroids.T, axis=1).astype(np.int32)
             order = np.argsort(lst, kind="stable")
             stats = {"list_id": [], "path": [], "rows": []}
@@ -252,12 +273,9 @@ class IvfIndex:
         def partial_topk(batch: pa.Table) -> pa.Table:
             from .broadcast import cached_get
             q, allowed = cached_get(qref)
-            ids = np.asarray(batch.column("vec_id").to_pylist(),
-                             dtype=np.int64)
-            lists = np.asarray(batch.column("list_id").to_pylist(),
-                               dtype=np.int64)
-            m = np.asarray(batch.column("embedding").to_pylist(),
-                           dtype=np.float32)  # stored normalized
+            ids = _i64(batch.column("vec_id"))
+            lists = _i64(batch.column("list_id"))
+            m = _list_matrix(batch.column("embedding"))  # stored normalized
             sims = q @ m.T                                # (nq, batch)
             sims = np.where(allowed[:, lists], sims, -2.0)
             kk = min(k, sims.shape[1])
@@ -340,10 +358,8 @@ class LshIndex:
         def assign_write(batch: pa.Table) -> pa.Table:
             from .broadcast import cached_get
             pl_ = cached_get(pref)
-            ids = np.asarray(batch.column("vec_id").to_pylist(),
-                             dtype=np.int64)
-            m = _normalize(np.asarray(
-                batch.column("embedding").to_pylist(), dtype=np.float32))
+            ids = _i64(batch.column("vec_id"))
+            m = _normalize(_list_matrix(batch.column("embedding")))
             code = cls._codes(m, pl_)
             order = np.argsort(code, kind="stable")
             stats = {"list_id": [], "path": [], "rows": []}
@@ -435,12 +451,9 @@ class LshIndex:
         def partial_topk(batch: pa.Table) -> pa.Table:
             from .broadcast import cached_get
             q, allowed = cached_get(qref)
-            ids = np.asarray(batch.column("vec_id").to_pylist(),
-                             dtype=np.int64)
-            lists = np.asarray(batch.column("list_id").to_pylist(),
-                               dtype=np.int64)
-            m = np.asarray(batch.column("embedding").to_pylist(),
-                           dtype=np.float32)   # stored normalized
+            ids = _i64(batch.column("vec_id"))
+            lists = _i64(batch.column("list_id"))
+            m = _list_matrix(batch.column("embedding"))  # stored normalized
             sims = q @ m.T
             sims = np.where(allowed[:, lists], sims, -2.0)
             kk = min(k, sims.shape[1])
@@ -567,10 +580,8 @@ def brute_topk_quantized(sf_dir: str, n_queries: int = 4, k: int = 10):
 
         from .broadcast import cached_get
         qn = cached_get(qref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(),
-                         dtype=np.int64)
-        m = np.asarray(batch.column("embedding").to_pylist(),
-                       dtype=np.float64)
+        ids = _i64(batch.column("vec_id"))
+        m = _list_matrix(batch.column("embedding"), dtype=np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         sims = qn @ m.T                                   # (nq, batch)
         cos_1e6 = np.floor(sims * 1_000_000 + 0.5).astype(np.int64)
@@ -626,10 +637,8 @@ def label_centroids(sf_dir: str, scale: int = 1_000_000):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        labels = np.asarray(batch.column("label").to_pylist(),
-                            dtype=np.int64)
-        m = np.asarray(batch.column("embedding").to_pylist(),
-                       dtype=np.float64)
+        labels = _i64(batch.column("label"))
+        m = _list_matrix(batch.column("embedding"), dtype=np.float64)
         q = np.floor(m * scale + 0.5).astype(np.int64)
         uniq, inv = np.unique(labels, return_inverse=True)
         sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
@@ -697,10 +706,8 @@ def pair_sim_histogram(sf_dir: str, bucket_q: int = 50_000):
     import pyarrow.parquet as pq
     all_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
-    all_ids = np.asarray(all_tbl.column("vec_id").to_pylist(),
-                         dtype=np.int64)
-    mat = np.asarray(all_tbl.column("embedding").to_pylist(),
-                     dtype=np.float64)
+    all_ids = _i64(all_tbl.column("vec_id"))
+    mat = _list_matrix(all_tbl.column("embedding"), dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     ref = ray.put((all_ids, mat))
 
@@ -709,10 +716,8 @@ def pair_sim_histogram(sf_dir: str, bucket_q: int = 50_000):
 
     def partial(batch: pa.Table) -> pa.Table:
         ids_all, m_all = cached_get(ref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(),
-                         dtype=np.int64)
-        m = np.asarray(batch.column("embedding").to_pylist(),
-                       dtype=np.float64)
+        ids = _i64(batch.column("vec_id"))
+        m = _list_matrix(batch.column("embedding"), dtype=np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         sims = m @ m_all.T                           # (batch, N)
         q = np.floor(sims * 1_000_000 + 0.5).astype(np.int64)
