@@ -799,6 +799,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # string mode pinned by test)
         "corpus_decontaminate_hashed":
             lambda sf: _packing().decontaminate(sf, hashed=True),
+        # 100-TB mode: winnowing fingerprints (window-min of the
+        # rolling-hash stream) — ~2/(w+1) of the hashed mode's rows;
+        # n_shared counts shared fingerprints (detection report);
+        # flag parity on planted long overlaps pinned by test
+        "corpus_decontaminate_winnow":
+            lambda sf: _packing().decontaminate(sf, hashed=True,
+                                                winnow_window=16),
         # dedup family
         "dedup_exact": lambda sf: dedup.exact_dedup(sf),
         "dedup_minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),

@@ -242,14 +242,18 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 20,
       ``large_route="sharded"`` — the Pregel layout of
       ``pagerank_sharded`` (edges AND rank both sharded; per-round
       bytes = partial dst sums only). ``large_route="join"`` keeps
-      the Dataset-join route below as the API-level twin:
-      the rank table lives as a Dataset keyed by node.
-      Per round: one hash-shuffle join attaches ranks to edges on
-      ``src``, per-batch contributions fold via partial sums into a
-      ``groupby(dst).sum`` (the only O(edges) exchange), and a
-      left-outer join writes the new rank table (nodes with no
-      in-edges keep the teleport+dangling base). Dangling mass is a
-      streaming scalar aggregate per round. State per round is the
+      the Dataset route below as the API-level twin: the rank table
+      lives as a Dataset keyed by node. Edges are hash(src)-bucketed
+      ONCE into object-store tables (the round-3 "join-route byte
+      halving" item); per round only the O(nodes) rank-weight table
+      re-buckets — each bucket group joins locally against its
+      pinned edge table (plasma read, zero-copy within a node) and
+      pre-folds its (dst, c) partials, so the former per-round
+      O(edges) join exchange is gone and the only O(≤edges) movement
+      left is the contribution ``groupby(dst).sum``. A left-outer
+      join writes the new rank table (nodes with no in-edges keep
+      the teleport+dangling base); dangling mass is a streaming
+      scalar aggregate per round. State per round is the
       (node, rank, outdeg) table — O(nodes), never O(edges) on the
       driver.
 
@@ -285,7 +289,12 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 20,
         })
 
     # ---- distributed routes -----------------------------------------------
-    edges = edges_ds.materialize()
+    # normalize to ARROW blocks first: a pandas-backed edge Dataset
+    # (e.g. straight out of from_pandas) makes the sort-shuffle
+    # aggregate plane ~50× slower (measured 7 s vs >240 s on a 1M-row
+    # string groupby) — every aggregate below keys on these blocks
+    edges = edges_ds.map_batches(
+        lambda b: b, batch_format="pyarrow").materialize()
 
     nodes = (edges.select_columns(["src"])
              .map_batches(lambda b: b.rename_columns(["node"]),
@@ -301,7 +310,6 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 20,
     if n <= pinned_nodes_cutoff:
         # pinned-edges route: rank vector fits one machine; edges are
         # adopted by actors once and never re-shuffled
-        import pandas as pd
         node_arr = pa.concat_tables(list(nodes.iter_batches(
             batch_size=1 << 20, batch_format="pyarrow"))) \
             .column("node").to_pylist()
@@ -317,9 +325,13 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 20,
     if large_route == "sharded":
         return pagerank_sharded(edges, damping=damping, n_iter=n_iter)
 
+    # materialize BEFORE the join: a JoinOperator fed by a lazy
+    # Aggregate in the same plan starves (measured 54 s vs 1.5 s on a
+    # 20k-row join — the stacked-operator hazard, same family as the
+    # triangle_count note)
     deg = deg_raw.map_batches(
         lambda b: b.rename_columns(["_node_r", "outdeg"]),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     ranks = (nodes.join(deg, "left_outer", num_partitions,
                         on=("node",), right_on=("_node_r",))
              .map_batches(
@@ -334,46 +346,158 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 20,
                                       pa.float64())}),
                  batch_format="pyarrow").materialize())
 
+    # bucket the edge set by hash(src) ONCE: each bucket becomes one
+    # object-store arrow table (ray.put inside the map_groups task —
+    # the putting worker owns the object and Ray keeps owner processes
+    # alive while their objects are referenced). Per round, only the
+    # rank-weight table re-buckets; each bucket's join runs locally
+    # against its pinned edge table.
+    B = num_partitions
+
+    def _tag_src(b: pa.Table) -> pa.Table:
+        jb = _owner_of(b.column("src").to_pylist(), B)
+        return b.append_column("_jb", pa.array(jb, pa.int64()))
+
+    def _adopt(g: pd.DataFrame) -> pd.DataFrame:
+        t = pa.table({"src": pa.array(g["src"], pa.string()),
+                      "dst": pa.array(g["dst"], pa.string())})
+        # list-wrapped so the ref survives the dataframe round-trip
+        # as a REF (top-level ObjectRef args auto-deref; cell values
+        # inside blocks keep their identity)
+        return pd.DataFrame({"jb": [int(g["_jb"].iloc[0])],
+                             "ref": [[ray.put(t)]]})
+
+    adopted = (edges.map_batches(_tag_src, batch_format="pyarrow")
+               .groupby("_jb").map_groups(_adopt, batch_format="pandas")
+               .to_pandas())  # B rows: one (bucket, ref) each
+    bucket_refs = {int(r.jb): r.ref[0] for r in adopted.itertuples()}
+    bref = ray.put(bucket_refs)
+
+    # union-plane schema: rank rows (kind 0) carry outdeg; contrib
+    # rows (kind 1) carry the presummed partial c; _jb keys the ONE
+    # int64-bucket exchange per round (string keys never enter the
+    # shuffle plane — a 1M-row string aggregate measures ~7 s where
+    # the int64-bucket exchange measures ~0.7 s)
+    union_schema = pa.schema([
+        ("node", pa.string()), ("outdeg", pa.float64()),
+        ("c", pa.float64()), ("kind", pa.int8()),
+        ("_jb", pa.int64())])
+
+    def _rank_side(b: pa.Table) -> pa.Table:
+        names = b.column("node").to_pylist()
+        n_rows = b.num_rows
+        return pa.table({
+            "node": b.column("node"),
+            "outdeg": b.column("outdeg"),
+            "c": pa.array(np.zeros(n_rows), pa.float64()),
+            "kind": pa.array(np.zeros(n_rows, np.int8)),
+            "_jb": pa.array(_owner_of(names, B), pa.int64()),
+        }).cast(union_schema)
+
+    def _contrib_batch(b: pa.Table) -> pa.Table:
+        """One rank block → presummed (dst, c) partials tagged with
+        the DST owner bucket: the block's rows group by src-bucket
+        locally and join each slice against its PINNED edge table
+        (plasma read; the polars-converted table is cached per
+        worker+ref in _pl_bucket_cache — bounded by edges/B × the
+        buckets this worker touches; pagerank_sharded remains the
+        default scale path)."""
+        import polars as pl
+
+        from .broadcast import cached_get
+        refs = cached_get(bref)
+        deg = b.column("outdeg").to_numpy()
+        keep = deg > 0.0  # dangling rows contribute nothing
+        t = b.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return union_schema.empty_table()
+        names = np.asarray(t.column("node").to_pylist(), dtype=object)
+        w = (t.column("rank").to_numpy(zero_copy_only=False)
+             / t.column("outdeg").to_numpy(zero_copy_only=False))
+        jb = _owner_of(names, B)
+        order = np.argsort(jb, kind="stable")
+        jb_s, names_s, w_s = jb[order], names[order], w[order]
+        bounds = np.flatnonzero(np.concatenate(
+            [[True], jb_s[1:] != jb_s[:-1]]))
+        bounds = np.append(bounds, len(jb_s))
+        outs = []
+        for i in range(len(bounds) - 1):
+            s, e = bounds[i], bounds[i + 1]
+            ref = refs.get(int(jb_s[s]))
+            if ref is None:
+                continue
+            key = ref.hex()
+            et = _pl_bucket_cache.get(key)
+            if et is None:
+                et = pl.from_arrow(ray.get(ref))
+                _pl_bucket_cache[key] = et
+            r = pl.DataFrame({"src": names_s[s:e], "w": w_s[s:e]})
+            j = et.join(r, on="src", how="inner")
+            # per-slice presum: ≤ distinct dst rows move on
+            outs.append(j.group_by("dst")
+                        .agg(pl.col("w").sum().alias("c")))
+        if not outs:
+            return union_schema.empty_table()
+        out = pl.concat(outs)
+        dsts = np.asarray(out["dst"].to_numpy(), dtype=object)
+        n_rows = len(dsts)
+        return pa.table({
+            "node": pa.array(dsts, pa.string()),
+            "outdeg": pa.array(np.zeros(n_rows), pa.float64()),
+            "c": pa.array(out["c"].to_numpy(), pa.float64()),
+            "kind": pa.array(np.ones(n_rows, np.int8)),
+            "_jb": pa.array(_owner_of(dsts, B), pa.int64()),
+        }).cast(union_schema)
+
+    def _dangle_partial(b: pa.Table) -> pa.Table:
+        deg = b.column("outdeg").to_numpy()
+        r = b.column("rank").to_numpy()
+        return pa.table({"d": pa.array([float(r[deg == 0.0].sum())],
+                                       pa.float64())})
+
+    rank_schema = pa.schema([
+        ("node", pa.string()), ("outdeg", pa.float64()),
+        ("rank", pa.float64())])
+
     for _ in range(n_iter):
-        dangling = sum(
-            bt.column("rank").to_numpy()[
-                bt.column("outdeg").to_numpy() == 0.0].sum()
-            for bt in ranks.iter_batches(batch_size=1 << 20,
-                                         batch_format="pyarrow"))
-        contrib_src = (ranks.map_batches(
-            lambda b: pa.table({
-                "src_r": b.column("node"),
-                "w": pa.array(
-                    b.column("rank").to_numpy()
-                    / np.maximum(b.column("outdeg").to_numpy(), 1.0),
-                    pa.float64())}),
-            batch_format="pyarrow"))
-        contribs = (edges.join(contrib_src, "inner", num_partitions,
-                               on=("src",), right_on=("src_r",))
-                    .map_batches(
-                        lambda b: pa.table({
-                            "node": b.column("dst"),
-                            "c": b.column("w")}),
-                        batch_format="pyarrow")
-                    .groupby("node").aggregate(Sum("c", alias_name="c"))
-                    .map_batches(
-                        lambda b: b.rename_columns(["_node_r", "c"]),
-                        batch_format="pyarrow"))
+        # per-block partials only reach the driver (O(blocks) floats),
+        # never the O(nodes) rank rows
+        dangling = float(ranks.map_batches(
+            _dangle_partial, batch_format="pyarrow").sum("d") or 0.0)
         base = (1.0 - damping) / n + damping * dangling / n
 
-        def fold(b: pa.Table, base=base) -> pa.Table:
-            c = np.nan_to_num(b.column("c").to_numpy(
-                zero_copy_only=False).astype(np.float64))
-            return pa.table({
-                "node": b.column("node"),
-                "outdeg": b.column("outdeg"),
-                "rank": pa.array(base + damping * c, pa.float64()),
+        def update_bucket(g: pd.DataFrame, base=base) -> pd.DataFrame:
+            r = g.loc[g["kind"] == 0, ["node", "outdeg"]]
+            c = (g.loc[g["kind"] == 1, ["node", "c"]]
+                 .groupby("node", as_index=False)["c"].sum())
+            m = r.merge(c, on="node", how="left")
+            csum = np.nan_to_num(m["c"].to_numpy(np.float64))
+            return pd.DataFrame({
+                "node": m["node"].to_numpy(),
+                "outdeg": m["outdeg"].to_numpy(np.float64),
+                "rank": base + damping * csum,
             })
 
-        ranks = (ranks.select_columns(["node", "outdeg"])
-                 .join(contribs, "left_outer", num_partitions,
-                       on=("node",), right_on=("_node_r",))
-                 .map_batches(fold, batch_format="pyarrow")
+        # the ONE exchange per round: rank rows ∪ presummed contrib
+        # rows, co-located by the int64 node-owner bucket; per-bucket
+        # local merge computes the new ranks (no JoinOperator, no
+        # string keys in the shuffle plane). The trailing
+        # repartition(B) is load-bearing: union DOUBLES the block
+        # count and sort preserves it, so without the cap blocks grow
+        # 2^round — by round ~10 the sort plans over thousands of
+        # near-empty blocks and its fixed per-block cost dominates
+        # (measured: a 500-node 10-round run blew past 400 s and a
+        # 13 GB driver-memory estimate; with the cap it is seconds).
+        ranks = (ranks.map_batches(_rank_side, batch_format="pyarrow",
+                                   batch_size=None)
+                 .union(ranks.map_batches(_contrib_batch,
+                                          batch_format="pyarrow",
+                                          batch_size=None))
+                 .groupby("_jb")
+                 .map_groups(update_bucket, batch_format="pandas")
+                 .map_batches(lambda b: b.cast(rank_schema),
+                              batch_format="pyarrow")
+                 .repartition(B)
                  .materialize())
 
     return ranks.map_batches(
@@ -400,6 +524,11 @@ def citation_pagerank(sf_dir: str, n_iter: int = 20) -> "object":
 # ---------------------------------------------------------------------------
 # Pregel-sharded PageRank — the distributed-rank scale route
 # ---------------------------------------------------------------------------
+
+
+# per-worker cache of polars-converted edge-bucket tables for the
+# pagerank join route (keyed by object-ref hex; see _contrib_batch)
+_pl_bucket_cache: Dict[str, "object"] = {}
 
 
 def _owner_of(names, n_shards: int) -> np.ndarray:

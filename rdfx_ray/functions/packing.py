@@ -222,6 +222,7 @@ DECONTAMINATE_BROADCAST_CUTOFF = 2_000_000
 
 def decontaminate(sf_dir: str, n: int = 8, test_pct: int = SPLIT_PCT,
                   hashed: bool = False,
+                  winnow_window: int | None = None,
                   broadcast_cutoff: int = DECONTAMINATE_BROADCAST_CUTOFF):
     """Test-set decontamination: test docs sharing at least one word
     ``n``-gram with ANY train doc → (doc_id, n_shared) with the count
@@ -258,10 +259,26 @@ def decontaminate(sf_dir: str, n: int = 8, test_pct: int = SPLIT_PCT,
     everything only ever compares hashes produced in the same run).
     The string form is what the DuckDB oracle replays exactly; the
     equality of the two modes' results is pinned by test.
+
+    ``winnow_window=w`` (requires ``hashed=True``) goes one step
+    further for 100-TB corpora: instead of carrying EVERY gram hash,
+    each doc keeps only its winnowing fingerprints — the minimum hash
+    of every ``w``-gram sliding window (Schleimer et al.'s winnowing
+    guarantee: any shared token run of length ≥ ``w + n - 1`` still
+    produces at least one shared selected fingerprint, so long
+    contaminating overlaps are always flagged). Row volume drops to
+    ~``2/(w+1)`` of the hashed mode's; ``n_shared`` then counts
+    shared FINGERPRINTS, not grams — a detection report, not the
+    oracle-exact overlap count (flag parity on planted long overlaps
+    is test-pinned).
     """
     import ray
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
+
+    if winnow_window is not None and not hashed:
+        raise ValueError("winnow_window requires hashed=True (winnowing "
+                         "selects minima over the rolling-hash stream)")
 
     # hashed grams travel as int64 (the same 64 bits reinterpreted):
     # Ray's hash aggregate/join plane handles uint64 keys by falling
@@ -290,8 +307,33 @@ def decontaminate(sf_dir: str, n: int = 8, test_pct: int = SPLIT_PCT,
             for i in range(n):
                 acc = acc * C + h[i:i + m]
             valid = doc[:m] == doc[n - 1:]
-            out = pl.DataFrame({"doc_id": doc[:m][valid],
-                                "g": acc[valid].view(np.int64)}).unique()
+            doc_v, acc_v = doc[:m][valid], acc[valid]
+            if winnow_window is not None and len(doc_v):
+                # per-doc winnowing: grams arrive contiguous per doc
+                # (one doc = one input row), so segment boundaries are
+                # doc changes; within a segment, the min hash of every
+                # w-window is selected (vectorized sliding window +
+                # argmin; 64-bit ties are ~impossible, first-min kept)
+                w = int(winnow_window)
+                seg_starts = np.flatnonzero(np.concatenate(
+                    [[True], doc_v[1:] != doc_v[:-1]]))
+                seg_ends = np.concatenate([seg_starts[1:], [len(doc_v)]])
+                d_parts, g_parts = [], []
+                for s, e in zip(seg_starts, seg_ends):
+                    seg = acc_v[s:e]
+                    if len(seg) <= w:
+                        pos = np.array([int(np.argmin(seg))])
+                    else:
+                        win = np.lib.stride_tricks \
+                            .sliding_window_view(seg, w)
+                        pos = np.unique(np.argmin(win, axis=1)
+                                        + np.arange(len(win)))
+                    d_parts.append(np.full(len(pos), doc_v[s]))
+                    g_parts.append(seg[pos])
+                doc_v = np.concatenate(d_parts)
+                acc_v = np.concatenate(g_parts)
+            out = pl.DataFrame({"doc_id": doc_v,
+                                "g": acc_v.view(np.int64)}).unique()
         else:
             parts = [pl.col("w")] + [
                 pl.col("w").shift(-i).over("doc_id") for i in range(1, n)]

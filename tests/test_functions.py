@@ -904,6 +904,53 @@ def test_decontaminate_join_route_matches_broadcast(ray_session):
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_decontaminate_winnow_flags_planted_overlap(ray_session, tmp_path):
+    """Winnowing mode keeps only window-min fingerprints, so its
+    shared-gram rows are a SUBSET of the hashed mode's — but any
+    planted contiguous overlap of >= window + n - 1 tokens is
+    guaranteed a shared fingerprint (the winnowing property), so the
+    planted contaminated doc is flagged by both modes; clean docs by
+    neither."""
+    import hashlib as _hl
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdfx_ray.functions.packing import decontaminate
+
+    def is_test(doc_id: int) -> bool:
+        return int(_hl.md5(str(doc_id).encode()).hexdigest()[:8],
+                   16) % 100 < 10
+
+    test_ids = [i for i in range(200) if is_test(i)]
+    train_ids = [i for i in range(200) if not is_test(i)]
+    shared = " ".join(f"tok{j}" for j in range(40))  # 40 >> 16+8-1
+    rows = {tid: f"unique{tid} " * 12 for tid in test_ids[:3]}
+    rows[test_ids[0]] = f"lead{test_ids[0]} {shared} tail"
+    docs = ([{"doc_id": t, "text": rows[t]} for t in test_ids[:3]]
+            + [{"doc_id": train_ids[0],
+                "text": f"trainlead {shared} trailing words here"}]
+            + [{"doc_id": t, "text": f"noise{t} words only " * 6}
+               for t in train_ids[1:4]])
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(docs)),
+                   tmp_path / "documents.parquet")
+
+    hashed = decontaminate(str(tmp_path), hashed=True).to_pandas()
+    winnow = decontaminate(str(tmp_path), hashed=True,
+                           winnow_window=16).to_pandas()
+    assert set(hashed["doc_id"]) == {test_ids[0]}
+    assert set(winnow["doc_id"]) == {test_ids[0]}
+    # fingerprint subset: winnow counts a subset of the shared grams
+    w_n = int(winnow.set_index("doc_id").loc[test_ids[0], "n_shared"])
+    h_n = int(hashed.set_index("doc_id").loc[test_ids[0], "n_shared"])
+    assert 1 <= w_n <= h_n
+    # invalid combination rejected
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        decontaminate(str(tmp_path), winnow_window=16)
+
+
 def test_curate_and_bloom_scale_routes_agree(ray_session):
     """The join-based scale routes (forced via broadcast_cutoff=0) of
     the curation keeper filter and the bloom-join verify return rows

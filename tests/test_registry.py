@@ -11,6 +11,8 @@ ROWS_ONLY = {
     "ann_ivf_topk": "approximate (recall + full-probe==brute pinned)",
     "ann_lsh_topk": "approximate (full-ball==brute pinned)",
     "corpus_decontaminate_hashed": "uint64 rolling hash (string twin oracled)",
+    "corpus_decontaminate_winnow":
+        "winnowing fingerprint subset (flag parity test-pinned)",
     "dedup_corpus": "composition incl. LSH candidates",
     "dedup_embedding_pairs": "IVF bucketing not SQL-expressible",
     "dedup_minhash_pairs": "minhash signatures not SQL-expressible",
