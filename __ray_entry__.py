@@ -151,6 +151,31 @@ def _orders_price_rank(sf_dir: str):
     return orders_price_rank(sf_dir)
 
 
+def _r4():
+    """Round-4 analytics module (sampling / unpivot / cross join /
+    grouping sets / MAD / order-statistic filter)."""
+    from rdfx_ray.pipelines import analytics_r4
+    return analytics_r4
+
+
+def _orders_percent_rank(sf_dir: str):
+    """PERCENT_RANK / CUME_DIST for every order within its priority —
+    the same value-bucket co-location machinery as orders_price_rank,
+    integer-scaled at 1e9 (pipelines/rank.py)."""
+    from rdfx_ray.pipelines.rank import orders_percent_rank
+
+    return orders_percent_rank(sf_dir)
+
+
+def _citation_bfs_depth(sf_dir: str):
+    """Iterative frontier BFS over the citation chains: min hop count
+    to each chain root, count-gated driver numpy vs Dataset frontier
+    loop (functions/components.py; oracle = recursive CTE)."""
+    from rdfx_ray.functions.components import citation_bfs_depth
+
+    return citation_bfs_depth(sf_dir)
+
+
 def _customer_triangles(sf_dir: str):
     """Triangle count over the deterministic derived customer chain
     graph — bucketed wedge generation + distinct-key closing join
@@ -772,6 +797,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: analytics_ext.users_type_intersect(sf),
         "events_users_except":
             lambda sf: analytics_ext.users_type_except(sf),
+        # round-4 additions: sampling / reshape / cross join /
+        # grouping sets / robust stats / order-statistic filter
+        "docs_sample_hash":
+            lambda sf: _r4().docs_sample_hash(sf),
+        "events_stratified_sample":
+            lambda sf: _r4().events_stratified_sample(sf),
+        "orders_unpivot": lambda sf: _r4().orders_unpivot(sf),
+        "nation_region_cross":
+            lambda sf: _r4().nation_region_cross(sf),
+        "docs_grouping_sets":
+            lambda sf: _r4().docs_grouping_sets(sf),
+        "orders_price_mad": lambda sf: _r4().orders_price_mad(sf),
+        "events_above_p95": lambda sf: _r4().events_above_p95(sf),
+        # PERCENT_RANK / CUME_DIST (full-table window, integer-scaled)
+        "orders_percent_rank": _orders_percent_rank,
+        # iterative frontier BFS (min-hop depth to chain roots)
+        "citation_bfs_depth": _citation_bfs_depth,
         # text analysis
         "text_token_stats": lambda sf: text.token_stats(sf),
         "text_fingerprints": lambda sf: text.fingerprints(sf),
@@ -848,7 +890,13 @@ def oracle_sql() -> dict[str, str]:
     from rdfx_ray.pipelines.rangejoin import (
         EVENTS_IN_ORDER_WINDOWS_SQL as _RANGEJOIN_SQL,
     )
-    from rdfx_ray.pipelines.rank import ORDERS_PRICE_RANK_SQL as _RANK_SQL
+    from rdfx_ray.pipelines.rank import (
+        ORDERS_PERCENT_RANK_SQL as _PRANK_SQL,
+        ORDERS_PRICE_RANK_SQL as _RANK_SQL,
+    )
+    from rdfx_ray.pipelines import analytics_r4 as _R4
+    from rdfx_ray.functions.components import _citation_bfs_sql
+    _BFS_SQL = _citation_bfs_sql()
     from rdfx_ray.functions.graph import (
         CUSTOMER_CLUSTERING_SQL as _CLUST_SQL,
         CUSTOMER_LOCAL_CLUSTERING_SQL as _LOCAL_CLUST_SQL,
@@ -1092,6 +1140,16 @@ def oracle_sql() -> dict[str, str]:
         "events_cohort_retention": _EXT.EVENTS_COHORT_RETENTION_SQL,
         "tpch_q3ish": _EXT.TPCH_Q3ISH_SQL,
         "events_users_except": _EXT.USERS_TYPE_EXCEPT_SQL,
+        "docs_sample_hash": _R4.DOCS_SAMPLE_HASH_SQL,
+        "events_stratified_sample":
+            _R4.EVENTS_STRATIFIED_SAMPLE_SQL,
+        "orders_unpivot": _R4.ORDERS_UNPIVOT_SQL,
+        "nation_region_cross": _R4.NATION_REGION_CROSS_SQL,
+        "docs_grouping_sets": _R4.DOCS_GROUPING_SETS_SQL,
+        "orders_price_mad": _R4.ORDERS_PRICE_MAD_SQL,
+        "events_above_p95": _R4.EVENTS_ABOVE_P95_SQL,
+        "orders_percent_rank": _PRANK_SQL,
+        "citation_bfs_depth": _BFS_SQL,
         "kg_query_ask": """
             SELECT 'lang_en' AS probe,
                    CAST(CASE WHEN EXISTS (SELECT 1 FROM documents

@@ -522,6 +522,158 @@ def citation_pagerank(sf_dir: str, n_iter: int = 20) -> "object":
 
 
 # ---------------------------------------------------------------------------
+# BFS shortest-path depth — the iterative frontier operator
+# ---------------------------------------------------------------------------
+
+BFS_DRIVER_CUTOFF = 2_000_000
+
+
+def bfs_depth(edges_ds, max_rounds: int = 64, num_partitions: int = 16,
+              driver_cutoff: int = BFS_DRIVER_CUTOFF):
+    """Multi-source BFS depth along ``src → dst``: each node's minimum
+    hop count to ANY sink (a node with no outgoing edge) →
+    (node, depth) Dataset. Nodes on sink-free cycles never acquire a
+    depth and are absent — exactly the rows a recursive-CTE oracle
+    reaches (the SQL twin below).
+
+    Count-gated routes (house rule):
+
+    - edges ≤ ``driver_cutoff``: one numpy pass per level on the
+      driver (searchsorted node index, vectorized frontier
+      relaxation) — the route-agreement oracle.
+    - above: Dataset-native frontier iteration. Per round the FRONTIER
+      (just-labelled nodes, bounded by level width — never the full
+      depth table) hash-joins the pinned edge set, candidate parents
+      union-min-fold into the depth Dataset, and the next frontier is
+      the ``dep == r`` filter. Partitions clamp per the tiny-frontier
+      rule (empty right partitions crash Ray's hash join, CLAUDE.md);
+      a trailing ``repartition`` caps union block growth (the
+      pagerank lesson: union doubles blocks per round).
+
+    Driver state in the large route is O(1) per round (two counters);
+    depth/frontier stay Datasets end to end.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    edges = edges_ds.map_batches(
+        lambda b: b.select(["src", "dst"]),
+        batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    out_schema = pa.schema([("node", pa.string()),
+                            ("dep", pa.int64())])
+    if n_edges == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    if n_edges <= driver_cutoff:
+        t = pa.concat_tables(list(edges.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")))
+        src = np.asarray(t.column("src").to_pylist(), dtype=object)
+        dst = np.asarray(t.column("dst").to_pylist(), dtype=object)
+        nodes = np.unique(np.concatenate([src, dst]))
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        dep = np.full(len(nodes), -1, np.int64)
+        has_out = np.zeros(len(nodes), bool)
+        has_out[si] = True
+        dep[~has_out] = 0
+        for r in range(1, max_rounds + 1):
+            hit = (dep[di] == r - 1) & (dep[si] < 0)
+            if not hit.any():
+                break
+            dep[si[hit]] = r
+        keep = dep >= 0
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes[keep].tolist(), pa.string()),
+            "dep": pa.array(dep[keep], pa.int64())}))
+
+    def _parts(*side_rows: int) -> int:
+        return max(1, min(num_partitions,
+                          min(side_rows) // 4096 + 1))
+
+    # sinks: one fold — (node, has_out) rows from both endpoints,
+    # Max picks up any outgoing edge
+    def endpoints(b: pa.Table) -> pa.Table:
+        ns, nd = b.column("src"), b.column("dst")
+        return pa.table({
+            "node": pa.chunked_array([ns, nd]).combine_chunks(),
+            "has_out": pa.array(
+                np.concatenate([np.ones(len(ns), np.int8),
+                                np.zeros(len(nd), np.int8)])),
+        })
+
+    def seed_sinks(b: pa.Table) -> pa.Table:
+        f = b.filter(pa.array(
+            b.column("has_out").to_numpy(zero_copy_only=False) == 0))
+        return pa.table({
+            "node": f.column("node"),
+            "dep": pa.array(np.zeros(f.num_rows, np.int64))})
+
+    depth = (edges.map_batches(endpoints, batch_format="pyarrow")
+             .groupby("node").aggregate(Max("has_out",
+                                            alias_name="has_out"))
+             .map_batches(seed_sinks, batch_format="pyarrow")
+             .repartition(num_partitions).materialize())
+    frontier = depth
+    fcnt = depth.count()
+    if fcnt == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    for r in range(1, max_rounds + 1):
+        fr = frontier.map_batches(
+            lambda b: b.select(["node"]).rename_columns(["_fn"]),
+            batch_format="pyarrow")
+        cand = (edges.join(fr, "inner", _parts(fcnt, n_edges),
+                           on=("dst",), right_on=("_fn",))
+                .map_batches(
+                    lambda b, r=r: pa.table({
+                        "node": b.column("src"),
+                        "dep": pa.array(np.full(b.num_rows, r,
+                                                np.int64))}),
+                    batch_format="pyarrow"))
+        depth = (depth.union(cand)
+                 .groupby("node").aggregate(Min("dep",
+                                                alias_name="dep"))
+                 .repartition(num_partitions).materialize())
+        frontier = depth.map_batches(
+            lambda b, r=r: b.filter(pa.array(
+                b.column("dep").to_numpy(zero_copy_only=False) == r)),
+            batch_format="pyarrow").materialize()
+        fcnt = frontier.count()
+        if fcnt == 0:
+            break
+    return depth
+
+
+def citation_bfs_depth(sf_dir: str):
+    """BFS depth over the sdo:citation chains: every doc's hop count
+    to its chain root → (node, dep). The chains make the expected
+    depth exactly ``doc_id % CITATION_CHAIN``, which the recursive-CTE
+    oracle independently reproduces."""
+    from .doc_triples import doc_citation_triples
+
+    edges = doc_citation_triples(sf_dir).map_batches(
+        lambda b: pa.table({"src": b.column("subj"),
+                            "dst": b.column("obj_value")}),
+        batch_format="pyarrow")
+    return bfs_depth(edges)
+
+
+def _citation_bfs_sql() -> str:
+    from .doc_triples import CITATION_EDGES_SQL
+    return f"""
+WITH RECURSIVE e AS ({CITATION_EDGES_SQL}),
+d(node, dep) AS (
+    SELECT o, CAST(0 AS BIGINT) FROM e
+    WHERE o NOT IN (SELECT s FROM e)
+    UNION
+    SELECT e.s, d.dep + 1 FROM e JOIN d ON e.o = d.node
+)
+SELECT node, CAST(MIN(dep) AS BIGINT) AS dep FROM d GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
 # Pregel-sharded PageRank — the distributed-rank scale route
 # ---------------------------------------------------------------------------
 

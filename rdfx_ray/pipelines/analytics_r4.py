@@ -1,0 +1,439 @@
+"""Round-4 analytics additions — each a distinct operator shape the
+registry didn't yet cover, every one SQL-oracled:
+
+- ``docs_sample_hash``: deterministic Bernoulli sampling (the md5
+  hash-gate convention of ``split_corpus`` applied as a SAMPLE
+  operator — reproducible across engines and runs, no RNG state).
+- ``events_stratified_sample``: per-stratum sampling rates (the
+  class-balance shape a training-data pipeline needs: downsample the
+  dominant event types, keep the rare ones whole).
+- ``orders_unpivot``: wide→long reshape (UNPIVOT/melt) of a fact
+  table — vectorized per-batch column stacking, 2× row explosion,
+  no exchange at all.
+- ``nation_region_cross``: CROSS JOIN with a broadcast small side —
+  the only join type the surface didn't cover; the small side rides
+  one ``ray.put``, the big side streams.
+- ``docs_grouping_sets``: arbitrary GROUPING SETS ((lang),(source))
+  — the non-hierarchical cousin of the ROLLUP/CUBE family, assembled
+  from the same single finest-level corpus pass.
+- ``orders_price_mad``: median absolute deviation per group, in
+  EXACT integer form (mad4x = 2× the interpolated median of
+  2×|deviation|) — a two-phase composition: exact group medians →
+  broadcast → exact median of deviations.
+- ``events_above_p95``: filter by a global exact order statistic —
+  the two-pass broadcast-scalar shape (p95 located via a tiny
+  bucket-count fold + one bounded bucket read, then a streaming
+  filter; the corpus is never collected).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# deterministic sampling (md5 hash gate — the split_corpus convention)
+# ---------------------------------------------------------------------------
+
+SAMPLE_PCT = 7
+
+
+def _md5_bucket(ids: np.ndarray, mod: int = 100) -> np.ndarray:
+    """First-8-hex-digit md5 bucket of each integer id — byte-identical
+    to DuckDB's ``('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))``."""
+    return np.fromiter(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % mod
+         for i in ids.tolist()),
+        dtype=np.int64, count=len(ids))
+
+
+def docs_sample_hash(sf_dir: str, pct: int = SAMPLE_PCT):
+    """Deterministic ``pct``-% Bernoulli sample of the documents table
+    → (doc_id, lang, n_chars). One streaming filter pass; the gate is
+    a pure function of doc_id, so the sample is reproducible across
+    engines, runs and cluster sizes (no per-task RNG seeds to
+    coordinate)."""
+    import ray.data as rd
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = _md5_bucket(ids) < pct
+        return batch.filter(pa.array(keep))
+
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "n_chars"])
+            .map_batches(gate, batch_format="pyarrow",
+                         batch_size=65536))
+
+
+DOCS_SAMPLE_HASH_SQL = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           AS UBIGINT) % 100 < {SAMPLE_PCT}
+"""
+
+
+# per-stratum keep rates (percent). Rare types kept whole, dominant
+# types downsampled — the class-balance shape. Types outside the map
+# fall back to STRATIFIED_DEFAULT_PCT.
+STRATIFIED_RATES = {"view": 5, "click": 25, "error": 50,
+                    "signup": 75, "purchase": 100}
+STRATIFIED_DEFAULT_PCT = 10
+
+
+def events_stratified_sample(sf_dir: str,
+                             rates: dict | None = None,
+                             default_pct: int = STRATIFIED_DEFAULT_PCT):
+    """Stratified deterministic sample of events: each event_type
+    stratum keeps its own md5-gated percentage → (event_id,
+    event_type, user_id). The rate map is O(strata) and ships in the
+    task closure (never an exchange); the pass itself is a streaming
+    filter like :func:`docs_sample_hash`."""
+    import ray.data as rd
+
+    rates = dict(STRATIFIED_RATES if rates is None else rates)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        types = batch.column("event_type").to_pylist()
+        thresh = np.fromiter(
+            (rates.get(t, default_pct) for t in types),
+            dtype=np.int64, count=len(types))
+        keep = _md5_bucket(ids) < thresh
+        return batch.filter(pa.array(keep))
+
+    return (rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type",
+                                     "user_id"])
+            .map_batches(gate, batch_format="pyarrow",
+                         batch_size=65536))
+
+
+def _stratified_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{t}' THEN {p}" for t, p in STRATIFIED_RATES.items())
+    return f"""
+SELECT event_id, event_type, user_id FROM events
+WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+           AS UBIGINT) % 100
+      < (CASE event_type {cases} ELSE {STRATIFIED_DEFAULT_PCT} END)
+"""
+
+
+EVENTS_STRATIFIED_SAMPLE_SQL = _stratified_sql()
+
+
+# ---------------------------------------------------------------------------
+# wide→long reshape (UNPIVOT / melt)
+# ---------------------------------------------------------------------------
+
+
+def orders_unpivot(sf_dir: str):
+    """UNPIVOT the orders fact table: each order row becomes one row
+    per measure → (o_orderkey, measure, val) with measure ∈
+    {'cents', 'custkey'}. Pure per-batch column stacking (two column
+    takes + a concat), a 2× row explosion with zero exchange — the
+    melt shape feature stores and long-format trainers consume."""
+    import ray.data as rd
+
+    def melt(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_orderkey").cast(pa.int64())
+        cents = pa.array(
+            np.floor(batch.column("o_totalprice")
+                     .to_numpy(zero_copy_only=False) * 100.0 + 0.5)
+            .astype(np.int64), pa.int64())
+        cust = batch.column("o_custkey").cast(pa.int64())
+        n = batch.num_rows
+        t1 = pa.table({"o_orderkey": keys,
+                       "measure": pa.array(["cents"] * n, pa.string()),
+                       "val": cents})
+        t2 = pa.table({"o_orderkey": keys,
+                       "measure": pa.array(["custkey"] * n,
+                                           pa.string()),
+                       "val": cust})
+        return pa.concat_tables([t1, t2]).combine_chunks()
+
+    return (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_totalprice",
+                                     "o_custkey"])
+            .map_batches(melt, batch_format="pyarrow",
+                         batch_size=65536))
+
+
+ORDERS_UNPIVOT_SQL = """
+SELECT o_orderkey, 'cents' AS measure,
+       CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS val
+FROM orders
+UNION ALL
+SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS BIGINT)
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# CROSS JOIN (broadcast small side)
+# ---------------------------------------------------------------------------
+
+
+def nation_region_cross(sf_dir: str):
+    """CROSS JOIN nation × region → (n_name, r_name). The region side
+    (O(regions), tiny by definition) broadcasts once via ``ray.put``;
+    each nation batch emits the cartesian block with numpy
+    repeat/tile — a cross join never needs an exchange when one side
+    is broadcastable, and a cross join where NEITHER side fits memory
+    is a design error upstream, not an operator to optimize."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from ..functions.broadcast import cached_get
+
+    r_names = pq.read_table(f"{sf_dir}/region.parquet",
+                            columns=["r_name"]).column("r_name") \
+        .to_pylist()
+    r_ref = ray.put(np.asarray(sorted(r_names), dtype=object))
+
+    def cross(batch: pa.Table) -> pa.Table:
+        right = cached_get(r_ref)
+        n_names = np.asarray(batch.column("n_name").to_pylist(),
+                             dtype=object)
+        return pa.table({
+            "n_name": pa.array(np.repeat(n_names, len(right)),
+                               pa.string()),
+            "r_name": pa.array(np.tile(right, len(n_names)),
+                               pa.string()),
+        })
+
+    return (rd.read_parquet(f"{sf_dir}/nation.parquet",
+                            columns=["n_name"])
+            .map_batches(cross, batch_format="pyarrow",
+                         batch_size=65536))
+
+
+NATION_REGION_CROSS_SQL = """
+SELECT n_name, r_name FROM nation CROSS JOIN region
+"""
+
+
+# ---------------------------------------------------------------------------
+# arbitrary GROUPING SETS
+# ---------------------------------------------------------------------------
+
+
+def docs_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((lang), (source)) — the
+    non-hierarchical set the ROLLUP/CUBE pair can't express (neither
+    level contains the other). Shares the single finest-level corpus
+    pass with ``docs_rollup_stats`` / ``docs_cube_stats``; the level
+    re-aggregation is over the |langs|×|sources|-bounded table."""
+    from .analytics_ext import (
+        _docs_lang_source_finest,
+        _grouping_set_levels,
+    )
+    return _grouping_set_levels(
+        _docs_lang_source_finest(sf_dir), [("lang",), ("source",)])
+
+
+DOCS_GROUPING_SETS_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY GROUPING SETS ((lang), (source))
+"""
+
+
+# ---------------------------------------------------------------------------
+# median absolute deviation (exact, integer form)
+# ---------------------------------------------------------------------------
+
+
+def orders_price_mad(sf_dir: str):
+    """Per-priority median absolute deviation in EXACT integer form →
+    (o_orderpriority, mad4x_cents, n_orders), where ``mad4x_cents`` is
+    4 × the interpolated MAD: phase 1 computes each group's exact
+    ``med2x`` (2× median, integer — ``orders_price_median2x``'s
+    machinery), broadcasts the O(groups) map, and phase 2 runs the
+    same distinct-value median select over ``|2·cents − med2x|``.
+    Two corpus passes total; the shuffle carries one row per distinct
+    (group, deviation) — the `grouped_quantiles_distributed` bound."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.broadcast import cached_get
+    from .analytics_ext import orders_price_median2x
+
+    med = orders_price_median2x(sf_dir).to_pandas()  # O(groups) rows
+    med_map = dict(zip(med["o_orderpriority"],
+                       med["med2x_cents"].astype(np.int64)))
+    med_ref = ray.put(med_map)
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_totalprice"])
+
+    def dev_partial(batch: pa.Table) -> pa.Table:
+        med_l = cached_get(med_ref)
+        cents = np.floor(batch.column("o_totalprice")
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        grp = batch.column("o_orderpriority").to_pandas()
+        med_arr = grp.map(med_l).to_numpy(np.int64)
+        dv = np.abs(2 * cents - med_arr)
+        g = (pd.DataFrame({"o_orderpriority": grp, "dv": dv})
+             .groupby(["o_orderpriority", "dv"], as_index=False)
+             .size().rename(columns={"size": "_n"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(dev_partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby(["o_orderpriority", "dv"])
+              .aggregate(Sum("_n", alias_name="_n")))
+
+    def mad_select(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["dv"].to_numpy())
+        vals = g["dv"].to_numpy()[order]
+        cum = np.cumsum(g["_n"].to_numpy()[order])
+        n = int(cum[-1])
+        r_lo, r_hi = (n - 1) // 2, n // 2
+        v_lo = int(vals[np.searchsorted(cum, r_lo + 1)])
+        v_hi = int(vals[np.searchsorted(cum, r_hi + 1)])
+        return pd.DataFrame({
+            "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+            "mad4x_cents": [np.int64(v_lo + v_hi)],
+            "n_orders": [np.int64(n)]})
+
+    return counts.groupby("o_orderpriority").map_groups(
+        mad_select, batch_format="pandas")
+
+
+ORDERS_PRICE_MAD_SQL = """
+WITH q AS (
+    SELECT o_orderpriority,
+           CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+    FROM orders),
+r AS (
+    SELECT o_orderpriority, v,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY v) - 1 AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM q),
+m AS (
+    SELECT o_orderpriority,
+           CAST(SUM(v * (CASE WHEN n % 2 = 1 THEN 2 ELSE 1 END))
+                AS BIGINT) AS med2x
+    FROM r WHERE rn = (n - 1) // 2 OR rn = n // 2
+    GROUP BY o_orderpriority),
+d AS (
+    SELECT q.o_orderpriority, ABS(2 * q.v - m.med2x) AS dv
+    FROM q JOIN m USING (o_orderpriority)),
+r2 AS (
+    SELECT o_orderpriority, dv,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY dv) - 1 AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM d)
+SELECT o_orderpriority,
+       CAST(SUM(dv * (CASE WHEN n % 2 = 1 THEN 2 ELSE 1 END))
+            AS BIGINT) AS mad4x_cents,
+       CAST(MAX(n) AS BIGINT) AS n_orders
+FROM r2 WHERE rn = (n - 1) // 2 OR rn = n // 2
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# filter by a global exact order statistic (two-pass broadcast scalar)
+# ---------------------------------------------------------------------------
+
+P95_SHIFT = 14  # value buckets of 2^14 µ-units (~0.016 in value space)
+
+
+def events_above_p95(sf_dir: str, q_num: int = 95, q_den: int = 100,
+                     shift: int = P95_SHIFT):
+    """Events strictly above the global exact 95th-percentile value
+    (DuckDB ``quantile_disc`` semantics: the order statistic at
+    1-based rank ⌈q·n⌉) → (event_type, n_above, p95_v) with values
+    integer-quantized at 1e6. Three bounded stages, corpus never
+    collected:
+
+    1. one streaming fold → tiny (bucket, n) count table
+       (bucket = v >> shift);
+    2. driver cumsum locates the bucket holding global rank ⌈q·n⌉;
+       ONE filtered re-read of just that bucket's rows (bounded by
+       the bucket width) yields the exact scalar;
+    3. a streaming filter + per-type count fold emits the result.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch.column("value")
+                     .to_numpy(zero_copy_only=False) * 1e6
+                     + 0.5).astype(np.int64)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "v": pa.array(v, pa.int64()),
+        })
+
+    fact = ds.map_batches(quantize, batch_format="pyarrow",
+                          batch_size=65536)
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        b = batch.column("v").to_numpy() >> shift
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(ub, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    counts = (fact.map_batches(bucket_counts, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+              .to_pandas()
+              .sort_values("bucket").reset_index(drop=True))
+    n_total = int(counts["n"].sum())
+    # 1-based target rank ⌈q·n⌉ in integer arithmetic (no float q)
+    rank = -(-q_num * n_total // q_den)
+    cum = counts["n"].cumsum().to_numpy()
+    bi = int(np.searchsorted(cum, rank))
+    b_star = int(counts["bucket"].iloc[bi])
+    base = int(cum[bi - 1]) if bi > 0 else 0  # rows in smaller buckets
+
+    # ONE bounded read of the target bucket's values: exact scalar.
+    # The bucket predicate recomputes v >> shift in NUMPY (the same
+    # arithmetic-shift semantics bucket_counts used — never mix in a
+    # second shift implementation for signed values).
+    def _in_bucket(b: pa.Table) -> pa.Table:
+        keep = (b.column("v").to_numpy() >> shift) == b_star
+        return b.filter(pa.array(keep))
+
+    in_bucket = (fact.map_batches(
+        _in_bucket, batch_format="pyarrow").to_pandas())
+    vals = np.sort(in_bucket["v"].to_numpy(np.int64))
+    p95_v = int(vals[rank - base - 1])
+
+    out = (fact.map_batches(
+        lambda b: b.filter(pc.greater(b.column("v"), p95_v)),
+        batch_format="pyarrow")
+        .groupby("event_type").aggregate(Count(alias_name="n_above")))
+    return out.map_batches(
+        lambda b: b.append_column(
+            "p95_v", pa.array(np.full(b.num_rows, p95_v, np.int64))),
+        batch_format="pyarrow")
+
+
+EVENTS_ABOVE_P95_SQL = """
+WITH q AS (
+    SELECT event_type,
+           CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS v
+    FROM events),
+p AS (SELECT quantile_disc(v, 0.95) AS p95 FROM q)
+SELECT q.event_type, CAST(COUNT(*) AS BIGINT) AS n_above,
+       CAST(MAX(p.p95) AS BIGINT) AS p95_v
+FROM q, p WHERE q.v > p.p95
+GROUP BY q.event_type
+"""

@@ -140,6 +140,111 @@ def orders_price_rank(sf_dir: str, shift: int = 20, n_tiles: int = 4):
         rank_bucket, batch_format="pandas")
 
 
+def orders_percent_rank(sf_dir: str, shift: int = 20):
+    """PERCENT_RANK and CUME_DIST for every order within its priority
+    → (o_orderkey, o_orderpriority, cents, prank_1e9, cume_1e9).
+    Same machinery as :func:`orders_price_rank` (tiny bucket-count
+    fold → driver prefix sum → per-bucket exact positions); the two
+    ratios are emitted integer-scaled at 1e9 with the SAME float64
+    expression DuckDB evaluates — (rank−1)/(n−1) and
+    (rows ≤ current)/n — so the IEEE-correctly-rounded divisions are
+    bit-identical on both sides before the floor."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.broadcast import cached_get
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column("o_totalprice")
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "grp": batch.column("o_orderpriority"),
+            "cents": pa.array(cents, pa.int64()),
+            "bucket": pa.array(cents >> shift, pa.int64()),
+        })
+
+    fact = ds.map_batches(to_cents, batch_format="pyarrow",
+                          batch_size=65536)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "grp": batch.column("grp").to_pandas(),
+            "bucket": batch.column("bucket").to_numpy(
+                zero_copy_only=False)})
+        g = df.groupby(["grp", "bucket"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (fact.map_batches(count_partial, batch_format="pyarrow")
+              .groupby(["grp", "bucket"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    counts = counts.sort_values(["grp", "bucket"],
+                                kind="mergesort").reset_index(drop=True)
+    n_arr = counts["n"].to_numpy(np.int64)
+    cums = np.cumsum(n_arr) - n_arr
+    grp_arr = counts["grp"].to_numpy()
+    new_grp = np.concatenate([[True], grp_arr[1:] != grp_arr[:-1]])
+    grp_start = np.maximum.accumulate(np.where(new_grp, cums, -1))
+    base = cums - grp_start
+    totals = (counts.groupby("grp")["n"].sum()
+              .astype(np.int64).to_dict())
+    base_map = {(g, b): int(v) for g, b, v in
+                zip(grp_arr, counts["bucket"].to_numpy(), base)}
+    state_ref = ray.put((base_map, totals))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base_map_l, totals_l = cached_get(state_ref)
+        grp = g["grp"].iloc[0]
+        b = int(g["bucket"].iloc[0])
+        off = base_map_l[(grp, b)]
+        n_group = totals_l[grp]
+        cents = g["cents"].to_numpy(np.int64)
+        okey = g["o_orderkey"].to_numpy(np.int64)
+        order = np.argsort(cents, kind="stable")
+        sorted_cents = cents[order]
+        rnk = off + np.searchsorted(sorted_cents, cents,
+                                    side="left") + 1
+        n_le = off + np.searchsorted(sorted_cents, cents,
+                                     side="right")
+        if n_group > 1:
+            prank = (rnk - 1).astype(np.float64) / float(n_group - 1)
+        else:
+            prank = np.zeros(len(cents), np.float64)
+        cume = n_le.astype(np.float64) / float(n_group)
+        return pd.DataFrame({
+            "o_orderkey": okey,
+            "o_orderpriority": g["grp"].to_numpy(),
+            "cents": cents,
+            "prank_1e9": np.floor(prank * 1e9 + 0.5).astype(np.int64),
+            "cume_1e9": np.floor(cume * 1e9 + 0.5).astype(np.int64)})
+
+    return fact.groupby(["grp", "bucket"]).map_groups(
+        rank_bucket, batch_format="pandas")
+
+
+ORDERS_PERCENT_RANK_SQL = """
+WITH q AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM orders)
+SELECT o_orderkey, o_orderpriority, cents,
+       CAST(FLOOR(PERCENT_RANK() OVER w * 1e9 + 0.5) AS BIGINT)
+           AS prank_1e9,
+       CAST(FLOOR(CUME_DIST() OVER w * 1e9 + 0.5) AS BIGINT)
+           AS cume_1e9
+FROM q
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents)
+"""
+
+
 ORDERS_PRICE_RANK_SQL = """
 WITH q AS (
     SELECT o_orderkey, o_orderpriority,

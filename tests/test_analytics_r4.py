@@ -1,0 +1,143 @@
+"""Round-4 operator tests: sampling / unpivot / cross join / grouping
+sets / MAD / order-statistic filter / percent-rank / BFS depth."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("documents", "events", "orders", "nation", "region")
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{SF}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return (df.sort_values(sorted(df.columns), kind="mergesort")
+            .reset_index(drop=True))
+
+
+def test_r4_shapes_match_duckdb(ray_session):
+    """Every round-4 query matches its registered DuckDB oracle at
+    sf0.001 — the same replay the driver runs (values, not just
+    counts)."""
+    from rdfx_ray.functions.components import (
+        _citation_bfs_sql,
+        citation_bfs_depth,
+    )
+    from rdfx_ray.pipelines import analytics_r4 as r4
+    from rdfx_ray.pipelines.rank import (
+        ORDERS_PERCENT_RANK_SQL,
+        orders_percent_rank,
+    )
+
+    cases = [
+        (r4.docs_sample_hash(SF), r4.DOCS_SAMPLE_HASH_SQL),
+        (r4.events_stratified_sample(SF),
+         r4.EVENTS_STRATIFIED_SAMPLE_SQL),
+        (r4.orders_unpivot(SF), r4.ORDERS_UNPIVOT_SQL),
+        (r4.nation_region_cross(SF), r4.NATION_REGION_CROSS_SQL),
+        (r4.docs_grouping_sets(SF), r4.DOCS_GROUPING_SETS_SQL),
+        (r4.orders_price_mad(SF), r4.ORDERS_PRICE_MAD_SQL),
+        (r4.events_above_p95(SF), r4.EVENTS_ABOVE_P95_SQL),
+        (orders_percent_rank(SF), ORDERS_PERCENT_RANK_SQL),
+        (citation_bfs_depth(SF), _citation_bfs_sql()),
+    ]
+    for got, sql in cases:
+        if isinstance(got, pa.Table):
+            got = got.to_pandas()
+        elif not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        want = _duck(sql)
+        a, b = _norm(got), _norm(want)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_bfs_routes_agree(ray_session):
+    """The count-gated driver numpy BFS and the Dataset frontier loop
+    return identical (node, dep) sets on the citation chains."""
+    import pyarrow as pa
+
+    from rdfx_ray.functions.components import bfs_depth
+    from rdfx_ray.functions.doc_triples import doc_citation_triples
+
+    edges = doc_citation_triples(SF).map_batches(
+        lambda b: pa.table({"src": b.column("subj"),
+                            "dst": b.column("obj_value")}),
+        batch_format="pyarrow")
+    small = bfs_depth(edges).to_pandas()
+    dist = bfs_depth(edges, driver_cutoff=0,
+                     num_partitions=4).to_pandas()
+    m = small.merge(dist, on="node", suffixes=("_s", "_d"))
+    assert len(m) == len(small) == len(dist) == 500
+    assert (m["dep_s"] == m["dep_d"]).all()
+    # chain structure: depth == doc_id % 16
+    ids = m["node"].str.removeprefix("urn:doc:").astype(int)
+    assert (m["dep_s"].to_numpy() == (ids % 16).to_numpy()).all()
+
+
+def test_bfs_cycle_nodes_absent(ray_session):
+    """Nodes on a sink-free cycle never acquire a depth (exactly the
+    recursive-CTE semantics) — in BOTH routes."""
+    import ray.data as rd
+
+    from rdfx_ray.functions.components import bfs_depth
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(["a", "b", "c"], pa.string()),
+        "dst": pa.array(["b", "a", "d"], pa.string())}))
+    for kw in ({}, {"driver_cutoff": 0, "num_partitions": 2}):
+        got = bfs_depth(edges, **kw).to_pandas()
+        got = got.sort_values("node").reset_index(drop=True)
+        assert got["node"].tolist() == ["c", "d"]
+        assert got["dep"].tolist() == [1, 0]
+
+    empty = rd.from_arrow(pa.table({
+        "src": pa.array([], pa.string()),
+        "dst": pa.array([], pa.string())}))
+    assert bfs_depth(empty).count() == 0
+
+
+def test_stratified_sample_rates(ray_session):
+    """Each stratum's sampled share lands near its configured rate
+    (md5 gate is uniform), and rare strata are kept whole at 100%."""
+    from rdfx_ray.pipelines.analytics_r4 import (
+        STRATIFIED_RATES,
+        events_stratified_sample,
+    )
+
+    got = events_stratified_sample(SF).to_pandas()
+    import pyarrow.parquet as pq
+    full = pq.read_table(f"{SF}/events.parquet",
+                         columns=["event_type"]).to_pandas()
+    totals = full["event_type"].value_counts()
+    kept = got["event_type"].value_counts()
+    for t, pct in STRATIFIED_RATES.items():
+        if t not in totals:
+            continue
+        share = kept.get(t, 0) / totals[t]
+        if pct == 100:
+            assert share == 1.0
+        else:
+            assert abs(share - pct / 100.0) < 0.08
+
+
+def test_mad_nonnegative_and_bounded(ray_session):
+    """MAD sanity: 0 <= mad4x <= 2 * (max deviation); group counts
+    sum to the table size."""
+    import pyarrow.parquet as pq
+
+    from rdfx_ray.pipelines.analytics_r4 import orders_price_mad
+
+    got = orders_price_mad(SF).to_pandas()
+    n = pq.read_metadata(f"{SF}/orders.parquet").num_rows
+    assert int(got["n_orders"].sum()) == n
+    assert (got["mad4x_cents"] >= 0).all()
