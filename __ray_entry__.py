@@ -810,6 +810,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _r4().docs_grouping_sets(sf),
         "orders_price_mad": lambda sf: _r4().orders_price_mad(sf),
         "events_above_p95": lambda sf: _r4().events_above_p95(sf),
+        # deterministic epoch shuffle (global permutation → shards)
+        "corpus_epoch_shuffle":
+            lambda sf: _r4().corpus_epoch_shuffle(sf),
+        # context-window chunk plan (long-doc splitting with overlap)
+        "docs_chunk_overlap":
+            lambda sf: _r4().docs_chunk_overlap(sf),
         # PERCENT_RANK / CUME_DIST (full-table window, integer-scaled)
         "orders_percent_rank": _orders_percent_rank,
         # iterative frontier BFS (min-hop depth to chain roots)
@@ -1148,6 +1154,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_grouping_sets": _R4.DOCS_GROUPING_SETS_SQL,
         "orders_price_mad": _R4.ORDERS_PRICE_MAD_SQL,
         "events_above_p95": _R4.EVENTS_ABOVE_P95_SQL,
+        "corpus_epoch_shuffle": _R4.CORPUS_EPOCH_SHUFFLE_SQL,
+        "docs_chunk_overlap": _R4.DOCS_CHUNK_OVERLAP_SQL,
         "orders_percent_rank": _PRANK_SQL,
         "citation_bfs_depth": _BFS_SQL,
         "kg_query_ask": """

@@ -262,7 +262,6 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 20,
     """
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
 
     if edges_ds.count() <= broadcast_cutoff_rows:
         tbl = pa.concat_tables(list(edges_ds.iter_batches(
@@ -295,56 +294,66 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 20,
     # string groupby) — every aggregate below keys on these blocks
     edges = edges_ds.map_batches(
         lambda b: b, batch_format="pyarrow").materialize()
+    B = num_partitions
 
-    nodes = (edges.select_columns(["src"])
-             .map_batches(lambda b: b.rename_columns(["node"]),
-                          batch_format="pyarrow")
-             .union(edges.select_columns(["dst"])
-                    .map_batches(lambda b: b.rename_columns(["node"]),
-                                 batch_format="pyarrow"))
-             .groupby("node").aggregate(Count(alias_name="_n"))
-             .select_columns(["node"]).materialize())
-    n = nodes.count()
-    deg_raw = edges.groupby("src").aggregate(Count(alias_name="outdeg"))
+    # the (node, outdeg) table in ONE int64-bucketed exchange: each
+    # batch pre-folds its endpoints locally (polars), tags rows with
+    # the node's owner bucket, and the per-bucket final sums. The
+    # previous form — a string-keyed distinct over src ∪ dst PLUS a
+    # string-keyed outdegree groupby PLUS their left-outer join — was
+    # the route's real cost at the 1M-edge point: 29 s + 27 s of
+    # string sort-exchange against ~2 s for this int64 one (the
+    # CLAUDE.md string-keys-never-enter-the-shuffle-plane rule).
+    def endpoint_partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+        s, d = b.column("src"), b.column("dst")
+        names = pa.chunked_array([s, d]).combine_chunks()
+        is_src = np.concatenate([np.ones(len(s), np.int64),
+                                 np.zeros(len(d), np.int64)])
+        g = (pl.DataFrame({"node": pl.from_arrow(names),
+                           "n_src": is_src})
+             .group_by("node").agg(pl.col("n_src").sum()))
+        nd = np.asarray(g["node"].to_numpy(), dtype=object)
+        return pa.table({
+            "node": pa.array(nd, pa.string()),
+            "outdeg": pa.array(
+                g["n_src"].to_numpy().astype(np.float64),
+                pa.float64()),
+            "_jb": pa.array(_owner_of(nd, B), pa.int64())})
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node", as_index=False)["outdeg"].sum()
+        return pd.DataFrame({
+            "node": m["node"].to_numpy(),
+            "outdeg": m["outdeg"].to_numpy(np.float64)})
+
+    node_deg = (edges.map_batches(endpoint_partial,
+                                  batch_format="pyarrow")
+                .groupby("_jb")
+                .map_groups(bucket_fold, batch_format="pandas")
+                .repartition(B).materialize())
+    n = node_deg.count()
 
     if n <= pinned_nodes_cutoff:
         # pinned-edges route: rank vector fits one machine; edges are
         # adopted by actors once and never re-shuffled
-        node_arr = pa.concat_tables(list(nodes.iter_batches(
-            batch_size=1 << 20, batch_format="pyarrow"))) \
-            .column("node").to_pylist()
+        nd_tbl = pa.concat_tables(list(node_deg.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")))
         node_idx = pd.Series(np.arange(n, dtype=np.int64),
-                             index=node_arr)
-        deg_pd = deg_raw.to_pandas()
-        outdeg = np.zeros(n, dtype=np.float64)
-        outdeg[node_idx.loc[deg_pd["src"]].to_numpy()] = \
-            deg_pd["outdeg"].to_numpy(np.float64)
+                             index=nd_tbl.column("node").to_pylist())
+        outdeg = nd_tbl.column("outdeg") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
         return pagerank_pinned(edges, n, node_idx, outdeg,
                                damping=damping, n_iter=n_iter)
 
     if large_route == "sharded":
         return pagerank_sharded(edges, damping=damping, n_iter=n_iter)
 
-    # materialize BEFORE the join: a JoinOperator fed by a lazy
-    # Aggregate in the same plan starves (measured 54 s vs 1.5 s on a
-    # 20k-row join — the stacked-operator hazard, same family as the
-    # triangle_count note)
-    deg = deg_raw.map_batches(
-        lambda b: b.rename_columns(["_node_r", "outdeg"]),
-        batch_format="pyarrow").materialize()
-    ranks = (nodes.join(deg, "left_outer", num_partitions,
-                        on=("node",), right_on=("_node_r",))
-             .map_batches(
-                 lambda b: pa.table({
-                     "node": b.column("node"),
-                     "outdeg": pa.array(
-                         np.nan_to_num(b.column("outdeg")
-                                       .to_numpy(zero_copy_only=False)
-                                       .astype(np.float64)),
-                         pa.float64()),
-                     "rank": pa.array(np.full(b.num_rows, 1.0 / n),
-                                      pa.float64())}),
-                 batch_format="pyarrow").materialize())
+    ranks = (node_deg.map_batches(
+        lambda b: b.append_column(
+            "rank", pa.array(np.full(b.num_rows, 1.0 / n),
+                             pa.float64())),
+        batch_format="pyarrow").materialize())
 
     # bucket the edge set by hash(src) ONCE: each bucket becomes one
     # object-store arrow table (ray.put inside the map_groups task —
@@ -352,8 +361,6 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 20,
     # alive while their objects are referenced). Per round, only the
     # rank-weight table re-buckets; each bucket's join runs locally
     # against its pinned edge table.
-    B = num_partitions
-
     def _tag_src(b: pa.Table) -> pa.Table:
         jb = _owner_of(b.column("src").to_pylist(), B)
         return b.append_column("_jb", pa.array(jb, pa.int64()))

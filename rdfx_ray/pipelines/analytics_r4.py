@@ -437,3 +437,152 @@ SELECT q.event_type, CAST(COUNT(*) AS BIGINT) AS n_above,
 FROM q, p WHERE q.v > p.p95
 GROUP BY q.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch shuffle (global permutation → shard assignment)
+# ---------------------------------------------------------------------------
+
+EPOCH_SEED = 42
+N_EPOCH_SHARDS = 8
+
+
+def corpus_epoch_shuffle(sf_dir: str, seed: int = EPOCH_SEED,
+                         n_shards: int = N_EPOCH_SHARDS):
+    """Deterministic epoch shuffle: a global pseudo-random permutation
+    of the corpus and its round-robin shard assignment →
+    (doc_id, shard, pos) where ``pos`` is the doc's position within
+    its shard. The permutation key is ``md5(doc_id || ':' || seed)``
+    — a new seed is a new epoch, reproducible on any engine and any
+    cluster size (the property per-task RNGs can't give you).
+
+    Same fact-size-independent machinery as ``orders_price_rank``:
+    the first hex byte of the key is the value bucket (256 of them,
+    uniform by construction — no skew possible), a tiny count fold +
+    driver prefix sum yields each bucket's global offset, and one
+    co-location exchange sorts each bucket locally to emit exact
+    global positions. The corpus never collects anywhere."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.broadcast import cached_get
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = [hashlib.md5(f"{i}:{seed}".encode()).hexdigest()
+             for i in ids.tolist()]
+        bucket = np.fromiter((int(x[:2], 16) for x in h),
+                             dtype=np.int64, count=len(h))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "h": pa.array(h, pa.string()),
+            "bucket": pa.array(bucket, pa.int64()),
+        })
+
+    fact = ds.map_batches(keyed, batch_format="pyarrow",
+                          batch_size=65536)
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        ub, cnt = np.unique(batch.column("bucket").to_numpy(),
+                            return_counts=True)
+        return pa.table({"bucket": pa.array(ub, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    counts = (fact.map_batches(bucket_counts, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+              .to_pandas().sort_values("bucket")
+              .reset_index(drop=True))
+    n_arr = counts["n"].to_numpy(np.int64)
+    base = np.cumsum(n_arr) - n_arr
+    base_map = dict(zip(counts["bucket"].astype(int), base.tolist()))
+    base_ref = ray.put(base_map)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        base_l = cached_get(base_ref)
+        off = base_l[int(g["bucket"].iloc[0])]
+        order = np.argsort(g["h"].to_numpy(), kind="stable")
+        rn = np.empty(len(order), np.int64)
+        rn[order] = off + np.arange(len(order), dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "shard": rn % n_shards,
+            "pos": rn // n_shards,
+        })
+
+    return fact.groupby("bucket").map_groups(
+        assign, batch_format="pandas")
+
+
+CORPUS_EPOCH_SHUFFLE_SQL = f"""
+WITH k AS (
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR) || ':{EPOCH_SEED}') AS h
+    FROM documents),
+r AS (
+    SELECT doc_id, row_number() OVER (ORDER BY h) - 1 AS rn FROM k)
+SELECT doc_id, CAST(rn % {N_EPOCH_SHARDS} AS BIGINT) AS shard,
+       CAST(rn // {N_EPOCH_SHARDS} AS BIGINT) AS pos
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking (long-doc splitting with overlap)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 128
+CHUNK_STRIDE = 96
+
+
+def docs_chunk_overlap(sf_dir: str, size: int = CHUNK_SIZE,
+                       stride: int = CHUNK_STRIDE):
+    """Context-window chunk plan: each doc splits into token windows
+    of ``size`` advancing by ``stride`` (overlap = size − stride) →
+    (doc_id, chunk_idx, tok_start, tok_end). The ~n/stride× row
+    explosion is pure per-batch numpy (repeat + arange), zero
+    exchange; token counts are the ``token_stats`` whitespace kernel
+    (so chunk boundaries agree with every other token-based op).
+    Empty docs produce no chunks; the tail window clips to the doc
+    length."""
+    import ray.data as rd
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n = df["text"].fillna("").str.count(r"\S+") \
+            .to_numpy(np.int64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        k = (n + stride - 1) // stride          # 0 chunks for n == 0
+        total = int(k.sum())
+        rep_ids = np.repeat(ids, k)
+        starts_of = np.concatenate([[0], np.cumsum(k)[:-1]])
+        idx = np.arange(total, dtype=np.int64) - np.repeat(starts_of, k)
+        tok_start = idx * stride
+        tok_end = np.minimum(tok_start + size, np.repeat(n, k))
+        return pa.table({
+            "doc_id": pa.array(rep_ids, pa.int64()),
+            "chunk_idx": pa.array(idx, pa.int64()),
+            "tok_start": pa.array(tok_start, pa.int64()),
+            "tok_end": pa.array(tok_end, pa.int64()),
+        })
+
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .map_batches(chunk, batch_format="pyarrow",
+                         batch_size=8192))
+
+
+DOCS_CHUNK_OVERLAP_SQL = rf"""
+WITH t AS (
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '')) AS n
+    FROM documents)
+SELECT doc_id, CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS tok_start,
+       CAST(LEAST(s + {CHUNK_SIZE}, n) AS BIGINT) AS tok_end
+FROM t, UNNEST(range(0, n, {CHUNK_STRIDE})) AS u(s)
+"""

@@ -50,6 +50,8 @@ def test_r4_shapes_match_duckdb(ray_session):
         (r4.events_above_p95(SF), r4.EVENTS_ABOVE_P95_SQL),
         (orders_percent_rank(SF), ORDERS_PERCENT_RANK_SQL),
         (citation_bfs_depth(SF), _citation_bfs_sql()),
+        (r4.corpus_epoch_shuffle(SF), r4.CORPUS_EPOCH_SHUFFLE_SQL),
+        (r4.docs_chunk_overlap(SF), r4.DOCS_CHUNK_OVERLAP_SQL),
     ]
     for got, sql in cases:
         if isinstance(got, pa.Table):
@@ -128,6 +130,53 @@ def test_stratified_sample_rates(ray_session):
             assert share == 1.0
         else:
             assert abs(share - pct / 100.0) < 0.08
+
+
+def test_epoch_shuffle_invariants(ray_session):
+    """Round-robin shard balance (|shard| within 1 of n/S), contiguous
+    per-shard positions, and a different seed yields a different
+    permutation (new epoch)."""
+    from rdfx_ray.pipelines.analytics_r4 import (
+        N_EPOCH_SHARDS,
+        corpus_epoch_shuffle,
+    )
+
+    a = corpus_epoch_shuffle(SF).to_pandas()
+    n = len(a)
+    sizes = a.groupby("shard").size()
+    assert len(sizes) == N_EPOCH_SHARDS
+    assert sizes.max() - sizes.min() <= 1
+    for s, g in a.groupby("shard"):
+        pos = np.sort(g["pos"].to_numpy())
+        assert (pos == np.arange(len(g))).all()
+    b = corpus_epoch_shuffle(SF, seed=7).to_pandas()
+    m = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    assert len(m) == n
+    assert ((m["shard_a"] != m["shard_b"])
+            | (m["pos_a"] != m["pos_b"])).any()
+
+
+def test_chunk_overlap_covers_tokens(ray_session):
+    """Chunk plans tile every doc: first chunk starts at 0, windows
+    advance by the stride, the last chunk ends exactly at n_tokens,
+    and empty docs yield no chunks."""
+    from rdfx_ray.functions.text import token_stats
+    from rdfx_ray.pipelines.analytics_r4 import (
+        CHUNK_STRIDE,
+        docs_chunk_overlap,
+    )
+
+    chunks = docs_chunk_overlap(SF).to_pandas()
+    toks = token_stats(SF).to_pandas().set_index("doc_id")["n_tokens"]
+    assert (chunks["tok_start"]
+            == chunks["chunk_idx"] * CHUNK_STRIDE).all()
+    last = chunks.sort_values(["doc_id", "chunk_idx"]) \
+        .groupby("doc_id").tail(1)
+    assert (last["tok_end"].to_numpy()
+            == toks.loc[last["doc_id"]].to_numpy()).all()
+    n_chunks = chunks.groupby("doc_id").size()
+    expect = -(-toks[toks > 0] // CHUNK_STRIDE)
+    assert n_chunks.sort_index().equals(expect.sort_index())
 
 
 def test_mad_nonnegative_and_bounded(ray_session):
