@@ -167,6 +167,16 @@ def _orders_percent_rank(sf_dir: str):
     return orders_percent_rank(sf_dir)
 
 
+def _citation_components(sf_dir: str):
+    """Connected components over the undirected citation chains —
+    label = smallest doc in the component; count-gated broadcast-label
+    propagation vs the Dataset-native min-label route
+    (functions/components.py; oracle = recursive CTE)."""
+    from rdfx_ray.functions.components import citation_components
+
+    return citation_components(sf_dir)
+
+
 def _citation_bfs_depth(sf_dir: str):
     """Iterative frontier BFS over the citation chains: min hop count
     to each chain root, count-gated driver numpy vs Dataset frontier
@@ -820,6 +830,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_percent_rank": _orders_percent_rank,
         # iterative frontier BFS (min-hop depth to chain roots)
         "citation_bfs_depth": _citation_bfs_depth,
+        # connected components with a recursive-CTE oracle
+        # (count-gated broadcast-label vs Dataset-native min-label)
+        "citation_components": _citation_components,
         # text analysis
         "text_token_stats": lambda sf: text.token_stats(sf),
         "text_fingerprints": lambda sf: text.fingerprints(sf),
@@ -901,8 +914,12 @@ def oracle_sql() -> dict[str, str]:
         ORDERS_PRICE_RANK_SQL as _RANK_SQL,
     )
     from rdfx_ray.pipelines import analytics_r4 as _R4
-    from rdfx_ray.functions.components import _citation_bfs_sql
+    from rdfx_ray.functions.components import (
+        _citation_bfs_sql,
+        _citation_components_sql,
+    )
     _BFS_SQL = _citation_bfs_sql()
+    _CC_SQL = _citation_components_sql()
     from rdfx_ray.functions.graph import (
         CUSTOMER_CLUSTERING_SQL as _CLUST_SQL,
         CUSTOMER_LOCAL_CLUSTERING_SQL as _LOCAL_CLUST_SQL,
@@ -1158,6 +1175,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_chunk_overlap": _R4.DOCS_CHUNK_OVERLAP_SQL,
         "orders_percent_rank": _PRANK_SQL,
         "citation_bfs_depth": _BFS_SQL,
+        "citation_components": _CC_SQL,
         "kg_query_ask": """
             SELECT 'lang_en' AS probe,
                    CAST(CASE WHEN EXISTS (SELECT 1 FROM documents

@@ -529,6 +529,145 @@ def citation_pagerank(sf_dir: str, n_iter: int = 20) -> "object":
 
 
 # ---------------------------------------------------------------------------
+# Dataset-native connected components + the SQL-oracled citation query
+# ---------------------------------------------------------------------------
+
+COMPONENTS_DRIVER_CUTOFF = 2_000_000
+
+
+def connected_components_ds(edges_ds, nodes_ds, max_rounds: int = 50,
+                            num_partitions: int = 16):
+    """Min-label propagation with labels AND edges living as Datasets
+    end to end — the route for graphs whose label table exceeds one
+    machine (the broadcast-label `connected_components` re-ships the
+    O(nodes) label pair per round; this one never collects it).
+
+    ``edges_ds``: (src, dst) int64 pairs (one direction; the
+    symmetric closure is built here once). ``nodes_ds``: (node,)
+    int64 — every node, including isolated ones (they keep their own
+    label, matching the recursive-CTE semantics of the oracle).
+
+    Per round: one hash join attaches each edge's src label, the
+    (dst, label) candidates union-min-fold into the label Dataset
+    (int64 keys only in the shuffle plane), and convergence is the
+    label-sum fixpoint (labels only ever decrease, so an unchanged
+    sum ⇔ no change). `repartition` caps the union block growth
+    (iterative-loop rule) and partitions clamp per the tiny-side
+    rule."""
+    from ray.data.aggregate import Min
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        d = b.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([s, d]), pa.int64()),
+            "dst": pa.array(np.concatenate([d, s]), pa.int64())})
+
+    edges = edges_ds.map_batches(sym,
+                                 batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+
+    labels = nodes_ds.map_batches(
+        lambda b: pa.table({
+            "node": b.column("node").cast(pa.int64()),
+            "lab": b.column("node").cast(pa.int64())}),
+        batch_format="pyarrow").repartition(num_partitions) \
+        .materialize()
+    n = labels.count()
+
+    def _parts(*side_rows: int) -> int:
+        return max(1, min(num_partitions,
+                          min(side_rows) // 4096 + 1))
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        lab_r = labels.map_batches(
+            lambda b: b.rename_columns(["_ln", "lab"]),
+            batch_format="pyarrow")
+        cand = (edges.join(lab_r, "inner", _parts(n, n_edges),
+                           on=("src",), right_on=("_ln",))
+                .map_batches(
+                    lambda b: pa.table({
+                        "node": b.column("dst"),
+                        "lab": b.column("lab")}),
+                    batch_format="pyarrow"))
+        labels = (labels.union(cand)
+                  .groupby("node").aggregate(Min("lab",
+                                                 alias_name="lab"))
+                  .repartition(num_partitions).materialize())
+        cur_sum = int(labels.sum("lab") or 0)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.map_batches(
+        lambda b: b.rename_columns(["node", "label"]),
+        batch_format="pyarrow")
+
+
+def citation_components(sf_dir: str,
+                        driver_cutoff: int = COMPONENTS_DRIVER_CUTOFF):
+    """Connected components over the (undirected) citation chains →
+    (node, label) with label = the smallest doc_id in the component —
+    isolated docs are their own label. Count-gated: at or below
+    ``driver_cutoff`` edges the broadcast-label
+    :func:`connected_components` runs (labels as one numpy pair);
+    above it (or when forced) :func:`connected_components_ds` keeps
+    the label table distributed. The recursive-CTE oracle reproduces
+    the labels independently."""
+    import ray.data as rd
+    from .doc_triples import CITATION_CHAIN
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id")}),
+        batch_format="pyarrow")
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (ids % CITATION_CHAIN) != 0
+        src = ids[keep]
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(src - 1, pa.int64())})
+
+    edges = docs.map_batches(to_edges, batch_format="pyarrow")
+    n_edges = edges.count()
+    if n_edges > driver_cutoff:
+        return connected_components_ds(edges, nodes)
+
+    e_tbl = pa.concat_tables(list(edges.iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow")))
+    comp, _stats = connected_components(pa.table({
+        "doc_a": e_tbl.column("src"), "doc_b": e_tbl.column("dst")}))
+    comp_pd = comp.to_pandas()
+    all_ids = pa.concat_tables(list(nodes.iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"))) \
+        .column("node").to_numpy(zero_copy_only=False)
+    merged = pd.DataFrame({"node": all_ids.astype(np.int64)}) \
+        .merge(comp_pd, on="node", how="left")
+    lab = merged["label"].fillna(merged["node"]).astype(np.int64)
+    return rd.from_arrow(pa.table({
+        "node": pa.array(merged["node"].to_numpy(np.int64)),
+        "label": pa.array(lab.to_numpy(np.int64))}))
+
+
+def _citation_components_sql() -> str:
+    from .doc_triples import CITATION_CHAIN
+    return f"""
+WITH RECURSIVE e AS (
+    SELECT doc_id AS a, doc_id - 1 AS b FROM documents
+    WHERE doc_id % {CITATION_CHAIN} <> 0),
+u AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+r(node, m) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT u.a, r.m FROM u JOIN r ON u.b = r.node
+)
+SELECT node, CAST(MIN(m) AS BIGINT) AS label FROM r GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
 # BFS shortest-path depth — the iterative frontier operator
 # ---------------------------------------------------------------------------
 

@@ -179,6 +179,28 @@ def test_chunk_overlap_covers_tokens(ray_session):
     assert n_chunks.sort_index().equals(expect.sort_index())
 
 
+def test_citation_components_routes_and_oracle(ray_session):
+    """The broadcast-label and Dataset-native min-label routes agree
+    and both match the recursive-CTE oracle (incl. isolated docs
+    keeping their own label)."""
+    from rdfx_ray.functions.components import (
+        _citation_components_sql,
+        citation_components,
+    )
+
+    small = citation_components(SF).to_pandas()
+    dist = citation_components(SF, driver_cutoff=0).to_pandas()
+    m = small.merge(dist, on="node", suffixes=("_s", "_d"))
+    assert len(m) == len(small) == len(dist) == 500
+    assert (m["label_s"] == m["label_d"]).all()
+    want = _duck(_citation_components_sql())
+    pd.testing.assert_frame_equal(_norm(small), _norm(want),
+                                  check_dtype=False)
+    # chain structure: label == doc_id - doc_id % 16 (chain minimum)
+    ids = small["node"].to_numpy()
+    assert (small["label"].to_numpy() == ids - ids % 16).all()
+
+
 def test_mad_nonnegative_and_bounded(ray_session):
     """MAD sanity: 0 <= mad4x <= 2 * (max deviation); group counts
     sum to the table size."""
