@@ -820,6 +820,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _r4().docs_grouping_sets(sf),
         "orders_price_mad": lambda sf: _r4().orders_price_mad(sf),
         "events_above_p95": lambda sf: _r4().events_above_p95(sf),
+        # per-group deterministic reservoir (k smallest hashes)
+        "docs_lang_sample": lambda sf: _r4().docs_lang_sample(sf),
         # deterministic epoch shuffle (global permutation → shards)
         "corpus_epoch_shuffle":
             lambda sf: _r4().corpus_epoch_shuffle(sf),
@@ -1173,6 +1175,7 @@ def oracle_sql() -> dict[str, str]:
         "events_above_p95": _R4.EVENTS_ABOVE_P95_SQL,
         "corpus_epoch_shuffle": _R4.CORPUS_EPOCH_SHUFFLE_SQL,
         "docs_chunk_overlap": _R4.DOCS_CHUNK_OVERLAP_SQL,
+        "docs_lang_sample": _R4.DOCS_LANG_SAMPLE_SQL,
         "orders_percent_rank": _PRANK_SQL,
         "citation_bfs_depth": _BFS_SQL,
         "citation_components": _CC_SQL,

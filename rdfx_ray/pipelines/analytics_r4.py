@@ -440,6 +440,58 @@ GROUP BY q.event_type
 
 
 # ---------------------------------------------------------------------------
+# per-group deterministic reservoir (k smallest hashes per group)
+# ---------------------------------------------------------------------------
+
+GROUP_SAMPLE_K = 20
+
+
+def docs_lang_sample(sf_dir: str, k: int = GROUP_SAMPLE_K):
+    """Deterministic fixed-size sample WITHOUT replacement per group:
+    the ``k`` docs with the smallest md5 per lang → (lang, doc_id).
+    The hash order is a uniform random order that every engine and
+    every run agrees on — a reservoir sample with none of the
+    coordination a streaming reservoir needs. Per-batch partial top-k
+    caps the exchange at O(groups × k × blocks); the per-group final
+    re-sorts ≤ k × blocks rows."""
+    import ray.data as rd
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = np.asarray(
+            [hashlib.md5(str(i).encode()).hexdigest()
+             for i in ids.tolist()], dtype=object)
+        df = pd.DataFrame({
+            "lang": batch.column("lang").to_pandas(),
+            "doc_id": ids, "h": h})
+        df = df.sort_values(["lang", "h", "doc_id"],
+                            kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).head(k),
+            preserve_index=False)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="mergesort").head(k)
+        return g[["lang", "doc_id"]]
+
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+            .map_batches(partial_topk, batch_format="pyarrow",
+                         batch_size=65536)
+            .groupby("lang")
+            .map_groups(final_topk, batch_format="pandas"))
+
+
+DOCS_LANG_SAMPLE_SQL = f"""
+SELECT lang, doc_id
+FROM (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents)
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+        <= {GROUP_SAMPLE_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # deterministic epoch shuffle (global permutation → shard assignment)
 # ---------------------------------------------------------------------------
 

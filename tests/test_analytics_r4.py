@@ -52,6 +52,7 @@ def test_r4_shapes_match_duckdb(ray_session):
         (citation_bfs_depth(SF), _citation_bfs_sql()),
         (r4.corpus_epoch_shuffle(SF), r4.CORPUS_EPOCH_SHUFFLE_SQL),
         (r4.docs_chunk_overlap(SF), r4.DOCS_CHUNK_OVERLAP_SQL),
+        (r4.docs_lang_sample(SF), r4.DOCS_LANG_SAMPLE_SQL),
     ]
     for got, sql in cases:
         if isinstance(got, pa.Table):
