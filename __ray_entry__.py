@@ -141,6 +141,15 @@ def _events_in_order_windows(sf_dir: str):
     return events_in_order_windows(sf_dir)
 
 
+def _events_asof_orders_forward(sf_dir: str):
+    """Forward as-of join: each event's NEXT order snapshot at or
+    after its timestamp plus the count of later snapshots — the same
+    bucket exchange as the backward as-of, merge direction flipped
+    (pipelines/asof.py)."""
+    from rdfx_ray.pipelines.asof import events_asof_orders
+    return events_asof_orders(sf_dir, direction="forward")
+
+
 def _orders_price_rank(sf_dir: str):
     """Full-table window ranking: every order's RANK / ROW_NUMBER /
     NTILE(4) within its priority by quantized price — value-bucket
@@ -754,6 +763,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # design → rows-only; error bound pinned by test)
         "orders_price_quantiles_tdigest": _orders_quantiles_tdigest,
         "events_asof_orders": _events_asof_orders,
+        # forward as-of (next snapshot >= ts — the lead-time shape)
+        "events_asof_orders_forward": _events_asof_orders_forward,
         "events_hll_users": _events_hll_users,
         # Count-Min sketch frequency estimates (rows-only; overcount
         # bound pinned by tests)
@@ -907,7 +918,10 @@ def oracle_sql() -> dict[str, str]:
     """
     from rdfx_ray.pipelines import analytics_ext as _EXT
     from rdfx_ray.pipelines import analytics_window as _WIN
-    from rdfx_ray.pipelines.asof import EVENTS_ASOF_ORDERS_SQL as _ASOF_SQL
+    from rdfx_ray.pipelines.asof import (
+        EVENTS_ASOF_ORDERS_FORWARD_SQL as _ASOF_FWD_SQL,
+        EVENTS_ASOF_ORDERS_SQL as _ASOF_SQL,
+    )
     from rdfx_ray.pipelines.rangejoin import (
         EVENTS_IN_ORDER_WINDOWS_SQL as _RANGEJOIN_SQL,
     )
@@ -1132,6 +1146,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hopping_windows": _EXT.EVENTS_HOPPING_SQL,
         "orders_price_quantiles": _EXT.ORDERS_QUANTILES_SQL,
         "events_asof_orders": _ASOF_SQL,
+        "events_asof_orders_forward": _ASOF_FWD_SQL,
         "events_in_order_windows": _RANGEJOIN_SQL,
         "events_value_histogram": _WIN.EVENTS_VALUE_HISTOGRAM_SQL,
         "orders_daily_moving": _WIN.ORDERS_DAILY_MOVING_SQL,

@@ -25,8 +25,21 @@ _EPOCH_2024_US = np.int64(1_704_067_200_000_000)  # 2024-01-01T00:00:00Z
 _DAY_US = np.int64(86_400_000_000)
 
 
-def events_asof_orders(sf_dir: str, n_buckets: int = 16):
+def events_asof_orders(sf_dir: str, n_buckets: int = 16,
+                       direction: str = "backward"):
+    """``direction="backward"`` (default): latest snapshot ≤ ts →
+    (event_id, last_snap_us, n_prior). ``direction="forward"``: next
+    snapshot ≥ ts → (event_id, next_snap_us, n_after) — the
+    lead-time/SLA shape (time until the next snapshot). Both run the
+    identical bucket exchange; only the in-bucket merge direction and
+    the searchsorted side flip."""
     import ray.data as rd
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    fwd = direction == "forward"
+    t_col = "next_snap_us" if fwd else "last_snap_us"
+    n_col = "n_after" if fwd else "n_prior"
 
     events = rd.read_parquet(f"{sf_dir}/events.parquet",
                              columns=["event_id", "ts", "user_id"])
@@ -67,36 +80,42 @@ def events_asof_orders(sf_dir: str, n_buckets: int = 16):
         if ev.empty:
             return pd.DataFrame({
                 "event_id": pd.Series([], dtype=np.int64),
-                "last_snap_us": pd.Series([], dtype=np.int64),
-                "n_prior": pd.Series([], dtype=np.int64)})
+                t_col: pd.Series([], dtype=np.int64),
+                n_col: pd.Series([], dtype=np.int64)})
         ev = ev.sort_values("t_us", kind="mergesort")
         sn = sn.sort_values("t_us", kind="mergesort")
         if sn.empty:
             return pd.DataFrame({
                 "event_id": ev["event_id"].to_numpy(),
-                "last_snap_us": np.full(len(ev), -1, np.int64),
-                "n_prior": np.zeros(len(ev), np.int64)})
-        # latest snapshot ≤ ts per user: C-level backward asof merge
+                t_col: np.full(len(ev), -1, np.int64),
+                n_col: np.zeros(len(ev), np.int64)})
+        # nearest snapshot per user in the requested direction:
+        # C-level asof merge
         m = pd.merge_asof(
             ev[["t_us", "user", "event_id"]],
             sn[["t_us", "user"]].assign(snap_us=sn["t_us"].to_numpy()),
-            on="t_us", by="user", direction="backward")
-        last = m["snap_us"].fillna(-1).astype(np.int64).to_numpy()
-        # counts of snapshots ≤ ts: per-user searchsorted over that
-        # user's sorted snapshot times (few users per bucket; the inner
-        # work is vectorized numpy)
-        n_prior = np.zeros(len(m), dtype=np.int64)
+            on="t_us", by="user", direction=direction)
+        near = m["snap_us"].fillna(-1).astype(np.int64).to_numpy()
+        # counts of snapshots ≤ ts (backward) / ≥ ts (forward):
+        # per-user searchsorted over that user's sorted snapshot
+        # times (few users per bucket; the inner work is vectorized)
+        n_out = np.zeros(len(m), dtype=np.int64)
         snap_by_user = {u: grp["t_us"].to_numpy()
                         for u, grp in sn.groupby("user")}
         for u, grp in m.groupby("user"):
             arr = snap_by_user.get(u)
-            if arr is not None:
-                n_prior[grp.index] = np.searchsorted(
+            if arr is None:
+                continue
+            if fwd:
+                n_out[grp.index] = len(arr) - np.searchsorted(
+                    arr, grp["t_us"].to_numpy(), side="left")
+            else:
+                n_out[grp.index] = np.searchsorted(
                     arr, grp["t_us"].to_numpy(), side="right")
         return pd.DataFrame({
             "event_id": m["event_id"].to_numpy(),
-            "last_snap_us": last,
-            "n_prior": n_prior,
+            t_col: near,
+            n_col: n_out,
         })
 
     return tagged.groupby("_jb").map_groups(asof_bucket,
@@ -116,5 +135,22 @@ SELECT e.event_id,
        COUNT(s.snap_ts) AS n_prior
 FROM events e
 LEFT JOIN snap s ON s.o_custkey = e.user_id AND s.snap_ts <= e.ts
+GROUP BY e.event_id
+"""
+
+
+EVENTS_ASOF_ORDERS_FORWARD_SQL = """
+WITH snap AS (
+    SELECT o_custkey,
+           TIMESTAMP '2024-01-01'
+             + (o_orderkey % 30) * INTERVAL 1 DAY AS snap_ts
+    FROM orders
+)
+SELECT e.event_id,
+       CAST(COALESCE(epoch_us(MIN(s.snap_ts)), -1) AS BIGINT)
+           AS next_snap_us,
+       COUNT(s.snap_ts) AS n_after
+FROM events e
+LEFT JOIN snap s ON s.o_custkey = e.user_id AND s.snap_ts >= e.ts
 GROUP BY e.event_id
 """

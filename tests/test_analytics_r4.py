@@ -54,6 +54,12 @@ def test_r4_shapes_match_duckdb(ray_session):
         (r4.docs_chunk_overlap(SF), r4.DOCS_CHUNK_OVERLAP_SQL),
         (r4.docs_lang_sample(SF), r4.DOCS_LANG_SAMPLE_SQL),
     ]
+    from rdfx_ray.pipelines.asof import (
+        EVENTS_ASOF_ORDERS_FORWARD_SQL,
+        events_asof_orders,
+    )
+    cases.append((events_asof_orders(SF, direction="forward"),
+                  EVENTS_ASOF_ORDERS_FORWARD_SQL))
     for got, sql in cases:
         if isinstance(got, pa.Table):
             got = got.to_pandas()
