@@ -833,6 +833,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_above_p95": lambda sf: _r4().events_above_p95(sf),
         # per-group deterministic reservoir (k smallest hashes)
         "docs_lang_sample": lambda sf: _r4().docs_lang_sample(sf),
+        # time-weighted aggregate over irregular series (step-hold)
+        "events_time_weighted":
+            lambda sf: _r4().events_time_weighted(sf),
         # deterministic epoch shuffle (global permutation → shards)
         "corpus_epoch_shuffle":
             lambda sf: _r4().corpus_epoch_shuffle(sf),
@@ -1191,6 +1194,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_epoch_shuffle": _R4.CORPUS_EPOCH_SHUFFLE_SQL,
         "docs_chunk_overlap": _R4.DOCS_CHUNK_OVERLAP_SQL,
         "docs_lang_sample": _R4.DOCS_LANG_SAMPLE_SQL,
+        "events_time_weighted": _R4.EVENTS_TIME_WEIGHTED_SQL,
         "orders_percent_rank": _PRANK_SQL,
         "citation_bfs_depth": _BFS_SQL,
         "citation_components": _CC_SQL,

@@ -440,6 +440,109 @@ GROUP BY q.event_type
 
 
 # ---------------------------------------------------------------------------
+# time-weighted aggregation over irregular series (exact integer form)
+# ---------------------------------------------------------------------------
+
+TWA_BUCKETS = 32
+
+
+def events_time_weighted(sf_dir: str, n_buckets: int = TWA_BUCKETS):
+    """Time-weighted value aggregate per user over the IRREGULARLY
+    sampled event series — each value is held until the user's next
+    event (step interpolation), the standard sensor/price integral →
+    (user_id, sum_vdt, sum_dt_ms, n_intervals), where
+    ``sum_vdt = Σ v_1e3 · dt_ms`` and the time-weighted average is
+    the caller's ratio (kept as an exact integer PAIR — a division
+    would be float and unhashable across engines). Users with a
+    single event have no interval and are absent (LEAD semantics).
+
+    Deterministic under any partitioning: intervals pair (value,
+    dt) in (ts, event_id) order — the tiebreak matters because two
+    events at the same timestamp hold for 0 ms in either order but
+    would swap which VALUE gets the next interval. dt quantizes at
+    ms via integer floor division on both engines; the int64
+    headroom is ~1e6 (v) × ~3e9 (ms per month) × events/user — safe
+    to ~3e3 intervals/user per 1e15, vs the 9.2e18 limit.
+
+    Shape: user-hash buckets, ONE vectorized numpy pass per bucket
+    (sort → within-user diff → reduceat fold), the sessionize
+    partitioning contract."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "value"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        t_us = (batch.column("ts").to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64))
+        v = np.floor(batch.column("value")
+                     .to_numpy(zero_copy_only=False) * 1000.0
+                     + 0.5).astype(np.int64)
+        return pa.table({
+            "_jb": pa.array((uid % n_buckets).astype(np.int32)),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "t_us": pa.array(t_us, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+            "event_id": batch.column("event_id"),
+        })
+
+    def twa_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": np.int64, "sum_vdt": np.int64,
+                "sum_dt_ms": np.int64, "n_intervals": np.int64}
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in cols.items()})
+        uid = g["user_id"].to_numpy(np.int64)
+        t = g["t_us"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, t, uid))
+        uid, t, v = uid[order], t[order], v[order]
+        same_user = uid[1:] == uid[:-1]
+        dt_ms = (t[1:] - t[:-1]) // 1000
+        vdt = v[:-1] * dt_ms
+        keep = same_user
+        if not keep.any():
+            return pd.DataFrame({c: pd.Series([], dtype=ty)
+                                 for c, ty in cols.items()})
+        u_k, dt_k, vdt_k = uid[:-1][keep], dt_ms[keep], vdt[keep]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], u_k[1:] != u_k[:-1]]))
+        return pd.DataFrame({
+            "user_id": u_k[starts],
+            "sum_vdt": np.add.reduceat(vdt_k, starts),
+            "sum_dt_ms": np.add.reduceat(dt_k, starts),
+            "n_intervals": np.diff(np.append(starts, len(u_k))),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("_jb").map_groups(twa_bucket,
+                                       batch_format="pandas"))
+
+
+EVENTS_TIME_WEIGHTED_SQL = """
+WITH q AS (
+    SELECT user_id, epoch_us(ts) AS t,
+           CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT) AS v,
+           event_id
+    FROM events),
+w AS (
+    SELECT user_id, v,
+           (LEAD(t) OVER (PARTITION BY user_id
+                          ORDER BY t, event_id) - t) // 1000 AS dt_ms
+    FROM q)
+SELECT user_id, CAST(SUM(v * dt_ms) AS BIGINT) AS sum_vdt,
+       CAST(SUM(dt_ms) AS BIGINT) AS sum_dt_ms,
+       CAST(COUNT(dt_ms) AS BIGINT) AS n_intervals
+FROM w WHERE dt_ms IS NOT NULL
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # per-group deterministic reservoir (k smallest hashes per group)
 # ---------------------------------------------------------------------------
 

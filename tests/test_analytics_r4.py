@@ -60,6 +60,8 @@ def test_r4_shapes_match_duckdb(ray_session):
     )
     cases.append((events_asof_orders(SF, direction="forward"),
                   EVENTS_ASOF_ORDERS_FORWARD_SQL))
+    cases.append((r4.events_time_weighted(SF),
+                  r4.EVENTS_TIME_WEIGHTED_SQL))
     for got, sql in cases:
         if isinstance(got, pa.Table):
             got = got.to_pandas()
