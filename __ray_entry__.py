@@ -901,6 +901,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: similarity.label_centroids(sf),
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf),
         "ann_lsh_topk": lambda sf: similarity.lsh_topk(sf),
+        # distributed Lloyd's k-means (iterative; integer folds make
+        # the fit bit-deterministic under any partitioning)
+        "embedding_kmeans": lambda sf: similarity.kmeans_fit(sf),
     }
 
 

@@ -674,6 +674,106 @@ GROUP BY label, dim
 """
 
 
+# ---------------------------------------------------------------------------
+# distributed Lloyd's k-means — the iterative training operator
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit(sf_dir: str, k: int = 8, iters: int = 5,
+               scale: int = 1_000_000):
+    """Distributed k-means over the embedding column (cosine
+    geometry) — the 100-TB twin of ``IvfIndex.build``'s bounded
+    driver-sample training: EVERY vector votes in every iteration,
+    the corpus never collects.
+
+    Per iteration: centroids broadcast once (``ray.put``); each batch
+    assigns rows by argmax dot product and scatter-folds its members
+    into an O(k × d) integer partial (the ``label_centroids``
+    quantize-then-sum trick — per-value ``floor(x·10⁶+0.5)`` BEFORE
+    summation, so partials fold losslessly in ANY order and the fit
+    is bit-deterministic under any partitioning or cluster size,
+    which float vector sums never are). The driver folds the tiny
+    (blocks × k × d) partial table and renormalizes — O(k·d) driver
+    state, never O(rows).
+
+    Deterministic init (no RNG): the k vectors with the smallest
+    vec_id. Ties in assignment break toward the lowest cluster id
+    (numpy argmax first-max). Returns the long-form centroid table
+    (cluster, dim, cent_1e6, n_members) with ``cent_1e6`` the
+    quantized UNIT centroid — rows-only (iterative refinement has no
+    SQL twin); the partitioning-invariance and k=1-equals-global-mean
+    properties are test-pinned."""
+    import ray
+    import ray.data as rd
+
+    from .broadcast import cached_get
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).materialize()
+
+    # seeds: k smallest vec_ids via per-batch partial top-k (O(k ×
+    # blocks) to the driver — no global sort for k rows)
+    def seed_partial(b: pa.Table) -> pa.Table:
+        ids = _i64(b.column("vec_id"))
+        ord_ = np.argsort(ids, kind="stable")[:k]
+        return b.take(pa.array(ord_, pa.int64()))
+
+    seed_tbl = pa.concat_tables(list(
+        ds.map_batches(seed_partial, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    order = np.argsort(_i64(seed_tbl.column("vec_id")),
+                       kind="stable")[:k]
+    seed_tbl = seed_tbl.take(pa.array(order, pa.int64()))
+    cent = _normalize(_list_matrix(seed_tbl.column("embedding"),
+                                   dtype=np.float64))
+    k = cent.shape[0]  # corpora smaller than k seed fewer clusters
+    d = cent.shape[1]
+    cent_counts = np.zeros(k, dtype=np.int64)
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(batch: pa.Table, cent_ref=cent_ref) -> pa.Table:
+            c = cached_get(cent_ref)
+            m = _normalize(_list_matrix(batch.column("embedding"),
+                                        dtype=np.float64))
+            assign = np.argmax(m @ c.T, axis=1)
+            q = np.floor(m * scale + 0.5).astype(np.int64)
+            sums = np.zeros((len(c), q.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, q)
+            counts = np.bincount(assign, minlength=len(c)) \
+                .astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(len(c)), pa.int64()),
+                "qsum": pa.array([row.tobytes() for row in sums],
+                                 pa.binary()),
+                "n": pa.array(counts, pa.int64()),
+            })
+
+        # O(blocks × k) partial rows reach the driver — never vectors
+        parts = ds.map_batches(partial,
+                               batch_format="pyarrow").to_pandas()
+        sums = np.zeros((k, d), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for row in parts.itertuples():
+            sums[row.cluster] += np.frombuffer(row.qsum, np.int64)
+            counts[row.cluster] += row.n
+        nonzero = counts > 0
+        new = cent.copy()
+        new[nonzero] = (sums[nonzero] / scale) \
+            / counts[nonzero, None]
+        cent = _normalize(new)
+        cent_counts = counts
+
+    cq = np.floor(cent * scale + 0.5).astype(np.int64)
+    return rd.from_arrow(pa.table({
+        "cluster": pa.array(np.repeat(np.arange(k), d), pa.int64()),
+        "dim": pa.array(np.tile(np.arange(1, d + 1), k), pa.int64()),
+        "cent_1e6": pa.array(cq.ravel(), pa.int64()),
+        "n_members": pa.array(np.repeat(cent_counts, d), pa.int64()),
+    }))
+
+
 def pair_sim_histogram(sf_dir: str, bucket_q: int = 50_000):
     """All-pairs cosine-similarity histogram over the embedding corpus
     → (bucket, n_pairs) with ``bucket = floor(cos_1e6 / bucket_q)`` —

@@ -210,6 +210,43 @@ def test_citation_components_routes_and_oracle(ray_session):
     assert (small["label"].to_numpy() == ids - ids % 16).all()
 
 
+def test_kmeans_partitioning_invariance_and_k1(ray_session):
+    """The integer-fold k-means fit is bit-identical under different
+    input partitionings, and k=1 reduces to the global normalized
+    mean (the label_centroids quantize-then-sum identity)."""
+    import ray.data as rd
+
+    from rdfx_ray.functions.similarity import (
+        _list_matrix,
+        _normalize,
+        kmeans_fit,
+    )
+
+    a = kmeans_fit(SF, k=4, iters=3).to_pandas()
+    b = kmeans_fit(SF, k=4, iters=3).to_pandas()  # fresh plan, same data
+    m = a.merge(b, on=["cluster", "dim"], suffixes=("_a", "_b"))
+    assert len(m) == len(a) == len(b)
+    assert (m["cent_1e6_a"] == m["cent_1e6_b"]).all()
+    assert (m["n_members_a"] == m["n_members_b"]).all()
+    # every vector is assigned each iteration
+    import pyarrow.parquet as pq
+    n = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    per_dim = a[a["dim"] == 1]
+    assert int(per_dim["n_members"].sum()) == n
+
+    one = kmeans_fit(SF, k=1, iters=2).to_pandas() \
+        .sort_values("dim").reset_index(drop=True)
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["embedding"])
+    mat = _normalize(_list_matrix(emb.column("embedding"),
+                                  dtype=np.float64))
+    q = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+    mean = (q.sum(axis=0) / 1e6) / len(mat)
+    want = np.floor(_normalize(mean[None, :])[0] * 1e6 + 0.5) \
+        .astype(np.int64)
+    assert (one["cent_1e6"].to_numpy() == want).all()
+
+
 def test_mad_nonnegative_and_bounded(ray_session):
     """MAD sanity: 0 <= mad4x <= 2 * (max deviation); group counts
     sum to the table size."""

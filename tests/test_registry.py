@@ -13,6 +13,8 @@ ROWS_ONLY = {
     "corpus_decontaminate_hashed": "uint64 rolling hash (string twin oracled)",
     "corpus_decontaminate_winnow":
         "winnowing fingerprint subset (flag parity test-pinned)",
+    "embedding_kmeans":
+        "iterative refinement has no SQL twin (invariance test-pinned)",
     "dedup_corpus": "composition incl. LSH candidates",
     "dedup_embedding_pairs": "IVF bucketing not SQL-expressible",
     "dedup_minhash_pairs": "minhash signatures not SQL-expressible",
