@@ -836,6 +836,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # time-weighted aggregate over irregular series (step-hold)
         "events_time_weighted":
             lambda sf: _r4().events_time_weighted(sf),
+        # RANGE-frame (time-window) rolling sum/count per user
+        "events_user_rolling_time":
+            lambda sf: _r4().events_user_rolling_time(sf),
         # deterministic epoch shuffle (global permutation → shards)
         "corpus_epoch_shuffle":
             lambda sf: _r4().corpus_epoch_shuffle(sf),
@@ -1198,6 +1201,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_chunk_overlap": _R4.DOCS_CHUNK_OVERLAP_SQL,
         "docs_lang_sample": _R4.DOCS_LANG_SAMPLE_SQL,
         "events_time_weighted": _R4.EVENTS_TIME_WEIGHTED_SQL,
+        "events_user_rolling_time":
+            _R4.EVENTS_USER_ROLLING_TIME_SQL,
         "orders_percent_rank": _PRANK_SQL,
         "citation_bfs_depth": _BFS_SQL,
         "citation_components": _CC_SQL,

@@ -543,6 +543,96 @@ GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# time-RANGE-frame rolling window (value-based frame, no tiebreaks)
+# ---------------------------------------------------------------------------
+
+ROLLING_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def events_user_rolling_time(sf_dir: str,
+                             window_us: int = ROLLING_WINDOW_US,
+                             n_buckets: int = TWA_BUCKETS):
+    """Per-user rolling sum/count over a TIME window — the RANGE
+    frame (``RANGE BETWEEN <interval> PRECEDING AND 1 PRECEDING``),
+    distinct from the ROWS frame of ``events_user_rolling``: the
+    frame is [t − W, t) in µs, so peer rows at the same timestamp
+    are all excluded and the result needs NO tiebreak to be
+    deterministic (value-based frames see sets, not orders) →
+    (event_id, sum_win, n_win) with values quantized at 1e3.
+
+    Shape: user-hash buckets; per user ONE prefix-sum array and two
+    vectorized ``searchsorted`` probes per event — O(events log
+    events-per-user) per bucket, exact integers throughout."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "value"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        t_us = (batch.column("ts").to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64))
+        v = np.floor(batch.column("value")
+                     .to_numpy(zero_copy_only=False) * 1000.0
+                     + 0.5).astype(np.int64)
+        return pa.table({
+            "_jb": pa.array((uid % n_buckets).astype(np.int32)),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "t_us": pa.array(t_us, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+            "event_id": batch.column("event_id"),
+        })
+
+    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_id": np.int64, "sum_win": np.int64,
+                "n_win": np.int64}
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in cols.items()})
+        uid = g["user_id"].to_numpy(np.int64)
+        t = g["t_us"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((t, uid))
+        uid, t, v, eid = uid[order], t[order], v[order], eid[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], uid[1:] != uid[:-1]]))
+        ends = np.append(starts[1:], len(uid))
+        sum_win = np.empty(len(uid), np.int64)
+        n_win = np.empty(len(uid), np.int64)
+        for s, e in zip(starts, ends):
+            seg_t, seg_v = t[s:e], v[s:e]
+            pref = np.concatenate([[0], np.cumsum(seg_v)])
+            lo = np.searchsorted(seg_t, seg_t - window_us, "left")
+            hi = np.searchsorted(seg_t, seg_t, "left")
+            sum_win[s:e] = pref[hi] - pref[lo]
+            n_win[s:e] = hi - lo
+        return pd.DataFrame({
+            "event_id": eid, "sum_win": sum_win, "n_win": n_win})
+
+    return (ds.map_batches(tag, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("_jb").map_groups(roll_bucket,
+                                       batch_format="pandas"))
+
+
+EVENTS_USER_ROLLING_TIME_SQL = f"""
+WITH q AS (
+    SELECT event_id, user_id, epoch_us(ts) AS t,
+           CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT) AS v
+    FROM events)
+SELECT event_id,
+       CAST(COALESCE(SUM(v) OVER w, 0) AS BIGINT) AS sum_win,
+       CAST(COUNT(v) OVER w AS BIGINT) AS n_win
+FROM q
+WINDOW w AS (PARTITION BY user_id ORDER BY t
+             RANGE BETWEEN {ROLLING_WINDOW_US} PRECEDING
+                   AND 1 PRECEDING)
+"""
+
+
+# ---------------------------------------------------------------------------
 # per-group deterministic reservoir (k smallest hashes per group)
 # ---------------------------------------------------------------------------
 

@@ -62,6 +62,8 @@ def test_r4_shapes_match_duckdb(ray_session):
                   EVENTS_ASOF_ORDERS_FORWARD_SQL))
     cases.append((r4.events_time_weighted(SF),
                   r4.EVENTS_TIME_WEIGHTED_SQL))
+    cases.append((r4.events_user_rolling_time(SF),
+                  r4.EVENTS_USER_ROLLING_TIME_SQL))
     for got, sql in cases:
         if isinstance(got, pa.Table):
             got = got.to_pandas()
