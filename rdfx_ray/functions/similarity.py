@@ -162,7 +162,8 @@ class IvfIndex:
     @classmethod
     def build(cls, sf_dir: str, index_dir: str, n_lists: int = 16,
               iters: int = 5, seed: int = 3,
-              max_train: int = 65536) -> "IvfIndex":
+              max_train: int = 65536,
+              distributed_train: bool = False) -> "IvfIndex":
         import ray
         import ray.data as rd
 
@@ -172,22 +173,31 @@ class IvfIndex:
         ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"])
 
-        # bounded, deterministic training sample (first max_train rows)
-        sample = pa.concat_tables(list(
-            ds.limit(max_train).iter_batches(batch_size=1 << 20,
-                                             batch_format="pyarrow")))
-        mat = _normalize(_list_matrix(sample.column("embedding")))
-        rng = np.random.default_rng(seed)
-        init = rng.choice(len(mat), size=min(n_lists, len(mat)),
-                          replace=False)
-        cent = mat[np.sort(init)].copy()
-        for _ in range(iters):
-            assign = np.argmax(mat @ cent.T, axis=1)
-            for c in range(len(cent)):
-                members = mat[assign == c]
-                if len(members):
-                    cent[c] = members.mean(axis=0)
-            cent = _normalize(cent)
+        if distributed_train:
+            # 100-TB route: every vector votes every iteration — the
+            # `_kmeans_centroids` loop (integer partials, O(k×d)
+            # driver state); float32 to match the search plane
+            cent, _counts = _kmeans_centroids(ds.materialize(),
+                                              n_lists, iters)
+            cent = cent.astype(np.float32)
+        else:
+            # bounded, deterministic training sample (first max_train
+            # rows)
+            sample = pa.concat_tables(list(
+                ds.limit(max_train).iter_batches(
+                    batch_size=1 << 20, batch_format="pyarrow")))
+            mat = _normalize(_list_matrix(sample.column("embedding")))
+            rng = np.random.default_rng(seed)
+            init = rng.choice(len(mat), size=min(n_lists, len(mat)),
+                              replace=False)
+            cent = mat[np.sort(init)].copy()
+            for _ in range(iters):
+                assign = np.argmax(mat @ cent.T, axis=1)
+                for c in range(len(cent)):
+                    members = mat[assign == c]
+                    if len(members):
+                        cent[c] = members.mean(axis=0)
+                cent = _normalize(cent)
 
         cent_ref = ray.put(cent)
 
@@ -703,13 +713,30 @@ def kmeans_fit(sf_dir: str, k: int = 8, iters: int = 5,
     quantized UNIT centroid — rows-only (iterative refinement has no
     SQL twin); the partitioning-invariance and k=1-equals-global-mean
     properties are test-pinned."""
-    import ray
     import ray.data as rd
-
-    from .broadcast import cached_get
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"]).materialize()
+    cent, cent_counts = _kmeans_centroids(ds, k, iters, scale)
+    k, d = cent.shape
+    cq = np.floor(cent * scale + 0.5).astype(np.int64)
+    return rd.from_arrow(pa.table({
+        "cluster": pa.array(np.repeat(np.arange(k), d), pa.int64()),
+        "dim": pa.array(np.tile(np.arange(1, d + 1), k), pa.int64()),
+        "cent_1e6": pa.array(cq.ravel(), pa.int64()),
+        "n_members": pa.array(np.repeat(cent_counts, d), pa.int64()),
+    }))
+
+
+def _kmeans_centroids(ds, k: int, iters: int,
+                      scale: int = 1_000_000):
+    """The distributed Lloyd's loop behind :func:`kmeans_fit` and
+    ``IvfIndex.build(distributed_train=True)``: returns
+    (unit centroids (k, d) float64, member counts). ``ds`` is a
+    materialized (vec_id, embedding) Dataset."""
+    import ray
+
+    from .broadcast import cached_get
 
     # seeds: k smallest vec_ids via per-batch partial top-k (O(k ×
     # blocks) to the driver — no global sort for k rows)
@@ -764,14 +791,7 @@ def kmeans_fit(sf_dir: str, k: int = 8, iters: int = 5,
             / counts[nonzero, None]
         cent = _normalize(new)
         cent_counts = counts
-
-    cq = np.floor(cent * scale + 0.5).astype(np.int64)
-    return rd.from_arrow(pa.table({
-        "cluster": pa.array(np.repeat(np.arange(k), d), pa.int64()),
-        "dim": pa.array(np.tile(np.arange(1, d + 1), k), pa.int64()),
-        "cent_1e6": pa.array(cq.ravel(), pa.int64()),
-        "n_members": pa.array(np.repeat(cent_counts, d), pa.int64()),
-    }))
+    return cent, cent_counts
 
 
 def pair_sim_histogram(sf_dir: str, bucket_q: int = 50_000):

@@ -212,6 +212,28 @@ def test_citation_components_routes_and_oracle(ray_session):
     assert (small["label"].to_numpy() == ids - ids % 16).all()
 
 
+def test_ivf_distributed_train_full_probe_exact(ray_session, tmp_path):
+    """IvfIndex built with the distributed k-means route still
+    satisfies the exactness contract: probing ALL lists equals brute
+    force (partitioning correctness is independent of where the
+    centroids came from)."""
+    from rdfx_ray.functions.similarity import (
+        IvfIndex,
+        brute_topk,
+        default_queries,
+    )
+
+    idx = IvfIndex.build(SF, str(tmp_path / "ivf"), n_lists=8,
+                         iters=3, distributed_train=True)
+    q = default_queries(SF)
+    full = idx.search(q, k=10, nprobe=8).to_pandas()
+    exact = brute_topk(SF, k=10).to_pandas()
+    for qi in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        f = set(full[full["query_id"] == qi]["vec_id"])
+        assert f == e, f"query {qi}"
+
+
 def test_kmeans_partitioning_invariance_and_k1(ray_session):
     """The integer-fold k-means fit is bit-identical under different
     input partitionings, and k=1 reduces to the global normalized
