@@ -907,6 +907,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed Lloyd's k-means (iterative; integer folds make
         # the fit bit-deterministic under any partitioning)
         "embedding_kmeans": lambda sf: similarity.kmeans_fit(sf),
+        # embedding-space decontamination (test-vs-train max cosine)
+        "embedding_decontaminate":
+            lambda sf: similarity.embedding_decontaminate(sf),
     }
 
 
@@ -951,6 +954,7 @@ def oracle_sql() -> dict[str, str]:
         CUSTOMER_TRIANGLES_SQL as _TRI_SQL,
     )
     from rdfx_ray.functions.similarity import (
+        EMBEDDING_DECONTAMINATE_SQL as _EMB_DECON_SQL,
         PAIR_SIM_HISTOGRAM_SQL as _PAIR_HIST_SQL,
     )
     from rdfx_ray.pipelines.analytics import (
@@ -1181,6 +1185,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_share": _EXT.EVENTS_TYPE_SHARE_SQL,
         "events_value_mode": _EXT.EVENTS_VALUE_MODE_SQL,
         "embedding_pair_sim_histogram": _PAIR_HIST_SQL,
+        "embedding_decontaminate": _EMB_DECON_SQL,
         "events_funnel": _EXT.EVENTS_FUNNEL_SQL,
         "orders_price_median2x": _EXT.ORDERS_MEDIAN2X_SQL,
         "brand_revenue": _EXT.BRAND_REVENUE_SQL,

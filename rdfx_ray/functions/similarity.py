@@ -685,6 +685,111 @@ GROUP BY label, dim
 
 
 # ---------------------------------------------------------------------------
+# embedding-space decontamination (test-vs-train max cosine)
+# ---------------------------------------------------------------------------
+
+EMB_DECON_TEST_PCT = 10
+EMB_DECON_BROADCAST_CUTOFF = 200_000
+
+
+def embedding_decontaminate(sf_dir: str,
+                            test_pct: int = EMB_DECON_TEST_PCT,
+                            broadcast_cutoff: int =
+                            EMB_DECON_BROADCAST_CUTOFF):
+    """Embedding-space decontamination: for every TEST vector (the
+    ``split_corpus`` md5 gate applied to vec_id), its maximum cosine
+    similarity against ANY train vector → (vec_id, max_sim_1e6). The
+    semantic twin of the n-gram ``decontaminate`` — paraphrased
+    contamination that shares no 8-gram still lands near its source
+    in embedding space.
+
+    Shape: the test matrix broadcasts once (``ray.put``; count-gated
+    — above ``broadcast_cutoff`` test rows this exact variant
+    refuses in favor of the LSH/IVF-bucketed near-dup path, the same
+    honest bound ``pair_sim_histogram`` documents); the TRAIN side
+    streams, each batch folding a per-test-vector partial max, and a
+    tiny groupby(Max) finishes. Math follows the
+    ``brute_topk_quantized`` conventions exactly (float64 +
+    ``floor(cos·10⁶+0.5)``; max-of-quantized == quantized-of-max by
+    monotonicity), so the DuckDB cross-join oracle hash-matches."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from .broadcast import cached_get
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).materialize()
+
+    def is_test_mask(ids: np.ndarray) -> np.ndarray:
+        import hashlib as _h
+        bucket = np.fromiter(
+            (int(_h.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+             for i in ids.tolist()),
+            dtype=np.int64, count=len(ids))
+        return bucket < test_pct
+
+    def take_test(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(is_test_mask(
+            _i64(b.column("vec_id")))))
+
+    test_tbl = pa.concat_tables(list(
+        ds.map_batches(take_test, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    n_test = test_tbl.num_rows
+    if n_test > broadcast_cutoff:
+        raise ValueError(
+            f"{n_test} test vectors exceed the exact broadcast bound "
+            f"({broadcast_cutoff}); use the LSH/IVF near-dup path "
+            f"(dedup.embedding_neardup_pairs) at this scale")
+    t_ids = _i64(test_tbl.column("vec_id"))
+    t_m = _list_matrix(test_tbl.column("embedding"),
+                       dtype=np.float64)
+    t_m /= np.linalg.norm(t_m, axis=1, keepdims=True)
+    tref = ray.put((t_ids, t_m))
+
+    def partial_max(batch: pa.Table) -> pa.Table:
+        ids = _i64(batch.column("vec_id"))
+        train = ~is_test_mask(ids)
+        if not train.any():
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "max_sim_1e6": pa.array([], pa.int64())})
+        t_ids_l, t_m_l = cached_get(tref)
+        m = _list_matrix(batch.column("embedding"),
+                         dtype=np.float64)[train]
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = t_m_l @ m.T                          # (n_test, batch)
+        q = np.floor(sims * 1_000_000 + 0.5).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(t_ids_l, pa.int64()),
+            "max_sim_1e6": pa.array(q.max(axis=1), pa.int64()),
+        })
+
+    return (ds.map_batches(partial_max, batch_format="pyarrow",
+                           batch_size=4096)
+            .groupby("vec_id")
+            .aggregate(Max("max_sim_1e6", alias_name="max_sim_1e6")))
+
+
+EMBEDDING_DECONTAMINATE_SQL = f"""
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                AS UBIGINT) % 100 < {EMB_DECON_TEST_PCT} AS is_test
+    FROM embeddings)
+SELECT t.vec_id,
+       CAST(MAX(CAST(FLOOR(list_cosine_similarity(t.v, tr.v) * 1e6
+                           + 0.5) AS BIGINT)) AS BIGINT)
+           AS max_sim_1e6
+FROM e t, e tr
+WHERE t.is_test AND NOT tr.is_test
+GROUP BY t.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # distributed Lloyd's k-means — the iterative training operator
 # ---------------------------------------------------------------------------
 

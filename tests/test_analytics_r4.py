@@ -7,7 +7,8 @@ import pyarrow as pa
 import pytest
 
 SF = "/root/testdata/sf0.001"
-TABLES = ("documents", "events", "orders", "nation", "region")
+TABLES = ("documents", "events", "orders", "nation", "region",
+          "embeddings")
 
 
 def _duck(sql: str) -> pd.DataFrame:
@@ -64,6 +65,12 @@ def test_r4_shapes_match_duckdb(ray_session):
                   r4.EVENTS_TIME_WEIGHTED_SQL))
     cases.append((r4.events_user_rolling_time(SF),
                   r4.EVENTS_USER_ROLLING_TIME_SQL))
+    from rdfx_ray.functions.similarity import (
+        EMBEDDING_DECONTAMINATE_SQL,
+        embedding_decontaminate,
+    )
+    cases.append((embedding_decontaminate(SF),
+                  EMBEDDING_DECONTAMINATE_SQL))
     for got, sql in cases:
         if isinstance(got, pa.Table):
             got = got.to_pandas()
