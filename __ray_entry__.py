@@ -470,6 +470,17 @@ def _kg_query_construct(sf_dir: str):
                          SDO + "isBasedOn", "urn:derived:langSource")
 
 
+def _kg_query_describe(sf_dir: str):
+    """DESCRIBE ?s WHERE { ?s inLanguage 'de' } — every triple about
+    each matching subject; count-gated broadcast is_in vs semi-join
+    membership filter (pipelines/query.py::describe_subjects)."""
+    from rdfx_ray.functions.doc_triples import SDO, doc_triples
+    from rdfx_ray.pipelines.query import describe_subjects
+
+    return describe_subjects(doc_triples(sf_dir),
+                             SDO + "inLanguage", "de")
+
+
 def _kg_query_group_concat(sf_dir: str):
     """GROUP_CONCAT(DISTINCT ?w ORDER BY ?w) per language — distinct
     pair shuffle then per-group ordered concat."""
@@ -685,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_query_group_minmax": _kg_query_group_minmax,
         "kg_validate_shapes": _kg_validate_shapes,
         "kg_query_construct": _kg_query_construct,
+        "kg_query_describe": _kg_query_describe,
         "kg_query_group_concat": _kg_query_group_concat,
         "kg_query_ask": _kg_query_ask,
         "kg_query_bind": _kg_query_bind,
@@ -1047,6 +1059,13 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(DISTINCT source, ',' ORDER BY source)
                        AS vals
             FROM documents GROUP BY lang
+        """,
+        "kg_query_describe": f"""
+            SELECT * FROM ({DOC_TRIPLES_SQL})
+            WHERE subj IN (
+                SELECT subj FROM ({DOC_TRIPLES_SQL})
+                WHERE pred = 'https://schema.org/inLanguage'
+                  AND obj_value = 'de')
         """,
         "kg_query_group_count": """
             SELECT lang AS v, COUNT(*) AS n

@@ -56,6 +56,52 @@ def select_limit(triples_ds, n: int = 10):
     return triples_ds.limit(n)
 
 
+DESCRIBE_BROADCAST_CUTOFF = 2_000_000
+
+
+def describe_subjects(triples_ds, pred: str, obj_value: str,
+                      broadcast_cutoff: int = DESCRIBE_BROADCAST_CUTOFF,
+                      num_partitions: int = 16):
+    """SPARQL DESCRIBE: every triple about each subject matching
+    ``{?s pred obj_value}`` — completes the verb family
+    (SELECT / ASK / CONSTRUCT / DESCRIBE). Two streaming passes:
+    the matching-subject set folds first (count-gated: broadcast
+    ``is_in`` filter below the cutoff, semi join via the native hash
+    join above it — the customers_with_urgent_order routing), then
+    the full triples stream filters by membership. Output is the
+    engine's full triple schema."""
+    import ray
+
+    from ..functions.broadcast import cached_get
+
+    subj_ds = (triple_pattern(triples_ds, pred=pred,
+                              obj_value=obj_value)
+               .map_batches(lambda b: b.select(["subj"]),
+                            batch_format="pyarrow")
+               .groupby("subj").count()
+               .map_batches(lambda b: b.select(["subj"]),
+                            batch_format="pyarrow").materialize())
+    n_subj = subj_ds.count()
+    if n_subj <= broadcast_cutoff:
+        subj_set = pa.concat_tables(list(subj_ds.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"))) \
+            .column("subj").combine_chunks()
+        sref = ray.put(subj_set)
+
+        def member(batch: pa.Table) -> pa.Table:
+            s = cached_get(sref)
+            return batch.filter(pc.is_in(batch.column("subj"),
+                                         value_set=s))
+
+        return triples_ds.map_batches(member, batch_format="pyarrow")
+
+    # semi join route: mark + inner join on subj (dense both sides)
+    marked = subj_ds.map_batches(
+        lambda b: b.rename_columns(["_ds"]), batch_format="pyarrow")
+    return (triples_ds.join(marked, "inner", num_partitions,
+                            on=("subj",), right_on=("_ds",)))
+
+
 def subjects_of(triples_ds, pred: str, obj_value: str):
     """All subjects with (s, pred, obj_value) — the single-pattern
     SELECT shape."""
