@@ -851,6 +851,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RANGE-frame (time-window) rolling sum/count per user
         "events_user_rolling_time":
             lambda sf: _r4().events_user_rolling_time(sf),
+        # period-over-period delta (LAG over the aggregated series)
+        "orders_monthly_delta":
+            lambda sf: _r4().orders_monthly_delta(sf),
         # deterministic epoch shuffle (global permutation → shards)
         "corpus_epoch_shuffle":
             lambda sf: _r4().corpus_epoch_shuffle(sf),
@@ -1227,6 +1230,7 @@ def oracle_sql() -> dict[str, str]:
         "events_time_weighted": _R4.EVENTS_TIME_WEIGHTED_SQL,
         "events_user_rolling_time":
             _R4.EVENTS_USER_ROLLING_TIME_SQL,
+        "orders_monthly_delta": _R4.ORDERS_MONTHLY_DELTA_SQL,
         "orders_percent_rank": _PRANK_SQL,
         "citation_bfs_depth": _BFS_SQL,
         "citation_components": _CC_SQL,

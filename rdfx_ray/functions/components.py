@@ -390,37 +390,39 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 20,
         ("c", pa.float64()), ("kind", pa.int8()),
         ("_jb", pa.int64())])
 
-    def _rank_side(b: pa.Table) -> pa.Table:
-        names = b.column("node").to_pylist()
+    def _round_batch(b: pa.Table) -> pa.Table:
+        """One rank block → its kind-0 rank rows PLUS the kind-1
+        presummed (dst, c) partials in ONE pass (a single branch on
+        purpose: the union-of-two-branches layout left both map
+        operators stuck 'running' for ~40 s/round at small CPU
+        counts in the components twin of this loop). Contribution
+        slices group by src-bucket locally and join against their
+        PINNED edge tables (plasma read; polars conversions cached
+        per worker+ref in _pl_bucket_cache — bounded by edges/B ×
+        the buckets this worker touches; pagerank_sharded remains
+        the default scale path)."""
+        import polars as pl
+
+        from .broadcast import cached_get
+        names_all = np.asarray(b.column("node").to_pylist(),
+                               dtype=object)
         n_rows = b.num_rows
-        return pa.table({
+        rank_rows = pa.table({
             "node": b.column("node"),
             "outdeg": b.column("outdeg"),
             "c": pa.array(np.zeros(n_rows), pa.float64()),
             "kind": pa.array(np.zeros(n_rows, np.int8)),
-            "_jb": pa.array(_owner_of(names, B), pa.int64()),
+            "_jb": pa.array(_owner_of(names_all, B), pa.int64()),
         }).cast(union_schema)
 
-    def _contrib_batch(b: pa.Table) -> pa.Table:
-        """One rank block → presummed (dst, c) partials tagged with
-        the DST owner bucket: the block's rows group by src-bucket
-        locally and join each slice against its PINNED edge table
-        (plasma read; the polars-converted table is cached per
-        worker+ref in _pl_bucket_cache — bounded by edges/B × the
-        buckets this worker touches; pagerank_sharded remains the
-        default scale path)."""
-        import polars as pl
-
-        from .broadcast import cached_get
-        refs = cached_get(bref)
         deg = b.column("outdeg").to_numpy()
         keep = deg > 0.0  # dangling rows contribute nothing
-        t = b.filter(pa.array(keep))
-        if t.num_rows == 0:
-            return union_schema.empty_table()
-        names = np.asarray(t.column("node").to_pylist(), dtype=object)
-        w = (t.column("rank").to_numpy(zero_copy_only=False)
-             / t.column("outdeg").to_numpy(zero_copy_only=False))
+        if not keep.any():
+            return rank_rows
+        refs = cached_get(bref)
+        names = names_all[keep]
+        w = (b.column("rank").to_numpy(zero_copy_only=False)[keep]
+             / deg[keep])
         jb = _owner_of(names, B)
         order = np.argsort(jb, kind="stable")
         jb_s, names_s, w_s = jb[order], names[order], w[order]
@@ -444,17 +446,19 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 20,
             outs.append(j.group_by("dst")
                         .agg(pl.col("w").sum().alias("c")))
         if not outs:
-            return union_schema.empty_table()
+            return rank_rows
         out = pl.concat(outs)
         dsts = np.asarray(out["dst"].to_numpy(), dtype=object)
-        n_rows = len(dsts)
-        return pa.table({
+        nc = len(dsts)
+        contrib_rows = pa.table({
             "node": pa.array(dsts, pa.string()),
-            "outdeg": pa.array(np.zeros(n_rows), pa.float64()),
+            "outdeg": pa.array(np.zeros(nc), pa.float64()),
             "c": pa.array(out["c"].to_numpy(), pa.float64()),
-            "kind": pa.array(np.ones(n_rows, np.int8)),
+            "kind": pa.array(np.ones(nc, np.int8)),
             "_jb": pa.array(_owner_of(dsts, B), pa.int64()),
         }).cast(union_schema)
+        return pa.concat_tables([rank_rows, contrib_rows]) \
+            .combine_chunks()
 
     def _dangle_partial(b: pa.Table) -> pa.Table:
         deg = b.column("outdeg").to_numpy()
@@ -485,21 +489,20 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 20,
                 "rank": base + damping * csum,
             })
 
-        # the ONE exchange per round: rank rows ∪ presummed contrib
-        # rows, co-located by the int64 node-owner bucket; per-bucket
-        # local merge computes the new ranks (no JoinOperator, no
-        # string keys in the shuffle plane). The trailing
-        # repartition(B) is load-bearing: union DOUBLES the block
-        # count and sort preserves it, so without the cap blocks grow
-        # 2^round — by round ~10 the sort plans over thousands of
-        # near-empty blocks and its fixed per-block cost dominates
-        # (measured: a 500-node 10-round run blew past 400 s and a
-        # 13 GB driver-memory estimate; with the cap it is seconds).
-        ranks = (ranks.map_batches(_rank_side, batch_format="pyarrow",
+        # the ONE exchange per round: rank rows + presummed contrib
+        # rows (both emitted by the SINGLE _round_batch pass — see
+        # its docstring for why not a union of two branches),
+        # co-located by the int64 node-owner bucket; per-bucket local
+        # merge computes the new ranks (no JoinOperator, no string
+        # keys in the shuffle plane). The trailing repartition(B) is
+        # load-bearing: without the cap, iterative block counts grow
+        # per round and by round ~10 the sort plans over thousands of
+        # near-empty blocks (measured: a 500-node 10-round run blew
+        # past 400 s and a 13 GB driver-memory estimate; with the cap
+        # it is seconds).
+        ranks = (ranks.map_batches(_round_batch,
+                                   batch_format="pyarrow",
                                    batch_size=None)
-                 .union(ranks.map_batches(_contrib_batch,
-                                          batch_format="pyarrow",
-                                          batch_size=None))
                  .groupby("_jb")
                  .map_groups(update_bucket, batch_format="pandas")
                  .map_batches(lambda b: b.cast(rank_schema),
@@ -547,54 +550,140 @@ def connected_components_ds(edges_ds, nodes_ds, max_rounds: int = 50,
     int64 — every node, including isolated ones (they keep their own
     label, matching the recursive-CTE semantics of the oracle).
 
-    Per round: one hash join attaches each edge's src label, the
-    (dst, label) candidates union-min-fold into the label Dataset
-    (int64 keys only in the shuffle plane), and convergence is the
-    label-sum fixpoint (labels only ever decrease, so an unchanged
-    sum ⇔ no change). `repartition` caps the union block growth
-    (iterative-loop rule) and partitions clamp per the tiny-side
-    rule."""
-    from ray.data.aggregate import Min
+    The round shape is the PageRank join-route layout — a per-round
+    JoinOperator measured 50 s/round at 1M edges, so edges are
+    hash(src)-bucketed ONCE into pinned object-store tables; per
+    round only the O(nodes) label table moves, through a single
+    int64-bucketed union exchange: label rows (kind 0) ∪ per-slice
+    pre-minned (dst, lab) candidates (kind 1), co-located by node
+    owner, merged per bucket in polars. Convergence is the label-sum
+    fixpoint (labels only ever decrease, so an unchanged sum ⇔ no
+    change); `repartition(B)` caps the iterative block growth."""
+    import ray
 
-    def sym(b: pa.Table) -> pa.Table:
+    B = num_partitions
+
+    def sym_tag(b: pa.Table) -> pa.Table:
         s = b.column("src").to_numpy(zero_copy_only=False)
         d = b.column("dst").to_numpy(zero_copy_only=False)
+        src = np.concatenate([s, d]).astype(np.int64)
+        dst = np.concatenate([d, s]).astype(np.int64)
         return pa.table({
-            "src": pa.array(np.concatenate([s, d]), pa.int64()),
-            "dst": pa.array(np.concatenate([d, s]), pa.int64())})
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "_jb": pa.array(_owner_of(src, B), pa.int64())})
 
-    edges = edges_ds.map_batches(sym,
-                                 batch_format="pyarrow").materialize()
-    n_edges = edges.count()
+    def _adopt(g: pd.DataFrame) -> pd.DataFrame:
+        t = pa.table({
+            "src": pa.array(g["src"].to_numpy(np.int64)),
+            "dst": pa.array(g["dst"].to_numpy(np.int64))})
+        # list-wrapped so the ref survives as a REF (cell values keep
+        # identity; top-level args would auto-deref)
+        return pd.DataFrame({"jb": [int(g["_jb"].iloc[0])],
+                             "ref": [[ray.put(t)]]})
 
-    labels = nodes_ds.map_batches(
+    adopted = (edges_ds.map_batches(sym_tag, batch_format="pyarrow")
+               .groupby("_jb").map_groups(_adopt,
+                                          batch_format="pandas")
+               .to_pandas())  # ≤ B rows
+    bucket_refs = {int(r.jb): r.ref[0] for r in adopted.itertuples()}
+    bref = ray.put(bucket_refs)
+
+    union_schema = pa.schema([
+        ("node", pa.int64()), ("lab", pa.int64()),
+        ("kind", pa.int8()), ("_jb", pa.int64())])
+
+    labels = (nodes_ds.map_batches(
         lambda b: pa.table({
             "node": b.column("node").cast(pa.int64()),
             "lab": b.column("node").cast(pa.int64())}),
-        batch_format="pyarrow").repartition(num_partitions) \
-        .materialize()
-    n = labels.count()
+        batch_format="pyarrow").repartition(B).materialize())
 
-    def _parts(*side_rows: int) -> int:
-        return max(1, min(num_partitions,
-                          min(side_rows) // 4096 + 1))
+    def _round_batch(b: pa.Table) -> pa.Table:
+        """One label block → its kind-0 label rows PLUS the kind-1
+        per-slice pre-minned (dst, lab) candidates, in ONE pass. A
+        single branch on purpose: the union-of-two-branches plan
+        (pagerank's layout) left both map operators stuck 'running'
+        for ~40 s per round at small CPU counts — one operator, one
+        task wave, no cross-branch contention. Pinned edge tables
+        read from plasma; polars conversions cached per worker+ref
+        in _pl_bucket_cache."""
+        import polars as pl
 
+        from .broadcast import cached_get
+        nd = b.column("node").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lab = b.column("lab").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        label_rows = pa.table({
+            "node": b.column("node"),
+            "lab": b.column("lab"),
+            "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+            "_jb": pa.array(_owner_of(nd, B), pa.int64()),
+        }).cast(union_schema)
+
+        refs = cached_get(bref)
+        jb = _owner_of(nd, B)
+        order = np.argsort(jb, kind="stable")
+        jb_s, nd_s, lab_s = jb[order], nd[order], lab[order]
+        bounds = np.flatnonzero(np.concatenate(
+            [[True], jb_s[1:] != jb_s[:-1]]))
+        bounds = np.append(bounds, len(jb_s))
+        outs = []
+        for i in range(len(bounds) - 1):
+            s, e = bounds[i], bounds[i + 1]
+            ref = refs.get(int(jb_s[s]))
+            if ref is None:
+                continue
+            key = ref.hex()
+            et = _pl_bucket_cache.get(key)
+            if et is None:
+                et = pl.from_arrow(ray.get(ref))
+                _pl_bucket_cache[key] = et
+            r = pl.DataFrame({"src": nd_s[s:e], "lab": lab_s[s:e]})
+            j = et.join(r, on="src", how="inner")
+            outs.append(j.group_by("dst")
+                        .agg(pl.col("lab").min().alias("lab")))
+        if not outs:
+            return label_rows
+        out = pl.concat(outs)
+        dsts = out["dst"].to_numpy().astype(np.int64)
+        cand_rows = pa.table({
+            "node": pa.array(dsts, pa.int64()),
+            "lab": pa.array(out["lab"].to_numpy().astype(np.int64)),
+            "kind": pa.array(np.ones(len(dsts), np.int8)),
+            "_jb": pa.array(_owner_of(dsts, B), pa.int64()),
+        }).cast(union_schema)
+        return pa.concat_tables([label_rows, cand_rows]) \
+            .combine_chunks()
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[g["kind"] == 0][["node", "lab"]]
+        cand = g[g["kind"] == 1][["node", "lab"]]
+        if len(cand):
+            c = cand.groupby("node", as_index=False)["lab"].min()
+            m = base.merge(c, on="node", how="left",
+                           suffixes=("", "_c"))
+            own = m["lab"].to_numpy(np.int64)
+            cand_lab = np.where(m["lab_c"].isna(), own,
+                                m["lab_c"].fillna(0)
+                                .to_numpy(np.int64))
+            return pd.DataFrame({"node": m["node"].to_numpy(np.int64),
+                                 "lab": np.minimum(own, cand_lab)})
+        return pd.DataFrame({"node": base["node"].to_numpy(np.int64),
+                             "lab": base["lab"].to_numpy(np.int64)})
+
+    lab_schema = pa.schema([("node", pa.int64()), ("lab", pa.int64())])
     prev_sum = None
     for _ in range(max_rounds):
-        lab_r = labels.map_batches(
-            lambda b: b.rename_columns(["_ln", "lab"]),
-            batch_format="pyarrow")
-        cand = (edges.join(lab_r, "inner", _parts(n, n_edges),
-                           on=("src",), right_on=("_ln",))
-                .map_batches(
-                    lambda b: pa.table({
-                        "node": b.column("dst"),
-                        "lab": b.column("lab")}),
-                    batch_format="pyarrow"))
-        labels = (labels.union(cand)
-                  .groupby("node").aggregate(Min("lab",
-                                                 alias_name="lab"))
-                  .repartition(num_partitions).materialize())
+        labels = (labels.map_batches(_round_batch,
+                                     batch_format="pyarrow",
+                                     batch_size=None)
+                  .groupby("_jb")
+                  .map_groups(merge_bucket, batch_format="pandas")
+                  .map_batches(lambda b: b.cast(lab_schema),
+                               batch_format="pyarrow")
+                  .repartition(B).materialize())
         cur_sum = int(labels.sum("lab") or 0)
         if cur_sum == prev_sum:
             break

@@ -543,6 +543,84 @@ GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# period-over-period delta (LAG over an aggregated series)
+# ---------------------------------------------------------------------------
+
+
+def orders_monthly_delta(sf_dir: str):
+    """Monthly revenue with the previous month's delta — the
+    period-over-period reporting shape → (month, cents, delta_cents,
+    n_orders) with month as 'YYYY-MM'. One corpus pass folds
+    per-batch (month, cents, n) partials into an O(months) aggregate;
+    the LAG runs on that tiny series (months are bounded by calendar
+    time, never by data volume — missing months yield NULL deltas,
+    exactly LAG's semantics, not zero-fill)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate") \
+            .to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]")
+        cents = np.floor(batch.column("o_totalprice")
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "month": np.datetime_as_string(d, unit="M"),
+            "cents": cents})
+        g = df.groupby("month", as_index=False) \
+            .agg(cents=("cents", "sum"), n_orders=("cents", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby("month")
+           .aggregate(Sum("cents", alias_name="cents"),
+                      Sum("n_orders", alias_name="n_orders"))
+           .to_pandas())  # O(months) rows — calendar-bounded
+    agg = agg.sort_values("month").reset_index(drop=True)
+    prev = agg["cents"].shift(1)
+    # LAG over consecutive SERIES rows only when months are adjacent
+    m = pd.PeriodIndex(agg["month"], freq="M")
+    ordinals = np.asarray(m.year) * 12 + np.asarray(m.month)
+    adjacent = np.concatenate(
+        [[False], np.diff(ordinals) == 1]) \
+        if len(agg) > 1 else np.zeros(len(agg), dtype=bool)
+    delta = np.where(adjacent, agg["cents"] - prev.fillna(0), np.nan)
+    out = pa.table({
+        "month": pa.array(agg["month"], pa.string()),
+        "cents": pa.array(agg["cents"].astype(np.int64)),
+        "delta_cents": pa.array(
+            pd.array(delta).astype("Int64"), pa.int64()),
+        "n_orders": pa.array(agg["n_orders"].astype(np.int64)),
+    })
+    import ray.data as _rd
+    return _rd.from_arrow(out)
+
+
+ORDERS_MONTHLY_DELTA_SQL = """
+WITH m AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1)
+SELECT month, cents,
+       CAST(CASE WHEN (CAST(month[1:4] AS INT) * 12
+                       + CAST(month[6:7] AS INT))
+                    - (CAST((LAG(month) OVER w)[1:4] AS INT) * 12
+                       + CAST((LAG(month) OVER w)[6:7] AS INT)) = 1
+                 THEN cents - LAG(cents) OVER w END AS BIGINT)
+           AS delta_cents,
+       n_orders
+FROM m WINDOW w AS (ORDER BY month)
+"""
+
+
+# ---------------------------------------------------------------------------
 # time-RANGE-frame rolling window (value-based frame, no tiebreaks)
 # ---------------------------------------------------------------------------
 

@@ -71,6 +71,8 @@ def test_r4_shapes_match_duckdb(ray_session):
     )
     cases.append((embedding_decontaminate(SF),
                   EMBEDDING_DECONTAMINATE_SQL))
+    cases.append((r4.orders_monthly_delta(SF),
+                  r4.ORDERS_MONTHLY_DELTA_SQL))
     for got, sql in cases:
         if isinstance(got, pa.Table):
             got = got.to_pandas()
