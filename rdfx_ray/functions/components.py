@@ -244,18 +244,17 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 20,
       bytes = partial dst sums only). ``large_route="join"`` keeps
       the Dataset route below as the API-level twin: the rank table
       lives as a Dataset keyed by node. Edges are hash(src)-bucketed
-      ONCE into object-store tables (the round-3 "join-route byte
-      halving" item); per round only the O(nodes) rank-weight table
-      re-buckets — each bucket group joins locally against its
-      pinned edge table (plasma read, zero-copy within a node) and
-      pre-folds its (dst, c) partials, so the former per-round
-      O(edges) join exchange is gone and the only O(≤edges) movement
-      left is the contribution ``groupby(dst).sum``. A left-outer
-      join writes the new rank table (nodes with no in-edges keep
-      the teleport+dangling base); dangling mass is a streaming
-      scalar aggregate per round. State per round is the
-      (node, rank, outdeg) table — O(nodes), never O(edges) on the
-      driver.
+      ONCE into pinned object-store tables; per round a SINGLE
+      ``_round_batch`` pass over the rank Dataset emits each block's
+      rank rows plus its locally pre-folded (dst, c) contribution
+      partials, and the ONE exchange per round is the int64-bucketed
+      ``groupby(_jb)`` that co-locates them for the per-bucket rank
+      update — no JoinOperator anywhere in the loop, no string keys
+      in the shuffle plane, and no union of two branches (both
+      measured hazards; see BASELINE.md round 4: 92.1 s → 11.4 s at
+      1M edges × 10 rounds). Dangling mass is a streaming scalar
+      aggregate per round. State per round is the (node, rank,
+      outdeg) table — O(nodes), never O(edges) on the driver.
 
     Rounds are a fixed count (not convergence-tested) so both routes
     and reruns produce identical iteration structure.
