@@ -64,6 +64,32 @@ def default_queries(sf_dir: str, n_queries: int = 4) -> np.ndarray:
     return _list_matrix(head.column("embedding"))
 
 
+def _sampled_centroids(ds, n_lists: int, iters: int = 5, seed: int = 3,
+                       max_train: int = 65536) -> np.ndarray:
+    """Deterministic bounded-sample spherical k-means centroids (the
+    ``IvfIndex.build`` sampled-training route, factored so the
+    bucketed decontaminate path trains the same way): first
+    ``max_train`` rows, seeded init, ``iters`` Lloyd's rounds on the
+    normalized sample. Driver state is O(sample × d); the corpus
+    never collects."""
+    sample = pa.concat_tables(list(
+        ds.limit(max_train).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")))
+    mat = _normalize(_list_matrix(sample.column("embedding")))
+    rng = np.random.default_rng(seed)
+    init = rng.choice(len(mat), size=min(n_lists, len(mat)),
+                      replace=False)
+    cent = mat[np.sort(init)].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
 def _merge_partial_topk(partials_ds, k: int) -> pa.Table:
     """Driver merge of per-batch partial top-k rows (tiny: ≤ k rows per
     query per batch)."""
@@ -491,11 +517,12 @@ class LshIndex:
 _IVF_CACHE_ROOT = os.environ.get("RAY_GRAFT_IVF_DIR", "/tmp/rdfx_ray_ivf")
 
 
-def ivf_index_for(sf_dir: str, n_lists: int = 16) -> IvfIndex:
+def ivf_index_for(sf_dir: str, n_lists: int = 16,
+                  distributed_train: bool = False) -> IvfIndex:
     """Load (or build+persist) the IVF index artifact for a corpus.
-    The artifact is keyed by corpus path + list count; a wiped /tmp
-    just triggers a rebuild (the build is resumable-from-nothing and
-    deterministic)."""
+    The artifact is keyed by corpus path + list count + training route;
+    a wiped /tmp just triggers a rebuild (the build is
+    resumable-from-nothing and deterministic)."""
     # key includes a cheap content fingerprint (row count + mtime + file
     # size) so a regenerated embeddings.parquet at the same path (new
     # seed / doc count) rebuilds instead of silently serving stale
@@ -509,10 +536,15 @@ def ivf_index_for(sf_dir: str, n_lists: int = 16) -> IvfIndex:
         fp = "absent"
     key = hashlib.md5(
         f"{Path(sf_dir).resolve()}|{fp}".encode()).hexdigest()[:12]
-    index_dir = Path(_IVF_CACHE_ROOT) / f"{key}-L{n_lists}"
+    # training route is part of the key: sampled and distributed
+    # Lloyd's produce different centroids, so a flipped default must
+    # never silently serve the other route's artifact
+    suffix = "-D1" if distributed_train else ""
+    index_dir = Path(_IVF_CACHE_ROOT) / f"{key}-L{n_lists}{suffix}"
     if (index_dir / "manifest.json").exists():
         return IvfIndex.load(str(index_dir))
-    return IvfIndex.build(sf_dir, str(index_dir), n_lists=n_lists)
+    return IvfIndex.build(sf_dir, str(index_dir), n_lists=n_lists,
+                          distributed_train=distributed_train)
 
 
 def ivf_topk(sf_dir: str, queries: Optional[np.ndarray] = None,
@@ -695,7 +727,8 @@ EMB_DECON_BROADCAST_CUTOFF = 200_000
 def embedding_decontaminate(sf_dir: str,
                             test_pct: int = EMB_DECON_TEST_PCT,
                             broadcast_cutoff: int =
-                            EMB_DECON_BROADCAST_CUTOFF):
+                            EMB_DECON_BROADCAST_CUTOFF,
+                            n_lists: int = 16, nprobe: int = 4):
     """Embedding-space decontamination: for every TEST vector (the
     ``split_corpus`` md5 gate applied to vec_id), its maximum cosine
     similarity against ANY train vector → (vec_id, max_sim_1e6). The
@@ -703,15 +736,22 @@ def embedding_decontaminate(sf_dir: str,
     contamination that shares no 8-gram still lands near its source
     in embedding space.
 
-    Shape: the test matrix broadcasts once (``ray.put``; count-gated
-    — above ``broadcast_cutoff`` test rows this exact variant
-    refuses in favor of the LSH/IVF-bucketed near-dup path, the same
-    honest bound ``pair_sim_histogram`` documents); the TRAIN side
-    streams, each batch folding a per-test-vector partial max, and a
-    tiny groupby(Max) finishes. Math follows the
-    ``brute_topk_quantized`` conventions exactly (float64 +
-    ``floor(cos·10⁶+0.5)``; max-of-quantized == quantized-of-max by
-    monotonicity), so the DuckDB cross-join oracle hash-matches."""
+    Count-gated routes (house rule; the test-row count decides):
+
+    - **exact** (≤ ``broadcast_cutoff`` test rows): the test matrix
+      broadcasts once (``ray.put``); the TRAIN side streams, each
+      batch folding a per-test-vector partial max, and a tiny
+      groupby(Max) finishes.
+    - **bucketed** (above): neither side broadcasts —
+      :func:`_embedding_decontaminate_bucketed` co-locates test and
+      train rows by IVF list (test rows multiprobe ``nprobe`` lists)
+      and folds per-list maxima, an approximate answer with the
+      documented recall bound (full probe == exact, pinned by test).
+
+    Math follows the ``brute_topk_quantized`` conventions exactly
+    (float64 + ``floor(cos·10⁶+0.5)``; max-of-quantized ==
+    quantized-of-max by monotonicity), so the DuckDB cross-join
+    oracle hash-matches the exact route."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Max
@@ -719,7 +759,7 @@ def embedding_decontaminate(sf_dir: str,
     from .broadcast import cached_get
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"]).materialize()
+                         columns=["vec_id", "embedding"])
 
     def is_test_mask(ids: np.ndarray) -> np.ndarray:
         import hashlib as _h
@@ -729,6 +769,21 @@ def embedding_decontaminate(sf_dir: str,
             dtype=np.int64, count=len(ids))
         return bucket < test_pct
 
+    # route on the COUNT first (ids-only fold) — never collect the
+    # test matrix before knowing it fits (the round-4 shape gathered
+    # the whole test side just to count it, then raised)
+    def _count_test(b: pa.Table) -> pa.Table:
+        te = is_test_mask(_i64(b.column("vec_id")))
+        return pa.table({"n_test": pa.array([int(te.sum())], pa.int64())})
+
+    n_test = int(ds.map_batches(_count_test, batch_format="pyarrow")
+                 .sum("n_test") or 0)
+    if n_test > broadcast_cutoff:
+        return _embedding_decontaminate_bucketed(
+            ds, is_test_mask, n_lists=n_lists, nprobe=nprobe)
+
+    ds = ds.materialize()
+
     def take_test(b: pa.Table) -> pa.Table:
         return b.filter(pa.array(is_test_mask(
             _i64(b.column("vec_id")))))
@@ -736,12 +791,6 @@ def embedding_decontaminate(sf_dir: str,
     test_tbl = pa.concat_tables(list(
         ds.map_batches(take_test, batch_format="pyarrow")
         .iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
-    n_test = test_tbl.num_rows
-    if n_test > broadcast_cutoff:
-        raise ValueError(
-            f"{n_test} test vectors exceed the exact broadcast bound "
-            f"({broadcast_cutoff}); use the LSH/IVF near-dup path "
-            f"(dedup.embedding_neardup_pairs) at this scale")
     t_ids = _i64(test_tbl.column("vec_id"))
     t_m = _list_matrix(test_tbl.column("embedding"),
                        dtype=np.float64)
@@ -768,6 +817,124 @@ def embedding_decontaminate(sf_dir: str,
 
     return (ds.map_batches(partial_max, batch_format="pyarrow",
                            batch_size=4096)
+            .groupby("vec_id")
+            .aggregate(Max("max_sim_1e6", alias_name="max_sim_1e6")))
+
+
+EMB_DECON_NO_CANDIDATE = -2_000_000  # below any real cos_1e6 (≥ -1e6)
+
+
+def _embedding_decontaminate_bucketed(ds, is_test_mask,
+                                      n_lists: int = 16,
+                                      nprobe: int = 4,
+                                      iters: int = 5, seed: int = 3,
+                                      max_train: int = 65536):
+    """The past-the-cutoff decontaminate route: NEITHER side
+    broadcasts or collects. Centroids train on a bounded sample
+    (O(k×d) broadcast); one ``map_batches`` pass assigns every TRAIN
+    row to its nearest IVF list and replicates every TEST row to its
+    ``nprobe`` nearest lists; one ``groupby(list_id)`` exchange
+    co-locates them; each list folds its per-test quantized maxima;
+    a final ``groupby(vec_id).Max`` merges across probed lists.
+
+    Recall bound (documented, same as ``ivf_topk``): a contamination
+    pair is found iff the test vector probes the list holding its
+    nearest train vector — ``nprobe == n_lists`` probes everything,
+    so full probe equals the exact route bit-for-bit (pinned by
+    test). Test rows whose probed lists hold no train vector report
+    the ``EMB_DECON_NO_CANDIDATE`` sentinel so the output keeps one
+    row per test vector like the exact route. Size ``n_lists`` with
+    the corpus so a list stays worker-sized (the ``lsh_topk`` rule).
+    """
+    import ray
+    from ray.data.aggregate import Max
+
+    from .broadcast import cached_get
+
+    cent = _sampled_centroids(ds, n_lists, iters=iters, seed=seed,
+                              max_train=max_train).astype(np.float64)
+    nprobe = min(nprobe, len(cent))
+    cref = ray.put(cent)
+
+    _empty_assign = pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "list_id": pa.array([], pa.int64()),
+        "is_test": pa.array([], pa.int8()),
+        "emb": pa.array([], pa.list_(pa.float64()))})
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty_assign
+        c = cached_get(cref)
+        ids = _i64(b.column("vec_id"))
+        m = _list_matrix(b.column("embedding"), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        te = is_test_mask(ids)
+        sims = m @ c.T                                  # (n, k)
+        dim = m.shape[1]
+        out_ids, out_lid, out_te, out_m = [], [], [], []
+        tr_idx = np.flatnonzero(~te)
+        if len(tr_idx):
+            out_ids.append(ids[tr_idx])
+            out_lid.append(np.argmax(sims[tr_idx], axis=1)
+                           .astype(np.int64))
+            out_te.append(np.zeros(len(tr_idx), np.int8))
+            out_m.append(m[tr_idx])
+        te_idx = np.flatnonzero(te)
+        if len(te_idx):
+            s = sims[te_idx]
+            kk = min(nprobe, s.shape[1])
+            top = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
+            out_ids.append(np.repeat(ids[te_idx], kk))
+            out_lid.append(top.ravel().astype(np.int64))
+            out_te.append(np.ones(len(te_idx) * kk, np.int8))
+            out_m.append(np.repeat(m[te_idx], kk, axis=0))
+        if not out_ids:
+            return _empty_assign
+        mm = np.ascontiguousarray(np.concatenate(out_m, axis=0))
+        # plain list<float64> (offsets-built, no per-row objects) so
+        # every block — including the empty ones — shares one type
+        n_out = mm.shape[0]
+        emb = pa.ListArray.from_arrays(
+            pa.array(np.arange(n_out + 1, dtype=np.int32) * dim,
+                     pa.int32()),
+            pa.array(mm.ravel(), pa.float64()))
+        return pa.table({
+            "vec_id": pa.array(np.concatenate(out_ids), pa.int64()),
+            "list_id": pa.array(np.concatenate(out_lid), pa.int64()),
+            "is_test": pa.array(np.concatenate(out_te), pa.int8()),
+            "emb": emb})
+
+    def per_list(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "max_sim_1e6": pa.array([], pa.int64())})
+        te = g.column("is_test").to_numpy(zero_copy_only=False) == 1
+        if te.all() or not te.any():
+            return empty
+        m = _list_matrix(g.column("emb"), dtype=np.float64)
+        ids = _i64(g.column("vec_id"))
+        sims = m[te] @ m[~te].T
+        q = np.floor(sims * 1_000_000 + 0.5).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(ids[te], pa.int64()),
+            "max_sim_1e6": pa.array(q.max(axis=1), pa.int64())})
+
+    def sentinels(b: pa.Table) -> pa.Table:
+        ids = _i64(b.column("vec_id"))
+        te = is_test_mask(ids)
+        return pa.table({
+            "vec_id": pa.array(ids[te], pa.int64()),
+            "max_sim_1e6": pa.array(
+                np.full(int(te.sum()), EMB_DECON_NO_CANDIDATE,
+                        np.int64))})
+
+    partials = (ds.map_batches(assign, batch_format="pyarrow",
+                               batch_size=4096)
+                .groupby("list_id")
+                .map_groups(per_list, batch_format="pyarrow"))
+    base = ds.map_batches(sentinels, batch_format="pyarrow")
+    return (partials.union(base)
             .groupby("vec_id")
             .aggregate(Max("max_sim_1e6", alias_name="max_sim_1e6")))
 

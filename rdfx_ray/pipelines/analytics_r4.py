@@ -365,6 +365,16 @@ def events_above_p95(sf_dir: str, q_num: int = 95, q_den: int = 100,
        ONE filtered re-read of just that bucket's rows (bounded by
        the bucket width) yields the exact scalar;
     3. a streaming filter + per-type count fold emits the result.
+
+    The quantized ``fact`` is deliberately a LAZY view re-derived for
+    each of the three stages (3× read+quantize) rather than
+    ``materialize()``d once: at 100 TB the materialized fact is
+    corpus-sized and would pin the whole table in the object store /
+    spill, while the rescans stream at the projected 2-column width
+    (the quantize kernel is a vectorized floor-multiply, ~free next
+    to the read). At sample scale the 3× re-read is measurable but
+    bounded; flipping the trade is one ``.materialize()`` on ``fact``
+    if a deployment has object store to spare.
     """
     import ray.data as rd
     from ray.data.aggregate import Count
