@@ -33,6 +33,33 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _cluster_cpus(default: int = 8) -> int:
+    import ray
+
+    try:
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        pass
+    return default
+
+
+def _auto_buckets(n_rows: int, target_rows: int = 1 << 17,
+                  hi: int = 512) -> int:
+    """Bucket count for the pinned-edge iterative layouts
+    (components / pagerank join route / BFS): one bucket is ONE Arrow
+    table in plasma, so its row count must stay ~``target_rows``
+    regardless of graph size — a fixed default of 16 puts ~6% of a
+    100×-scale edge set on a single object (round-4 VERDICT #2).
+    Floored at the cluster CPU count so small graphs keep full task
+    parallelism; capped so the per-round exchange fan-out stays
+    bounded. Derived per call from the EXACT row count (the house
+    never-guess-count rule), not persisted — the pinned tables live
+    only for the call."""
+    need = -(-n_rows // target_rows) if n_rows > 0 else 1
+    return int(max(1, min(hi, max(_cluster_cpus(), need))))
+
+
 def connected_components(edges: pa.Table, max_rounds: int = 50
                          ) -> Tuple[pa.Table, Dict]:
     """Min-label propagation over an edge table (doc_a, doc_b).
@@ -225,7 +252,7 @@ def pagerank_pinned(edges_ds, n: int, node_idx: "pd.Series",
 def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 20,
              broadcast_cutoff_rows: int = PAGERANK_BROADCAST_CUTOFF,
              pinned_nodes_cutoff: int = PAGERANK_PINNED_NODES_CUTOFF,
-             num_partitions: int = 16,
+             num_partitions: int | None = None,
              large_route: str = "sharded") -> pa.Table:
     """PageRank over an edge Dataset (src, dst string columns), fixed
     ``n_iter`` power iterations with uniform teleport and dangling-
@@ -262,7 +289,8 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 20,
     import ray
     import ray.data as rd
 
-    if edges_ds.count() <= broadcast_cutoff_rows:
+    n_edge_rows = edges_ds.count()
+    if n_edge_rows <= broadcast_cutoff_rows:
         tbl = pa.concat_tables(list(edges_ds.iter_batches(
             batch_size=1 << 20, batch_format="pyarrow")))
         src = np.asarray(tbl.column("src").to_pylist(), dtype=object)
@@ -293,7 +321,10 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 20,
     # string groupby) — every aggregate below keys on these blocks
     edges = edges_ds.map_batches(
         lambda b: b, batch_format="pyarrow").materialize()
-    B = num_partitions
+    # bucket count from the exact edge count (one pinned table per
+    # bucket; see _auto_buckets) unless the caller pins it
+    B = (num_partitions if num_partitions is not None
+         else _auto_buckets(n_edge_rows))
 
     # the (node, outdeg) table in ONE int64-bucketed exchange: each
     # batch pre-folds its endpoints locally (polars), tags rows with
@@ -346,7 +377,8 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 20,
                                damping=damping, n_iter=n_iter)
 
     if large_route == "sharded":
-        return pagerank_sharded(edges, damping=damping, n_iter=n_iter)
+        return pagerank_sharded(edges, damping=damping, n_iter=n_iter,
+                                n_edges=n_edge_rows)
 
     ranks = (node_deg.map_batches(
         lambda b: b.append_column(
@@ -538,7 +570,8 @@ COMPONENTS_DRIVER_CUTOFF = 2_000_000
 
 
 def connected_components_ds(edges_ds, nodes_ds, max_rounds: int = 50,
-                            num_partitions: int = 16):
+                            num_partitions: int | None = None,
+                            n_edges: int | None = None):
     """Min-label propagation with labels AND edges living as Datasets
     end to end — the route for graphs whose label table exceeds one
     machine (the broadcast-label `connected_components` re-ships the
@@ -557,10 +590,20 @@ def connected_components_ds(edges_ds, nodes_ds, max_rounds: int = 50,
     pre-minned (dst, lab) candidates (kind 1), co-located by node
     owner, merged per bucket in polars. Convergence is the label-sum
     fixpoint (labels only ever decrease, so an unchanged sum ⇔ no
-    change); `repartition(B)` caps the iterative block growth."""
+    change); `repartition(B)` caps the iterative block growth.
+
+    ``num_partitions=None`` derives the bucket count from the
+    symmetric-closure row count (2 × edges) via :func:`_auto_buckets`
+    — pass ``n_edges`` if the caller already counted (citation route
+    does) to skip the extra scan."""
     import ray
 
-    B = num_partitions
+    if num_partitions is None:
+        if n_edges is None:
+            n_edges = edges_ds.count()
+        B = _auto_buckets(2 * n_edges)
+    else:
+        B = num_partitions
 
     def sym_tag(b: pa.Table) -> pa.Table:
         s = b.column("src").to_numpy(zero_copy_only=False)
@@ -721,7 +764,7 @@ def citation_components(sf_dir: str,
     edges = docs.map_batches(to_edges, batch_format="pyarrow")
     n_edges = edges.count()
     if n_edges > driver_cutoff:
-        return connected_components_ds(edges, nodes)
+        return connected_components_ds(edges, nodes, n_edges=n_edges)
 
     e_tbl = pa.concat_tables(list(edges.iter_batches(
         batch_size=1 << 20, batch_format="pyarrow")))
@@ -762,8 +805,10 @@ SELECT node, CAST(MIN(m) AS BIGINT) AS label FROM r GROUP BY node
 BFS_DRIVER_CUTOFF = 2_000_000
 
 
-def bfs_depth(edges_ds, max_rounds: int = 64, num_partitions: int = 16,
-              driver_cutoff: int = BFS_DRIVER_CUTOFF):
+def bfs_depth(edges_ds, max_rounds: int = 64,
+              num_partitions: int | None = None,
+              driver_cutoff: int = BFS_DRIVER_CUTOFF,
+              large_route: str = "pinned"):
     """Multi-source BFS depth along ``src → dst``: each node's minimum
     hop count to ANY sink (a node with no outgoing edge) →
     (node, depth) Dataset. Nodes on sink-free cycles never acquire a
@@ -775,20 +820,26 @@ def bfs_depth(edges_ds, max_rounds: int = 64, num_partitions: int = 16,
     - edges ≤ ``driver_cutoff``: one numpy pass per level on the
       driver (searchsorted node index, vectorized frontier
       relaxation) — the route-agreement oracle.
-    - above: Dataset-native frontier iteration. Per round the FRONTIER
-      (just-labelled nodes, bounded by level width — never the full
-      depth table) hash-joins the pinned edge set, candidate parents
-      union-min-fold into the depth Dataset, and the next frontier is
-      the ``dep == r`` filter. Partitions clamp per the tiny-frontier
-      rule (empty right partitions crash Ray's hash join, CLAUDE.md);
-      a trailing ``repartition`` caps union block growth (the
-      pagerank lesson: union doubles blocks per round).
+    - above: default ``large_route="pinned"`` — the
+      ``connected_components_ds`` layout (the measured 750 s → 31.9 s
+      rebuild pattern): edges hash(dst)-bucketed ONCE into pinned
+      object-store tables, ONE ``map_batches`` per round emits each
+      depth block's kind-0 rows plus its frontier slice's relaxation
+      candidates, one int64-bucketed ``groupby(_jb)`` exchange merges
+      per owner bucket, ``repartition(B)`` caps block growth, and
+      convergence is the row-count fixpoint (depths are append-only:
+      a candidate's dep is always the current round, so rows never
+      change once written). ``large_route="join"`` keeps the previous
+      per-round-JoinOperator plan as the A/B twin
+      (:func:`_bfs_join_route` — string-keyed groupby over the FULL
+      depth table per round; see BASELINE.md round 5 for the measured
+      gap).
 
-    Driver state in the large route is O(1) per round (two counters);
-    depth/frontier stay Datasets end to end.
+    Driver state in both large routes is O(1) per round; depth stays
+    a Dataset end to end. ``num_partitions=None`` derives the bucket
+    count from the edge count (:func:`_auto_buckets`).
     """
     import ray.data as rd
-    from ray.data.aggregate import Max, Min
 
     edges = edges_ds.map_batches(
         lambda b: b.select(["src", "dst"]),
@@ -821,12 +872,193 @@ def bfs_depth(edges_ds, max_rounds: int = 64, num_partitions: int = 16,
             "node": pa.array(nodes[keep].tolist(), pa.string()),
             "dep": pa.array(dep[keep], pa.int64())}))
 
+    if large_route == "join":
+        return _bfs_join_route(edges, n_edges, max_rounds,
+                               num_partitions or 16)
+    return _bfs_pinned_route(edges, n_edges, max_rounds,
+                             num_partitions or _auto_buckets(n_edges))
+
+
+def _bfs_pinned_route(edges, n_edges: int, max_rounds: int, B: int):
+    """The scale route: the single-branch pinned-bucket round plan
+    from ``connected_components_ds``, specialized to frontier
+    relaxation. Setup is two int64-bucketed exchanges (edge adoption
+    keyed by hash(dst) — relaxation looks edges up by their dst — and
+    the sink seed fold, which replaces the old string-keyed
+    ``groupby(node).Max`` over 2×edges rows with per-batch polars
+    partials, the ``endpoint_partial`` rule). Per round the ONLY
+    exchange is the int64 ``groupby(_jb)`` carrying the depth table
+    plus the frontier's candidate rows; node strings ride as payload,
+    never as a shuffle key."""
+    import ray
+    import ray.data as rd
+
+    def tag_dst(b: pa.Table) -> pa.Table:
+        d = np.asarray(b.column("dst").to_pylist(), dtype=object)
+        return pa.table({
+            "src": b.column("src"),
+            "dst": b.column("dst"),
+            "_jb": pa.array(_owner_of(d, B), pa.int64())})
+
+    def _adopt(g: pd.DataFrame) -> pd.DataFrame:
+        t = pa.table({
+            "src": pa.array(np.asarray(g["src"], dtype=object),
+                            pa.string()),
+            "dst": pa.array(np.asarray(g["dst"], dtype=object),
+                            pa.string())})
+        # list-wrapped so the ref survives as a REF (top-level args
+        # would auto-deref — the components lesson)
+        return pd.DataFrame({"jb": [int(g["_jb"].iloc[0])],
+                             "ref": [[ray.put(t)]]})
+
+    adopted = (edges.map_batches(tag_dst, batch_format="pyarrow")
+               .groupby("_jb").map_groups(_adopt,
+                                          batch_format="pandas")
+               .to_pandas())  # ≤ B rows
+    bucket_refs = {int(r.jb): r.ref[0] for r in adopted.itertuples()}
+    bref = ray.put(bucket_refs)
+
+    # sink seeds: per-batch polars pre-fold of (node, has_out) →
+    # int64-bucketed final fold; only sink rows survive
+    def sink_partial(b: pa.Table) -> pa.Table:
+        import polars as pl
+        s, d = b.column("src"), b.column("dst")
+        names = pa.chunked_array([s, d]).combine_chunks()
+        is_src = np.concatenate([np.ones(len(s), np.int64),
+                                 np.zeros(len(d), np.int64)])
+        g = (pl.DataFrame({"node": pl.from_arrow(names),
+                           "has_out": is_src})
+             .group_by("node").agg(pl.col("has_out").max()))
+        nd = np.asarray(g["node"].to_numpy(), dtype=object)
+        return pa.table({
+            "node": pa.array(nd, pa.string()),
+            "has_out": pa.array(g["has_out"].to_numpy()
+                                .astype(np.int64), pa.int64()),
+            "_jb": pa.array(_owner_of(nd, B), pa.int64())})
+
+    def sink_fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node", as_index=False)["has_out"].max()
+        sinks = m[m["has_out"] == 0]
+        return pd.DataFrame({
+            "node": sinks["node"].to_numpy(),
+            "dep": np.zeros(len(sinks), np.int64)})
+
+    dep_schema = pa.schema([("node", pa.string()),
+                            ("dep", pa.int64())])
+    depth = (edges.map_batches(sink_partial, batch_format="pyarrow")
+             .groupby("_jb").map_groups(sink_fold,
+                                        batch_format="pandas")
+             .map_batches(lambda b: b.cast(dep_schema),
+                          batch_format="pyarrow")
+             .repartition(B).materialize())
+    n_rows = depth.count()
+    if n_rows == 0:
+        return rd.from_arrow(dep_schema.empty_table())
+
+    union_schema = pa.schema([
+        ("node", pa.string()), ("dep", pa.int64()),
+        ("kind", pa.int8()), ("_jb", pa.int64())])
+
+    def _round_batch(b: pa.Table, r: int) -> pa.Table:
+        """One depth block → its kind-0 rows PLUS the relaxation
+        candidates of its frontier slice (dep == r-1), in ONE pass
+        (single branch on purpose — the union-of-two-branches plan
+        measured stuck ~40 s/round; components lesson)."""
+        import polars as pl
+
+        from .broadcast import cached_get
+        nd = np.asarray(b.column("node").to_pylist(), dtype=object)
+        dep = b.column("dep").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        depth_rows = pa.table({
+            "node": b.column("node"),
+            "dep": b.column("dep"),
+            "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+            "_jb": pa.array(_owner_of(nd, B), pa.int64()),
+        }).cast(union_schema)
+
+        fmask = dep == r - 1
+        if not fmask.any():
+            return depth_rows
+        fn = nd[fmask]
+        refs = cached_get(bref)
+        jb = _owner_of(fn, B)
+        order = np.argsort(jb, kind="stable")
+        jb_s, fn_s = jb[order], fn[order]
+        bounds = np.flatnonzero(np.concatenate(
+            [[True], jb_s[1:] != jb_s[:-1]]))
+        bounds = np.append(bounds, len(jb_s))
+        outs = []
+        for i in range(len(bounds) - 1):
+            s, e = bounds[i], bounds[i + 1]
+            ref = refs.get(int(jb_s[s]))
+            if ref is None:
+                continue
+            key = ref.hex()
+            et = _pl_bucket_cache.get(key)
+            if et is None:
+                et = pl.from_arrow(ray.get(ref))
+                _pl_bucket_cache[key] = et
+            fr = pl.DataFrame({"dst": fn_s[s:e]})
+            j = et.join(fr, on="dst", how="inner")
+            if len(j):
+                outs.append(j.select(pl.col("src").unique()))
+        if not outs:
+            return depth_rows
+        srcs = np.asarray(pl.concat(outs)["src"].to_numpy(),
+                          dtype=object)
+        cand_rows = pa.table({
+            "node": pa.array(srcs, pa.string()),
+            "dep": pa.array(np.full(len(srcs), r, np.int64)),
+            "kind": pa.array(np.ones(len(srcs), np.int8)),
+            "_jb": pa.array(_owner_of(srcs, B), pa.int64()),
+        }).cast(union_schema)
+        return pa.concat_tables([depth_rows, cand_rows]) \
+            .combine_chunks()
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[g["kind"] == 0][["node", "dep"]]
+        cand = g[g["kind"] == 1][["node", "dep"]]
+        if not len(cand):
+            return base
+        c = cand.drop_duplicates("node")
+        new = c[~c["node"].isin(base["node"])]
+        if not len(new):
+            return base
+        return pd.concat([base, new], ignore_index=True)
+
+    for r in range(1, max_rounds + 1):
+        depth = (depth.map_batches(
+            lambda b, r=r: _round_batch(b, r),
+            batch_format="pyarrow", batch_size=None)
+            .groupby("_jb")
+            .map_groups(merge_bucket, batch_format="pandas")
+            .map_batches(lambda b: b.cast(dep_schema),
+                         batch_format="pyarrow")
+            .repartition(B).materialize())
+        cur = depth.count()
+        if cur == n_rows:   # append-only: unchanged count ⇔ no
+            break           # frontier relaxed anything new
+        n_rows = cur
+    return depth
+
+
+def _bfs_join_route(edges, n_edges: int, max_rounds: int,
+                    num_partitions: int):
+    """The previous large route, kept as the measured A/B twin: a
+    fresh edges⋈frontier JoinOperator per round plus a string-keyed
+    ``groupby(node).Min`` over the FULL depth table — the exact
+    pattern the pinned rebuild replaced (round-4 VERDICT #1)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    out_schema = pa.schema([("node", pa.string()),
+                            ("dep", pa.int64())])
+
     def _parts(*side_rows: int) -> int:
         return max(1, min(num_partitions,
                           min(side_rows) // 4096 + 1))
 
-    # sinks: one fold — (node, has_out) rows from both endpoints,
-    # Max picks up any outgoing edge
     def endpoints(b: pa.Table) -> pa.Table:
         ns, nd = b.column("src"), b.column("dst")
         return pa.table({
@@ -925,7 +1157,8 @@ def _owner_of(names, n_shards: int) -> np.ndarray:
 
 
 def pagerank_sharded(edges_ds, damping: float = 0.85, n_iter: int = 20,
-                     n_shards: int = 8) -> pa.Table:
+                     n_shards: int | None = None,
+                     n_edges: int | None = None) -> pa.Table:
     """PageRank with BOTH the edge set and the rank vector sharded —
     the route for graphs whose node table itself exceeds one machine
     (beyond ``PAGERANK_PINNED_NODES_CUTOFF``, where ``pagerank_pinned``'s
@@ -956,6 +1189,16 @@ def pagerank_sharded(edges_ds, damping: float = 0.85, n_iter: int = 20,
     quantum)."""
     import ray
 
+    if n_shards is None:
+        # shards are long-lived actors holding O(edges/P) state —
+        # derive P from the exact edge count (~512k rows per shard)
+        # with a small floor for parallelism; unlike the pinned-bucket
+        # maps a shard costs an actor, so the cap is tighter
+        if n_edges is None:
+            n_edges = edges_ds.count()
+        n_shards = max(
+            min(8, _cluster_cpus()),
+            min(64, -(-n_edges // (1 << 19))))
     P = int(n_shards)
 
     @ray.remote(num_cpus=1)

@@ -816,10 +816,9 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.40,
 
 
 def _text_hash_kernel(batch: pa.Table) -> pa.Table:
-    texts = batch.column("text").to_pylist()
-    h = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    from .md5keys import md5_hex_text
     return pa.table({
-        "text_hash": pa.array(h, pa.string()),
+        "text_hash": md5_hex_text(batch.column("text")),
         "doc_id": batch.column("doc_id"),
     })
 

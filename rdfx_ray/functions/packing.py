@@ -135,11 +135,9 @@ def split_corpus(sf_dir: str, test_pct: int = SPLIT_PCT):
     import ray.data as rd
 
     def fn(batch: pa.Table) -> pa.Table:
+        from .md5keys import md5_mod
         ids = batch.column("doc_id").to_numpy()
-        h = np.fromiter(
-            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
-             for i in ids), dtype=np.int64, count=len(ids))
-        bucket_val = h % 100
+        bucket_val = md5_mod(ids, 100)
         split = np.where(bucket_val < test_pct, "test", "train")
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
@@ -187,11 +185,10 @@ def balance_sources(sf_dir: str):
                for s, n in zip(counts["source"], counts["n"])}
 
     def fn(batch: pa.Table) -> pa.Table:
+        from .md5keys import md5_mod
         ids = batch.column("doc_id").to_numpy()
         src = batch.column("source").to_pylist()
-        hv = np.fromiter(
-            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
-             for i in ids), dtype=np.int64, count=len(ids))
+        hv = md5_mod(ids, 10000)
         rates = np.fromiter((rate_bp[s] for s in src), dtype=np.int64,
                             count=len(src))
         keep = hv < rates
@@ -346,10 +343,9 @@ def decontaminate(sf_dir: str, n: int = 8, test_pct: int = SPLIT_PCT,
     import pyarrow.compute as pc_
 
     def add_split(batch: pa.Table) -> pa.Table:
+        from .md5keys import md5_mod
         ids = batch.column("doc_id").to_numpy()
-        hv = np.fromiter(
-            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
-             for i in ids), dtype=np.int64, count=len(ids))
+        hv = md5_mod(ids, 100)
         return batch.append_column(
             "is_test", pa.array(hv < test_pct, pa.bool_()))
 

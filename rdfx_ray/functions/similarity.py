@@ -762,12 +762,8 @@ def embedding_decontaminate(sf_dir: str,
                          columns=["vec_id", "embedding"])
 
     def is_test_mask(ids: np.ndarray) -> np.ndarray:
-        import hashlib as _h
-        bucket = np.fromiter(
-            (int(_h.md5(str(i).encode()).hexdigest()[:8], 16) % 100
-             for i in ids.tolist()),
-            dtype=np.int64, count=len(ids))
-        return bucket < test_pct
+        from .md5keys import md5_mod
+        return md5_mod(ids, 100) < test_pct
 
     # route on the COUNT first (ids-only fold) — never collect the
     # test matrix before knowing it fits (the round-4 shape gathered

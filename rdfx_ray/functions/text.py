@@ -56,10 +56,10 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     df = batch.to_pandas()
     norm = (df["text"].fillna("").str.lower()
             .str.replace(_WS, " ", regex=True).str.strip())
-    fp = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm]
+    from .md5keys import md5_hex_text
     return pa.table({
         "doc_id": pa.array(df["doc_id"], pa.int64()),
-        "fingerprint": pa.array(fp, pa.string()),
+        "fingerprint": md5_hex_text(pa.array(norm, pa.string())),
     })
 
 
@@ -519,11 +519,10 @@ def redact_pii(sf_dir: str):
         n_red = pc.add(
             pc.count_substring_regex(text, PII_EMAIL_RE),
             pc.count_substring_regex(half, PII_LONGNUM_RE))
-        hashes = [hashlib.md5((s or "").encode()).hexdigest()
-                  for s in clean.to_pylist()]
+        from .md5keys import md5_hex_text
         return pa.table({
             "doc_id": pa.array(batch.column("doc_id"), pa.int64()),
-            "clean_hash": pa.array(hashes, pa.string()),
+            "clean_hash": md5_hex_text(clean),
             "n_redactions": pa.array(
                 n_red.to_numpy(zero_copy_only=False).astype(np.int64),
                 pa.int64()),

@@ -44,11 +44,10 @@ SAMPLE_PCT = 7
 
 def _md5_bucket(ids: np.ndarray, mod: int = 100) -> np.ndarray:
     """First-8-hex-digit md5 bucket of each integer id — byte-identical
-    to DuckDB's ``('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))``."""
-    return np.fromiter(
-        (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % mod
-         for i in ids.tolist()),
-        dtype=np.int64, count=len(ids))
+    to DuckDB's ``('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))``.
+    Vectorized (md5keys kernel, ~5× the hashlib loop; same bytes)."""
+    from ..functions.md5keys import md5_mod
+    return md5_mod(ids, mod)
 
 
 def docs_sample_hash(sf_dir: str, pct: int = SAMPLE_PCT):
@@ -738,10 +737,10 @@ def docs_lang_sample(sf_dir: str, k: int = GROUP_SAMPLE_K):
     import ray.data as rd
 
     def partial_topk(batch: pa.Table) -> pa.Table:
+        from ..functions.md5keys import md5_hex_bucket
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        h = np.asarray(
-            [hashlib.md5(str(i).encode()).hexdigest()
-             for i in ids.tolist()], dtype=object)
+        h_arr, _ = md5_hex_bucket(ids)
+        h = np.asarray(h_arr.to_pylist(), dtype=object)
         df = pd.DataFrame({
             "lang": batch.column("lang").to_pandas(),
             "doc_id": ids, "h": h})
@@ -805,14 +804,12 @@ def corpus_epoch_shuffle(sf_dir: str, seed: int = EPOCH_SEED,
                          columns=["doc_id"])
 
     def keyed(batch: pa.Table) -> pa.Table:
+        from ..functions.md5keys import md5_hex_bucket
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        h = [hashlib.md5(f"{i}:{seed}".encode()).hexdigest()
-             for i in ids.tolist()]
-        bucket = np.fromiter((int(x[:2], 16) for x in h),
-                             dtype=np.int64, count=len(h))
+        h, bucket = md5_hex_bucket(ids, suffix=f":{int(seed)}")
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "h": pa.array(h, pa.string()),
+            "h": h,
             "bucket": pa.array(bucket, pa.int64()),
         })
 

@@ -45,6 +45,92 @@ def test_embedding_decontaminate_partial_probe_bounds(ray_session):
     assert (m["max_sim_1e6_a"] == m["max_sim_1e6_e"]).mean() >= 0.5
 
 
+def test_bfs_forced_routes_match_recursive_cte_oracle(ray_session):
+    """Both forced large routes (pinned rebuild and the legacy join
+    twin) reproduce the recursive-CTE oracle's (node, dep) rows —
+    the driver-route agreement test from round 4, now per route."""
+    import duckdb
+
+    from rdfx_ray.functions.components import (
+        _citation_bfs_sql,
+        bfs_depth,
+    )
+    from rdfx_ray.functions.doc_triples import doc_citation_triples
+
+    edges = doc_citation_triples(SF).map_batches(
+        lambda b: pa.table({"src": b.column("subj"),
+                            "dst": b.column("obj_value")}),
+        batch_format="pyarrow")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{SF}/documents.parquet'")
+    want = (con.sql(_citation_bfs_sql()).df()
+            .sort_values("node").reset_index(drop=True))
+    for route in ("pinned", "join"):
+        got = (bfs_depth(edges, driver_cutoff=0, num_partitions=4,
+                         large_route=route).to_pandas()
+               .sort_values("node").reset_index(drop=True))
+        assert len(got) == len(want) > 0, route
+        assert (got["node"].to_numpy() == want["node"].to_numpy()).all()
+        assert (got["dep"].to_numpy() == want["dep"].to_numpy()).all()
+
+
+def test_auto_buckets_scales_with_rows(ray_session):
+    """B grows linearly past the CPU floor and a bucket never exceeds
+    ~target rows — the fixed-default-16 fix (one pinned bucket must
+    not become ~6% of a 100× edge set)."""
+    from rdfx_ray.functions.components import (
+        _auto_buckets,
+        _cluster_cpus,
+    )
+
+    cpus = _cluster_cpus()
+    assert _auto_buckets(0) == max(1, cpus)
+    assert _auto_buckets(1_000) == max(1, cpus)
+    # past the floor, rows/bucket stays ≤ target
+    for rows in (10_000_000, 50_000_000):
+        b = _auto_buckets(rows)
+        assert rows / b <= (1 << 17)
+    # capped
+    assert _auto_buckets(10**12) == 512
+
+
+def test_md5_kernels_match_hashlib():
+    """The vectorized (DuckDB-expression) md5 kernels are
+    byte-identical to the hashlib loops they replaced — md5 is the
+    cross-engine oracle contract, so the scale fix computes the SAME
+    function, never a different hash (identical row sets by
+    construction, measured ~5× on ids / ~2.4× on text; BASELINE.md
+    round 5)."""
+    import hashlib
+
+    from rdfx_ray.functions.md5keys import (
+        _md5_mod_loop,
+        md5_hex_bucket,
+        md5_hex_text,
+        md5_mod,
+    )
+
+    ids = np.arange(-3, 20000, dtype=np.int64)
+    for mod in (100, 10000):
+        assert np.array_equal(md5_mod(ids, mod),
+                              _md5_mod_loop(ids, mod))
+    h, b = md5_hex_bucket(ids, suffix=":7")
+    want = [hashlib.md5(f"{i}:7".encode()).hexdigest()
+            for i in ids.tolist()]
+    assert h.to_pylist() == want
+    assert np.array_equal(
+        b, np.array([int(x[:2], 16) for x in want], np.int64))
+    texts = ["héllo wörld", "", None, "a" * 5000, "tab\tnl\n",
+             "数据处理"]
+    got = md5_hex_text(pa.array(texts, pa.string())).to_pylist()
+    assert got == [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                   for t in texts]
+    # empty input keeps its shape
+    assert len(md5_mod(np.array([], np.int64), 100)) == 0
+    assert len(md5_hex_text(pa.array([], pa.string()))) == 0
+
+
 def test_ivf_cache_key_encodes_training_route(ray_session):
     """Sampled and distributed Lloyd's training produce different
     centroids — the artifact key must keep their caches apart so a
