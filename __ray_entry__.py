@@ -167,6 +167,14 @@ def _r4():
     return analytics_r4
 
 
+def _r5():
+    """Round-5 analytics module (interval coalescing / skyline /
+    n-gram familiarity scoring / grouped top-k / edit-distance
+    similarity join)."""
+    from rdfx_ray.pipelines import analytics_r5
+    return analytics_r5
+
+
 def _orders_percent_rank(sf_dir: str):
     """PERCENT_RANK / CUME_DIST for every order within its priority —
     the same value-bucket co-location machinery as orders_price_rank,
@@ -860,6 +868,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # context-window chunk plan (long-doc splitting with overlap)
         "docs_chunk_overlap":
             lambda sf: _r4().docs_chunk_overlap(sf),
+        # interval coalescing (gaps-and-islands, variable-length
+        # intervals — the general running-max-end merge)
+        "events_user_islands":
+            lambda sf: _r5().events_user_islands(sf),
+        # Pareto frontier (skyline) of the orders fact
+        "orders_skyline": lambda sf: _r5().orders_skyline(sf),
+        # bigram-LM familiarity scoring vs the train split (CCNet
+        # perplexity-filter shape in exact integer form)
+        "docs_familiarity": lambda sf: _r5().docs_familiarity(sf),
+        # grouped top-k over the corpus bigram profile
+        "docs_ngram_topk_per_lang":
+            lambda sf: _r5().docs_ngram_topk_per_lang(sf),
+        # edit-distance similarity self-join (fuzzy-key dedup)
+        "docs_edit_distance_pairs":
+            lambda sf: _r5().docs_edit_distance_pairs(sf),
         # PERCENT_RANK / CUME_DIST (full-table window, integer-scaled)
         "orders_percent_rank": _orders_percent_rank,
         # iterative frontier BFS (min-hop depth to chain roots)
@@ -957,6 +980,7 @@ def oracle_sql() -> dict[str, str]:
         ORDERS_PRICE_RANK_SQL as _RANK_SQL,
     )
     from rdfx_ray.pipelines import analytics_r4 as _R4
+    from rdfx_ray.pipelines import analytics_r5 as _R5
     from rdfx_ray.functions.components import (
         _citation_bfs_sql,
         _citation_components_sql,
@@ -1231,6 +1255,11 @@ def oracle_sql() -> dict[str, str]:
         "events_user_rolling_time":
             _R4.EVENTS_USER_ROLLING_TIME_SQL,
         "orders_monthly_delta": _R4.ORDERS_MONTHLY_DELTA_SQL,
+        "events_user_islands": _R5.EVENTS_USER_ISLANDS_SQL,
+        "orders_skyline": _R5.ORDERS_SKYLINE_SQL,
+        "docs_familiarity": _R5._familiarity_sql(),
+        "docs_ngram_topk_per_lang": _R5.DOCS_NGRAM_TOPK_SQL,
+        "docs_edit_distance_pairs": _R5.DOCS_EDIT_PAIRS_SQL,
         "orders_percent_rank": _PRANK_SQL,
         "citation_bfs_depth": _BFS_SQL,
         "citation_components": _CC_SQL,

@@ -1,0 +1,665 @@
+"""Round-5 analytics additions — final-round operator shapes the
+registry didn't yet cover, every one SQL-oracled:
+
+- ``events_user_islands``: interval coalescing (gaps-and-islands with
+  VARIABLE-length intervals — a long interval can swallow several
+  later short ones, so the merge needs a running-max-end sweep, not
+  the fixed-gap rule ``events_sessionize`` already covers).
+- ``orders_skyline``: the Pareto frontier (skyline) of the orders
+  fact — non-dominated (price ↓, date ↑) points — via per-batch local
+  skylines that shrink each block to its own frontier before one
+  small driver fold.
+- ``docs_familiarity``: CCNet-style n-gram LM quality scoring — each
+  document scored by how familiar its bigrams are to the TRAIN split
+  of the corpus.  Counts, not log-probs, so the score is exact
+  integer arithmetic and hash-matches SQL (the monotone transform
+  doesn't change a filter's ranking).
+- ``docs_ngram_topk_per_lang``: grouped top-k over the corpus bigram
+  profile (per-language most-frequent bigrams, deterministic
+  tiebreak).
+- ``docs_edit_distance_pairs``: string-similarity self-join (edit
+  distance ≤ k on a normalized key) — the fuzzy-key dedup shape —
+  with (lang, length-bucket) blocking and vectorized C verification.
+
+Reference scope note: the reference (surroundaustralia/rdfx) has no
+analytics plane at all — these extend the engine's training-data
+surface (SURVEY.md beyond-§2 family), like the round-3/4 siblings in
+``analytics_r4.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# interval coalescing (gaps-and-islands, variable-length intervals)
+# ---------------------------------------------------------------------------
+
+# deterministic per-event duration (µs): 1..600 s derived from the id,
+# so both engines compute the identical interval set with no RNG
+ISLAND_DUR_MOD = 600
+ISLAND_BUCKETS = 32
+
+
+def events_user_islands(sf_dir: str,
+                        num_buckets: int = ISLAND_BUCKETS):
+    """Merge each user's event intervals ``[t, t + dur)`` into maximal
+    overlapping islands → (user_id, island_start, island_end,
+    n_events), all epoch-µs BIGINT.
+
+    Durations vary per event (``(event_id % 600 + 1)`` seconds), so a
+    single long interval can cover many later events — the coalescing
+    needs the running max of interval ENDS, which is the general
+    interval-merge shape (``events_sessionize``'s fixed inter-event
+    gap is the degenerate equal-durations case).
+
+    Plan: one int64 ``user_id % B`` bucket exchange co-locates each
+    user's rows, then ONE vectorized polars sweep per bucket (sort by
+    (user, t, event_id) — event_id makes the frame deterministic
+    under timestamp ties, the same tiebreak the SQL twin orders by —
+    shifted cumulative max end over the user window, flag → cumsum →
+    island ids, one group_by). Per-round state is O(bucket rows);
+    nothing is collected on the driver.
+    """
+    import ray.data as rd
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        dur = ((eid % ISLAND_DUR_MOD) + 1) * 1_000_000
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "t": ts,
+            "dur": pa.array(dur.astype(np.int64), pa.int64()),
+            "event_id": batch.column("event_id"),
+            "_jb": pa.array((uid % num_buckets).astype(np.int64),
+                            pa.int64()),
+        })
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+        d = (pl.from_pandas(g[["user_id", "t", "dur", "event_id"]])
+             .sort(["user_id", "t", "event_id"])
+             .with_columns((pl.col("t") + pl.col("dur")).alias("end")))
+        d = d.with_columns(
+            pl.col("end").cum_max().shift(1).over("user_id")
+            .alias("prev_end"))
+        d = d.with_columns(
+            (pl.col("prev_end").is_null()
+             | (pl.col("t") > pl.col("prev_end")))
+            .cast(pl.Int64).alias("new_island"))
+        d = d.with_columns(
+            pl.col("new_island").cum_sum().over("user_id")
+            .alias("island"))
+        out = (d.group_by(["user_id", "island"])
+               .agg(island_start=pl.col("t").min(),
+                    island_end=pl.col("end").max(),
+                    n_events=pl.len().cast(pl.Int64))
+               .drop("island"))
+        return out.to_pandas()
+
+    schema = pa.schema([
+        ("user_id", pa.int64()), ("island_start", pa.int64()),
+        ("island_end", pa.int64()), ("n_events", pa.int64())])
+    return (rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id"])
+            .map_batches(keyed, batch_format="pyarrow")
+            .groupby("_jb")
+            .map_groups(merge_bucket, batch_format="pandas")
+            .map_batches(lambda b: b.cast(schema),
+                         batch_format="pyarrow"))
+
+
+EVENTS_USER_ISLANDS_SQL = f"""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS t,
+           ((event_id % {ISLAND_DUR_MOD}) + 1) * 1000000 AS dur,
+           event_id
+    FROM events),
+m AS (
+    SELECT user_id, t, dur, event_id,
+           MAX(t + dur) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_end
+    FROM e),
+f AS (
+    SELECT user_id, t, dur, event_id,
+           CASE WHEN prev_end IS NULL OR t > prev_end
+                THEN 1 ELSE 0 END AS new_island
+    FROM m),
+g AS (
+    SELECT user_id, t, dur,
+           SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY t, event_id) AS island
+    FROM f)
+SELECT user_id,
+       CAST(MIN(t) AS BIGINT) AS island_start,
+       CAST(MAX(t + dur) AS BIGINT) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, island
+"""
+
+
+# ---------------------------------------------------------------------------
+# skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+
+
+def _local_skyline(price: np.ndarray, d: np.ndarray
+                   ) -> "tuple[np.ndarray, np.ndarray]":
+    """Skyline of (minimize price, maximize d) over distinct points:
+    per-price max date, then a sorted sweep keeping dates strictly
+    above the running max of all cheaper prices. O(n log n), fully
+    vectorized."""
+    order = np.lexsort((-d, price))
+    p_s, d_s = price[order], d[order]
+    # per-price group head = max date for that price (d sorted desc
+    # within price)
+    head = np.concatenate([[True], p_s[1:] != p_s[:-1]])
+    p_g, d_g = p_s[head], d_s[head]
+    run = np.maximum.accumulate(d_g)
+    keep = np.concatenate([[True], d_g[1:] > run[:-1]])
+    return p_g[keep], d_g[keep]
+
+
+def orders_skyline(sf_dir: str):
+    """Pareto frontier of orders under (totalprice ↓, orderdate ↑):
+    every order no other order beats on both axes → (o_orderkey,
+    price_c, d), price in integer cents, date epoch-µs.
+
+    Plan: per-batch local skylines (dominance is transitive, so the
+    global skyline is a subset of the union of local ones) shrink
+    each block to its frontier — typically a few dozen points from
+    tens of thousands — then ONE driver fold over the concatenated
+    partials computes the global frontier, which broadcasts back as a
+    hash set for a streaming membership filter. The driver holds
+    O(skyline × blocks) points, never the fact table; the filter pass
+    keeps every order that TIES a frontier point (duplicated optimal
+    points all survive, matching the SQL dominance semantics)."""
+    import ray
+    import ray.data as rd
+
+    def to_keys(batch: pa.Table) -> pa.Table:
+        price = batch.column("o_totalprice").to_numpy(
+            zero_copy_only=False)
+        price_c = np.floor(price * 100 + 0.5).astype(np.int64)
+        d = (batch.column("o_orderdate").cast(pa.timestamp("us"))
+             .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "price_c": pa.array(price_c, pa.int64()),
+            "d": pa.array(d, pa.int64())})
+
+    # deliberately NOT materialized: the keys plan re-executes for the
+    # partial-skyline fold and the final membership filter (2 scans of
+    # a 3-column pruned read) — the rescan-vs-materialize trade the
+    # events_above_p95 adjudication picked for 100-TB memory safety
+    keys = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_totalprice",
+                                     "o_orderdate"])
+            .map_batches(to_keys, batch_format="pyarrow"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p, d = _local_skyline(
+            batch.column("price_c").to_numpy(zero_copy_only=False),
+            batch.column("d").to_numpy(zero_copy_only=False))
+        return pa.table({"price_c": pa.array(p, pa.int64()),
+                         "d": pa.array(d, pa.int64())})
+
+    parts = pa.concat_tables(list(
+        keys.map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    p_fin, d_fin = _local_skyline(
+        parts.column("price_c").to_numpy(zero_copy_only=False),
+        parts.column("d").to_numpy(zero_copy_only=False))
+    # frontier prices are unique (per-price max date), so membership
+    # is price→expected-date lookup — vectorized searchsorted
+    o = np.argsort(p_fin)
+    sky = ray.put((p_fin[o], d_fin[o]))
+
+    def member(batch: pa.Table) -> pa.Table:
+        from ..functions.broadcast import cached_get
+        sp, sd = cached_get(sky)
+        p = batch.column("price_c").to_numpy(zero_copy_only=False)
+        d = batch.column("d").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(sp, p), 0, len(sp) - 1)
+        keep = (sp[pos] == p) & (sd[pos] == d)
+        return batch.filter(pa.array(keep))
+
+    return keys.map_batches(member, batch_format="pyarrow")
+
+
+ORDERS_SKYLINE_SQL = """
+WITH o AS (
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+           epoch_us(o_orderdate) AS d
+    FROM orders),
+pm AS (SELECT price_c, MAX(d) AS d FROM o GROUP BY price_c),
+s AS (
+    SELECT price_c, d,
+           MAX(d) OVER (ORDER BY price_c
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS prev_max
+    FROM pm),
+sky AS (SELECT price_c, d FROM s
+        WHERE prev_max IS NULL OR d > prev_max)
+SELECT o.o_orderkey, o.price_c, o.d
+FROM o JOIN sky ON o.price_c = sky.price_c AND o.d = sky.d
+"""
+
+# semantic twin for the skyline definition (quadratic — test-only, run
+# at sf0.001 to pin that the window form above IS the NOT EXISTS
+# dominance semantics)
+ORDERS_SKYLINE_NOT_EXISTS_SQL = """
+WITH o AS (
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+           epoch_us(o_orderdate) AS d
+    FROM orders)
+SELECT a.o_orderkey, a.price_c, a.d FROM o a
+WHERE NOT EXISTS (
+    SELECT 1 FROM o b
+    WHERE b.price_c <= a.price_c AND b.d >= a.d
+      AND (b.price_c < a.price_c OR b.d > a.d))
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM familiarity scoring (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+FAMILIARITY_MIN_COUNT = 2
+# train bigram vocabularies fit comfortably in one broadcast at any
+# tested SF; above this the score pass switches to the distributed
+# join route (never raises — the round-4 embedding_decontaminate rule)
+FAMILIARITY_BROADCAST_CUTOFF = 5_000_000
+
+
+def _bigram_partial(batch: pa.Table, extra_cols: "tuple[str, ...]" = ()
+                    ) -> "object":
+    """Shared per-batch tokenize→bigram explode (the proven
+    byte-identical tokenization of ``text.ngram_counts``): polars
+    frame of (doc_id, *extra_cols, bigram)."""
+    import polars as pl
+    d = pl.from_arrow(batch.select(["doc_id", "text",
+                                    *extra_cols]))
+    d = d.with_columns(
+        pl.col("text").fill_null("")
+        .str.extract_all(r"[A-Za-z]+").alias("w")).drop("text")
+    d = (d.explode("w").drop_nulls("w")
+         .with_columns(pl.col("w").str.to_lowercase()))
+    d = d.with_columns(
+        pl.col("w").shift(-1).over("doc_id").alias("w2"))
+    return (d.drop_nulls("w2")
+            .with_columns((pl.col("w") + pl.lit(" ") + pl.col("w2"))
+                          .alias("bigram"))
+            .drop(["w", "w2"]))
+
+
+def docs_familiarity(sf_dir: str,
+                     min_count: int = FAMILIARITY_MIN_COUNT,
+                     broadcast_cutoff: int =
+                     FAMILIARITY_BROADCAST_CUTOFF):
+    """Bigram-LM familiarity score for EVERY document against the
+    TRAIN split's bigram counts → (doc_id, n_bigrams, familiarity):
+    ``familiarity`` = Σ over the doc's bigram positions of the train
+    count of that bigram (test-split docs score low on held-out text;
+    gibberish scores ~0) — the CCNet perplexity-filter shape in exact
+    integer form (counts are a monotone proxy for the LM probability
+    the float version would use, so threshold filters rank the same).
+
+    Plan: train counts via the ``ngram_counts`` per-batch fold (the
+    shuffle carries O(distinct × blocks) count rows). Scoring is
+    count-gated: below the cutoff the count table broadcasts once
+    (``ray.put`` → per-batch dict lookup via numpy searchsorted);
+    above it, docs explode to per-batch (bigram, doc) partial counts
+    that hash-join the count table and fold back per doc — the
+    familiar broadcast-vs-exchange pair, never a raise. Per-doc
+    ``n_bigrams`` is exact in one batch because one doc is one row
+    (the `decontaminate` argument)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.packing import SPLIT_PCT
+    from .analytics_r4 import _md5_bucket
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def train_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        train = _md5_bucket(ids) >= SPLIT_PCT
+        bg = _bigram_partial(batch.filter(pa.array(train)))
+        counts = bg.group_by("bigram").len(name="n")
+        return counts.to_arrow().cast(pa.schema([
+            ("bigram", pa.string()), ("n", pa.int64())]))
+
+    counts = (docs.map_batches(train_partial, batch_format="pyarrow",
+                               batch_size=8192)
+              .groupby("bigram").aggregate(Sum("n", alias_name="n"))
+              .map_batches(
+                  lambda b: b.filter(pc.greater_equal(
+                      b.column("n"), min_count)),
+                  batch_format="pyarrow")
+              .materialize())
+    n_vocab = counts.count()
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+        ("familiarity", pa.int64())])
+
+    if n_vocab <= broadcast_cutoff:
+        tbl = pa.concat_tables(list(counts.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")))
+        ref = ray.put(tbl)  # one ray.put, re-wrapped zero-copy below
+
+        def score(batch: pa.Table) -> pa.Table:
+            import polars as pl
+
+            from ..functions.broadcast import cached_get
+            cnt = pl.from_arrow(cached_get(ref))
+            bg = _bigram_partial(batch)
+            per_doc = (bg.join(cnt, on="bigram", how="left")
+                       .with_columns(pl.col("n").fill_null(0))
+                       .group_by("doc_id")
+                       .agg(n_bigrams=pl.len().cast(pl.Int64),
+                            familiarity=pl.col("n").sum()))
+            ids = batch.column("doc_id").to_numpy(
+                zero_copy_only=False)
+            out = (pl.DataFrame({"doc_id": ids.astype(np.int64)})
+                   .join(per_doc, on="doc_id", how="left")
+                   .fill_null(0))
+            return out.to_arrow().cast(out_schema)
+
+        return docs.map_batches(score, batch_format="pyarrow",
+                                batch_size=8192)
+
+    # join route: per-batch (doc_id, bigram, k) partials join the
+    # count table on bigram (both sides distinct-sized), fold per doc
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        bg = _bigram_partial(batch)
+        g = bg.group_by(["doc_id", "bigram"]).len(name="k")
+        return g.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("bigram", pa.string()),
+            ("k", pa.int64())]))
+
+    pairs = docs.map_batches(doc_partial, batch_format="pyarrow",
+                             batch_size=8192)
+    joined = pairs.join(counts, join_type="inner", on=("bigram",),
+                        num_partitions=16)
+
+    def mul(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "familiarity": pa.array((k * n).astype(np.int64),
+                                    pa.int64())})
+
+    # materialized so the two JoinOperators never run in ONE streaming
+    # plan — concurrent join actor pools starve each other at small
+    # CPU counts (the triangle_count lesson, CLAUDE.md)
+    fam = (joined.map_batches(mul, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("familiarity", alias_name="familiarity"))
+           .materialize())
+
+    # per-doc n_bigrams is exact in one batch (one doc = one row);
+    # familiarity attaches by an int64 doc_id join — the whole route
+    # stays a Dataset (no driver collect of a doc-sized table)
+    def nbg_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        bg = _bigram_partial(batch)
+        g = bg.group_by("doc_id").len(name="n_bigrams")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out = (pl.DataFrame({"doc_id": ids.astype(np.int64)})
+               .join(g, on="doc_id", how="left")
+               .with_columns(pl.col("n_bigrams").fill_null(0)
+                             .cast(pl.Int64)))
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("n_bigrams", pa.int64())]))
+
+    nbg = docs.map_batches(nbg_partial, batch_format="pyarrow",
+                           batch_size=8192)
+    out = nbg.join(fam, join_type="left_outer", on=("doc_id",),
+                   num_partitions=16)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        f = batch.column("familiarity")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_bigrams": batch.column("n_bigrams"),
+            "familiarity": pc.fill_null(f.cast(pa.int64()), 0)})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _familiarity_sql(min_count: int = FAMILIARITY_MIN_COUNT) -> str:
+    from ..functions.packing import SPLIT_PCT
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                          x -> lower(x)) AS w
+    FROM documents),
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1])) AS bigram
+    FROM toks),
+train_counts AS (
+    SELECT bigram, COUNT(*) AS n FROM bg
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) % 100 >= {SPLIT_PCT}
+    GROUP BY bigram HAVING COUNT(*) >= {min_count}),
+fam AS (
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(COALESCE(t.n, 0)) AS BIGINT) AS familiarity
+    FROM bg d LEFT JOIN train_counts t USING (bigram)
+    GROUP BY d.doc_id)
+SELECT documents.doc_id,
+       COALESCE(fam.n_bigrams, 0) AS n_bigrams,
+       COALESCE(fam.familiarity, 0) AS familiarity
+FROM documents LEFT JOIN fam ON documents.doc_id = fam.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped top-k n-grams
+# ---------------------------------------------------------------------------
+
+NGRAM_TOPK = 5
+
+
+def docs_ngram_topk_per_lang(sf_dir: str, k: int = NGRAM_TOPK):
+    """The ``k`` most frequent bigrams per language → (lang, bigram,
+    n, rk), ties broken by bigram text (deterministic both engines).
+
+    Plan: per-batch (lang, bigram) count folds → one global groupby
+    sum (the shuffle carries distinct-bigram count rows), then the
+    grouped-top-N pattern of ``events_topn_per_type``: a per-batch
+    partial top-k prunes each block to ≤ k·langs rows before the tiny
+    per-lang final."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bg = _bigram_partial(batch, extra_cols=("lang",))
+        counts = bg.group_by(["lang", "bigram"]).len(name="n")
+        return counts.to_arrow().cast(pa.schema([
+            ("lang", pa.string()), ("bigram", pa.string()),
+            ("n", pa.int64())]))
+
+    summed = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "lang"])
+              .map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192)
+              .groupby(["lang", "bigram"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["lang", "n", "bigram"],
+                            ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby("lang").head(k),
+                                    preserve_index=False)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "bigram"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (summed.map_batches(partial_topk, batch_format="pyarrow")
+            .groupby("lang")
+            .map_groups(final_topk, batch_format="pandas")
+            .map_batches(lambda b: b.cast(pa.schema([
+                ("lang", pa.string()), ("bigram", pa.string()),
+                ("n", pa.int64()), ("rk", pa.int64())])),
+                batch_format="pyarrow"))
+
+
+DOCS_NGRAM_TOPK_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                          x -> lower(x)) AS w
+    FROM documents),
+bg AS (
+    SELECT lang,
+           unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1])) AS bigram
+    FROM toks),
+c AS (SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+r AS (SELECT lang, bigram, n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n DESC, bigram) AS rk
+      FROM c)
+SELECT lang, bigram, n, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {NGRAM_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# edit-distance similarity self-join
+# ---------------------------------------------------------------------------
+
+EDIT_K = 2
+EDIT_KEY_LEN = 24
+# blocking-group pair budget: groups stay all-pairs-verified while
+# below it (the pair_sim_histogram adjudication: bounded quadratic
+# verify is the DIAGNOSTIC path; production fuzzy dedup at corpus
+# scale is the minhash/LSH family)
+EDIT_GROUP_WARN_PAIRS = 50_000_000
+
+
+def docs_edit_distance_pairs(sf_dir: str, k: int = EDIT_K,
+                             key_len: int = EDIT_KEY_LEN):
+    """Fuzzy-key self-join: pairs of documents whose normalized key
+    (lowercased first ``key_len`` characters) is within edit distance
+    ``k``, same language → (doc_a, doc_b, dist), doc_a < doc_b.
+
+    The similarity-join shape exact dedup can't cover (OCR noise,
+    near-identical titles). Blocking: (lang, ⌊len/(k+1)⌋) — strings
+    within distance k differ in length by ≤ k, so each row replicates
+    to its own and the NEXT length bucket and every qualifying pair
+    meets exactly once (same-bucket pairs in their own group,
+    adjacent-bucket pairs in the higher group via the replica side).
+    Verification is one vectorized C ``levenshtein`` call (embedded
+    single-threaded DuckDB — the md5keys pattern) over each group's
+    length-filtered candidate pairs; keys are ALSO computed by that
+    engine so ``lower``/``substr`` unicode semantics are identical to
+    the oracle's by construction. Group cost is Θ(group²) pairs —
+    bounded, logged, and acceptable for the diagnostic path per the
+    ``pair_sim_histogram`` adjudication (production near-dup is
+    minhash/LSH)."""
+    import ray.data as rd
+
+    from ..functions.md5keys import _con
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        con = _con()
+        tbl = batch.select(["doc_id", "lang", "text"])  # noqa: F841
+        out = con.execute(
+            f"SELECT doc_id, lang,"
+            f" lower(substr(COALESCE(text, ''), 1, {int(key_len)}))"
+            f" AS key, length(lower(substr(COALESCE(text, ''), 1,"
+            f" {int(key_len)}))) AS klen FROM tbl").arrow()
+        klen = out.column("klen").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bkt = klen // (k + 1)
+        base = pa.table({
+            "doc_id": out.column("doc_id"),
+            "lang": out.column("lang"),
+            "key": out.column("key"),
+            "klen": pa.array(klen, pa.int64())})
+        orig = base.append_column(
+            "grp", pa.array(bkt, pa.int64())).append_column(
+            "is_repl", pa.array(np.zeros(len(klen), np.int8)))
+        repl = base.append_column(
+            "grp", pa.array(bkt + 1, pa.int64())).append_column(
+            "is_repl", pa.array(np.ones(len(klen), np.int8)))
+        return pa.concat_tables([orig, repl])
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        con = _con()
+        orig = g[g["is_repl"] == 0]
+        repl = g[g["is_repl"] == 1]
+        o_tbl = pa.Table.from_pandas(  # noqa: F841
+            orig[["doc_id", "key", "klen"]], preserve_index=False)
+        r_tbl = pa.Table.from_pandas(  # noqa: F841
+            repl[["doc_id", "key", "klen"]], preserve_index=False)
+        sql_pairs = (
+            # same-bucket pairs (orig × orig, a < b)
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            f" levenshtein(a.key, b.key) AS dist"
+            f" FROM o_tbl a JOIN o_tbl b ON a.doc_id < b.doc_id"
+            f" AND abs(a.klen - b.klen) <= {int(k)}"
+            f" UNION ALL "
+            # adjacent-bucket pairs (orig in THIS group × replica
+            # carried up from the previous group)
+            f"SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,"
+            f" GREATEST(a.doc_id, b.doc_id) AS doc_b,"
+            f" levenshtein(a.key, b.key) AS dist"
+            f" FROM o_tbl a JOIN r_tbl b ON a.doc_id != b.doc_id"
+            f" AND abs(a.klen - b.klen) <= {int(k)}")
+        out = con.execute(
+            f"SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist"
+            f" FROM ({sql_pairs}) WHERE dist <= {int(k)}").df()
+        return out
+
+    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                        ("dist", pa.int64())])
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "text"])
+            .map_batches(keyed, batch_format="pyarrow",
+                         batch_size=8192)
+            .groupby(["lang", "grp"])
+            .map_groups(verify, batch_format="pandas")
+            .map_batches(lambda b: b.cast(schema),
+                         batch_format="pyarrow"))
+
+
+DOCS_EDIT_PAIRS_SQL = f"""
+WITH kx AS (
+    SELECT doc_id, lang,
+           lower(substr(COALESCE(text, ''), 1, {EDIT_KEY_LEN})) AS key
+    FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+FROM kx a JOIN kx b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND abs(length(a.key) - length(b.key)) <= {EDIT_K}
+WHERE levenshtein(a.key, b.key) <= {EDIT_K}
+"""

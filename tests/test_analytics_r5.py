@@ -148,3 +148,136 @@ def test_ivf_cache_key_encodes_training_route(ray_session):
     assert a2.index_dir == a.index_dir
     assert b2.index_dir == b.index_dir
     assert np.array_equal(b2.centroids, b.centroids)
+
+
+def test_orders_skyline_window_form_is_dominance(ray_session):
+    """The oracle's O(n log n) window formulation computes EXACTLY the
+    NOT EXISTS dominance semantics (pinned on the full sf0.001 table,
+    where the quadratic twin is cheap)."""
+    import duckdb
+
+    from rdfx_ray.pipelines.analytics_r5 import (
+        ORDERS_SKYLINE_NOT_EXISTS_SQL,
+        ORDERS_SKYLINE_SQL,
+    )
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM "
+            f"'{SF}/orders.parquet'")
+    cols = ["o_orderkey", "price_c", "d"]
+    a = (con.sql(ORDERS_SKYLINE_SQL).df()[cols]
+         .sort_values(cols).reset_index(drop=True))
+    b = (con.sql(ORDERS_SKYLINE_NOT_EXISTS_SQL).df()[cols]
+         .sort_values(cols).reset_index(drop=True))
+    assert len(a) == len(b) > 0
+    assert a.equals(b)
+
+
+def test_docs_familiarity_routes_agree(ray_session):
+    """The forced distributed-join route (broadcast_cutoff=0) scores
+    every document identically to the broadcast route — the
+    count-gated-plans-agree pattern."""
+    from rdfx_ray.pipelines.analytics_r5 import docs_familiarity
+
+    a = (docs_familiarity(SF).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (docs_familiarity(SF, broadcast_cutoff=0).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert len(a) == len(b) > 0
+    assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+    assert (a["familiarity"].to_numpy()
+            == b["familiarity"].to_numpy()).all()
+    assert (a["n_bigrams"].to_numpy() == b["n_bigrams"].to_numpy()).all()
+    # train docs see their own bigrams: scores are non-trivial
+    assert a["familiarity"].max() > 0
+
+
+def test_events_user_islands_swallowing_interval(ray_session, tmp_path):
+    """A long interval must swallow several later short ones — the
+    case the fixed-gap sessionize rule gets wrong and the
+    running-max-end sweep exists for."""
+    import pyarrow.parquet as pq
+
+    from rdfx_ray.pipelines.analytics_r5 import events_user_islands
+
+    # user 1: event 599 lasts 600 s (599 % 600 + 1) and covers the
+    # t=100s and t=500s events (ids ≡ 0 mod 600 → 1-second
+    # durations); a fourth event at t=700s starts a new island.
+    # user 2: one event, one island.
+    base = 1_700_000_000_000_000
+    tbl = pa.table({
+        "event_id": pa.array([599, 600, 1200, 1800, 2400],
+                             pa.int64()),  # durs: 600s,1s,1s,1s,1s
+        "ts": pa.array(
+            [base, base + 100_000_000, base + 500_000_000,
+             base + 700_000_000, base], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = (events_user_islands(str(tmp_path)).to_pandas()
+           .sort_values(["user_id", "island_start"])
+           .reset_index(drop=True))
+    # durations: (event_id % 600 + 1) s
+    d599 = 600_000_000
+    u1 = out[out.user_id == 1]
+    assert len(u1) == 2
+    first = u1.iloc[0]
+    assert first.island_start == base
+    assert first.island_end == base + d599  # the long interval's end
+    assert first.n_events == 3              # swallowed both short ones
+    second = u1.iloc[1]
+    assert second.island_start == base + 700_000_000
+    assert second.island_end == base + 701_000_000
+    assert second.n_events == 1
+    assert len(out[out.user_id == 2]) == 1
+
+
+def test_edit_pairs_blocking_finds_all_planted(ray_session, tmp_path):
+    """Blocking completeness end-to-end: every planted ≤k-edit pair is
+    found EXACTLY once (next-bucket replication double-count guard),
+    cross-checked against the quadratic oracle on the same table."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rdfx_ray.pipelines.analytics_r5 import (
+        DOCS_EDIT_PAIRS_SQL,
+        docs_edit_distance_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    alpha = np.array(list("abcdefgh"))
+    texts, langs = [], []
+    # planted clusters: a base string + 1- and 2-edit variants, plus
+    # length-straddling variants (delete chars so the pair crosses a
+    # length bucket), plus unrelated noise
+    for c in range(12):
+        b = "".join(rng.choice(alpha, size=24))
+        texts += [b,
+                  b[:5] + "z" + b[6:],          # 1 substitution
+                  b[:3] + b[4:] + "q",          # del+append = dist 2
+                  b[:23],                       # 1 deletion (len 23)
+                  b[:22]]                       # 2 deletions (len 22)
+        langs += ["en"] * 5
+    for _ in range(40):
+        texts.append("".join(rng.choice(alpha, size=24)))
+        langs.append("en")
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    got = (docs_edit_distance_pairs(str(tmp_path)).to_pandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet'")
+    want = (con.sql(DOCS_EDIT_PAIRS_SQL).df()
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    # no pair appears twice
+    assert not got.duplicated(["doc_a", "doc_b"]).any()
+    assert len(got) == len(want) > 0
+    assert (got["doc_a"].to_numpy() == want["doc_a"].to_numpy()).all()
+    assert (got["doc_b"].to_numpy() == want["doc_b"].to_numpy()).all()
+    assert (got["dist"].to_numpy() == want["dist"].to_numpy()).all()
