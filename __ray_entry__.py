@@ -883,6 +883,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # edit-distance similarity self-join (fuzzy-key dedup)
         "docs_edit_distance_pairs":
             lambda sf: _r5().docs_edit_distance_pairs(sf),
+        # fuzzy entity resolution end-to-end (blocking → pairwise
+        # scoring → connected components → cluster labels)
+        "docs_fuzzy_clusters":
+            lambda sf: _r5().docs_fuzzy_clusters(sf),
+        # systematic PPS sampling (weight-proportional, exact integer)
+        "docs_weighted_sample":
+            lambda sf: _r5().docs_weighted_sample(sf),
+        # per-document TF-IDF top terms (integer idf)
+        "docs_top_terms": lambda sf: _r5().docs_top_terms(sf),
         # PERCENT_RANK / CUME_DIST (full-table window, integer-scaled)
         "orders_percent_rank": _orders_percent_rank,
         # iterative frontier BFS (min-hop depth to chain roots)
@@ -1260,6 +1269,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_familiarity": _R5._familiarity_sql(),
         "docs_ngram_topk_per_lang": _R5.DOCS_NGRAM_TOPK_SQL,
         "docs_edit_distance_pairs": _R5.DOCS_EDIT_PAIRS_SQL,
+        "docs_fuzzy_clusters": _R5.DOCS_FUZZY_CLUSTERS_SQL,
+        "docs_weighted_sample": _R5._weighted_sample_sql(),
+        "docs_top_terms": _R5.DOCS_TOP_TERMS_SQL,
         "orders_percent_rank": _PRANK_SQL,
         "citation_bfs_depth": _BFS_SQL,
         "citation_components": _CC_SQL,

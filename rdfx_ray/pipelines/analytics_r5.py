@@ -663,3 +663,312 @@ FROM kx a JOIN kx b
  AND abs(length(a.key) - length(b.key)) <= {EDIT_K}
 WHERE levenshtein(a.key, b.key) <= {EDIT_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# fuzzy entity-resolution clusters (edit-distance pairs → components)
+# ---------------------------------------------------------------------------
+
+
+def docs_fuzzy_clusters(sf_dir: str, k: int = EDIT_K,
+                        key_len: int = EDIT_KEY_LEN):
+    """End-to-end fuzzy dedup / entity resolution: blocking →
+    pairwise edit-distance scoring → connected components → every
+    document labelled with its cluster id (min doc_id reachable
+    through ≤``k``-edit links; singletons label themselves) →
+    (doc_id, cluster).
+
+    The composition the similarity-join exists FOR: the pair table
+    from :func:`docs_edit_distance_pairs` is dup-bounded (orders of
+    magnitude below the corpus), so the component fold runs on the
+    candidate-pair scale (`connected_components`' documented operating
+    point) and the final label attach is one broadcast searchsorted
+    over the streaming doc table."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.components import connected_components
+
+    pairs = docs_edit_distance_pairs(sf_dir, k=k, key_len=key_len)
+    pair_tbl = pa.concat_tables(list(pairs.iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow")))
+    labels, _stats = connected_components(pair_tbl.select(
+        ["doc_a", "doc_b"]))
+    nodes = labels.column("node").to_numpy(zero_copy_only=False)
+    labs = labels.column("label").to_numpy(zero_copy_only=False)
+    o = np.argsort(nodes)
+    ref = ray.put((nodes[o], labs[o]))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        from ..functions.broadcast import cached_get
+        nds, lbs = cached_get(ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(nds):
+            pos = np.clip(np.searchsorted(nds, ids), 0, len(nds) - 1)
+            hit = nds[pos] == ids
+            cluster = np.where(hit, lbs[pos], ids)
+        else:
+            cluster = ids
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(cluster.astype(np.int64), pa.int64())})
+
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+            .map_batches(attach, batch_format="pyarrow"))
+
+
+DOCS_FUZZY_CLUSTERS_SQL = f"""
+WITH kx AS (
+    SELECT doc_id, lang,
+           lower(substr(COALESCE(text, ''), 1, {EDIT_KEY_LEN})) AS key
+    FROM documents),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM kx a JOIN kx b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(length(a.key) - length(b.key)) <= {EDIT_K}
+    WHERE levenshtein(a.key, b.key) <= {EDIT_K}),
+e AS (SELECT doc_a AS s, doc_b AS o FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p),
+r AS (
+    WITH RECURSIVE reach(node, m) AS (
+        SELECT s, s FROM e
+        UNION
+        SELECT e.s, r2.m FROM e JOIN reach r2 ON e.o = r2.node
+    )
+    SELECT node, MIN(m) AS label FROM reach GROUP BY node)
+SELECT d.doc_id,
+       CAST(COALESCE(r.label, d.doc_id) AS BIGINT) AS cluster
+FROM documents d LEFT JOIN r ON d.doc_id = r.node
+"""
+
+
+# ---------------------------------------------------------------------------
+# systematic PPS (weight-proportional) sampling
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_TARGET = 64
+WEIGHTED_RANGE_DOCS = 4096
+
+
+def docs_weighted_sample(sf_dir: str,
+                         n_target: int = WEIGHTED_SAMPLE_TARGET,
+                         range_docs: int = WEIGHTED_RANGE_DOCS):
+    """Systematic probability-proportional-to-size sampling: walk the
+    corpus in doc_id order accumulating weight (``n_chars``); every
+    time the cumulative weight crosses a multiple of ``step =
+    max(W_total // n_target, 1)`` the current document is selected →
+    (doc_id, w, n_hits), n_hits = how many step-multiples the doc's
+    weight interval covers (≥ 2 means the doc alone outweighs a
+    stride — the PPS analogue of sampling it with multiplicity). All
+    integer arithmetic: reproducible across engines and partitionings
+    with no RNG.
+
+    Plan: the ``pack_sequences`` distributed-prefix-sum shape —
+    per-range weight totals fold to ONE tiny table (a row per
+    ``range_docs`` ids), the driver prefix-sums it, and each batch
+    reconstructs its docs' exact global interval starts from the
+    broadcast bases plus an in-range cumulative sum; selection is then
+    a pure per-row formula. No corpus-sized exchange anywhere."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+
+    def range_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        d = pl.from_arrow(batch)
+        d = d.with_columns((pl.col("doc_id") // range_docs)
+                           .alias("rng"))
+        g = d.group_by("rng").agg(w=pl.col("n_chars").sum())
+        return g.to_arrow().cast(pa.schema([
+            ("rng", pa.int64()), ("w", pa.int64())]))
+
+    ranges = (docs.map_batches(range_partial, batch_format="pyarrow")
+              .groupby("rng").aggregate(Sum("w", alias_name="w"))
+              .to_pandas().sort_values("rng"))
+    totals = ranges["w"].to_numpy().astype(np.int64)
+    bases = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    w_total = int(totals.sum())
+    step = max(w_total // n_target, 1)
+    base_ref = ray.put((ranges["rng"].to_numpy().astype(np.int64),
+                        bases))
+
+    def select(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        from ..functions.broadcast import cached_get
+        rng_ids, rng_bases = cached_get(base_ref)
+        d = (pl.from_arrow(batch)
+             .sort("doc_id")
+             .with_columns((pl.col("doc_id") // range_docs)
+                           .alias("rng")))
+        w = d["n_chars"].to_numpy().astype(np.int64)
+        # in-range exclusive prefix + broadcast base = global start.
+        # Exact only when a range's docs share one batch — guaranteed
+        # by re-keying batches to ranges below.
+        starts = np.cumsum(w) - w
+        rg = d["rng"].to_numpy()
+        head = np.concatenate([[True], rg[1:] != rg[:-1]])
+        # subtract each range's first in-batch prefix, add its base
+        grp_first = np.maximum.accumulate(
+            np.where(head, np.arange(len(w)), 0))
+        starts = starts - starts[grp_first]
+        pos = np.searchsorted(rng_ids, rg)
+        starts = starts + rng_bases[pos]
+        end = starts + w
+        n_hits = ((end - 1) // step
+                  - np.maximum((starts - 1) // step, 0))
+        keep = n_hits >= 1
+        return pa.table({
+            "doc_id": pa.array(d["doc_id"].to_numpy()[keep],
+                               pa.int64()),
+            "w": pa.array(w[keep], pa.int64()),
+            "n_hits": pa.array(n_hits[keep].astype(np.int64),
+                               pa.int64())})
+
+    # co-locate each range's docs in one group so the in-batch prefix
+    # sum is exact (the pack_sequences layout)
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_rng", pa.array((ids // range_docs).astype(np.int64),
+                             pa.int64()))
+
+    def per_range(g: pd.DataFrame) -> pd.DataFrame:
+        out = select(pa.Table.from_pandas(
+            g[["doc_id", "n_chars"]], preserve_index=False))
+        return out.to_pandas()
+
+    return (docs.map_batches(tag, batch_format="pyarrow")
+            .groupby("_rng")
+            .map_groups(per_range, batch_format="pandas")
+            .map_batches(lambda b: b.cast(pa.schema([
+                ("doc_id", pa.int64()), ("w", pa.int64()),
+                ("n_hits", pa.int64())])), batch_format="pyarrow"))
+
+
+def _weighted_sample_sql(n_target: int = WEIGHTED_SAMPLE_TARGET) -> str:
+    return f"""
+WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
+c AS (SELECT doc_id, w,
+             COALESCE(SUM(w) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS strt
+      FROM w),
+t AS (SELECT GREATEST(CAST(SUM(w) AS BIGINT) // {n_target}, 1)
+          AS step FROM w),
+s AS (SELECT doc_id, w,
+             CAST((strt + w - 1) // step
+                  - GREATEST((strt - 1) // step, 0) AS BIGINT)
+                 AS n_hits
+      FROM c, t)
+SELECT doc_id, w, n_hits FROM s WHERE n_hits >= 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-document TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+TOP_TERMS_K = 3
+TOP_TERMS_IDF_SCALE = 1000
+# vocab tables broadcast at every tested SF; past this the score pass
+# would switch to the docs_familiarity join route (same shape)
+TOP_TERMS_BROADCAST_CUTOFF = 5_000_000
+
+
+def docs_top_terms(sf_dir: str, k: int = TOP_TERMS_K):
+    """Each document's ``k`` most characteristic terms by integer
+    TF-IDF (score = tf × ((N × {scale}) // df), ties broken by term)
+    → (doc_id, term, score, rk).
+
+    Plan: the corpus df table folds once (the ``doc_frequency``
+    exchange, O(distinct × blocks) count rows) and broadcasts; the
+    scoring pass is then per-batch-exact with ZERO further exchange —
+    one document is one input row, so its term counts, scores and
+    top-k all complete inside its own batch (the one-doc-one-row
+    argument)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        d = pl.from_arrow(batch.select(["doc_id", "text"]))
+        d = d.with_columns(
+            pl.col("text").fill_null("")
+            .str.extract_all(r"[A-Za-z]+").alias("w")).drop("text")
+        d = (d.explode("w").drop_nulls("w")
+             .with_columns(pl.col("w").str.to_lowercase()))
+        g = d.group_by("w").agg(df=pl.col("doc_id").n_unique())
+        return g.rename({"w": "term"}).to_arrow().cast(pa.schema([
+            ("term", pa.string()), ("df", pa.int64())]))
+
+    df_tbl = pa.concat_tables(list(
+        (docs.map_batches(df_partial, batch_format="pyarrow",
+                          batch_size=8192)
+         .groupby("term").aggregate(Sum("df", alias_name="df")))
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    ref = ray.put(df_tbl)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        from ..functions.broadcast import cached_get
+        df = pl.from_arrow(cached_get(ref))
+        d = pl.from_arrow(batch.select(["doc_id", "text"]))
+        d = d.with_columns(
+            pl.col("text").fill_null("")
+            .str.extract_all(r"[A-Za-z]+").alias("w")).drop("text")
+        d = (d.explode("w").drop_nulls("w")
+             .with_columns(pl.col("w").str.to_lowercase()))
+        tf = (d.group_by(["doc_id", "w"]).len(name="tf")
+              .rename({"w": "term"})
+              .join(df, on="term", how="inner")
+              .with_columns(
+                  (pl.col("tf")
+                   * ((n_docs * TOP_TERMS_IDF_SCALE)
+                      // pl.col("df"))).alias("score")))
+        top = (tf.sort(["doc_id", "score", "term"],
+                       descending=[False, True, False])
+               .with_columns(pl.col("term").cum_count().over("doc_id")
+                             .alias("rk"))
+               .filter(pl.col("rk") <= k)
+               .select(["doc_id", "term", "score", "rk"]))
+        return top.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("term", pa.string()),
+            ("score", pa.int64()), ("rk", pa.int64())]))
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            batch_size=8192)
+
+
+DOCS_TOP_TERMS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                                 x -> lower(x))) AS term
+    FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfx AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+s AS (SELECT tf.doc_id, tf.term,
+             CAST(tf.tf * ((n.nd * {TOP_TERMS_IDF_SCALE}) // dfx.df)
+                  AS BIGINT) AS score
+      FROM tf JOIN dfx USING (term), n),
+r AS (SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rk
+      FROM s)
+SELECT doc_id, term, score, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {TOP_TERMS_K}
+"""

@@ -134,6 +134,29 @@ def main() -> None:
                           "rows": n,
                           "sym_rows_per_bucket":
                           2 * real_edges // B}))
+    elif op == "pagerank":
+        # join route at the auto-derived B, sharded route as the
+        # in-window control (the round-4 protocol, next ladder point)
+        from rdfx_ray.functions.components import _auto_buckets, pagerank
+        B = _auto_buckets(real_edges)
+        out = {"op": "pagerank", "edges": real_edges, "cpus": cpus,
+               "B_auto": B, "runs": []}
+        for route in ("sharded", "join", "sharded", "join"):
+            t0 = time.time()
+            ranks = pagerank(edges, n_iter=10,
+                             broadcast_cutoff_rows=0,
+                             pinned_nodes_cutoff=0,
+                             large_route=route)
+            dt = round(time.time() - t0, 2)
+            out["runs"].append({"route": route, "seconds": dt,
+                                "rows": ranks.num_rows})
+            print(json.dumps(out["runs"][-1]), flush=True)
+        out["join_best"] = min(r["seconds"] for r in out["runs"]
+                               if r["route"] == "join")
+        out["sharded_best"] = min(r["seconds"] for r in out["runs"]
+                                  if r["route"] == "sharded")
+        out["rows_per_bucket"] = real_edges // B
+        print(json.dumps(out))
     else:
         raise SystemExit(f"unknown op {op}")
     ray.shutdown()

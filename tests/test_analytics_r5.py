@@ -281,3 +281,82 @@ def test_edit_pairs_blocking_finds_all_planted(ray_session, tmp_path):
     assert (got["doc_a"].to_numpy() == want["doc_a"].to_numpy()).all()
     assert (got["doc_b"].to_numpy() == want["doc_b"].to_numpy()).all()
     assert (got["dist"].to_numpy() == want["dist"].to_numpy()).all()
+
+
+def test_docs_fuzzy_clusters_planted(ray_session, tmp_path):
+    """Each planted near-dup group collapses (transitively) to one
+    cluster labelled by its min doc_id; noise docs label themselves."""
+    import pyarrow.parquet as pq
+
+    from rdfx_ray.pipelines.analytics_r5 import docs_fuzzy_clusters
+
+    rng = np.random.default_rng(11)
+    alpha = np.array(list("abcdefgh"))
+    texts, langs = [], []
+    for c in range(6):
+        b = "".join(rng.choice(alpha, size=24))
+        texts += [b, b[:5] + "z" + b[6:], b[:23]]
+        langs += ["en"] * 3
+    for _ in range(20):
+        texts.append("".join(rng.choice(alpha, size=24)))
+        langs.append("en")
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string())})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = (docs_fuzzy_clusters(str(tmp_path)).to_pandas()
+           .set_index("doc_id")["cluster"])
+    for c in range(6):
+        base = 3 * c
+        assert out[base] == out[base + 1] == out[base + 2] == base
+    # noise docs (ids 18..37): singletons unless they collide by
+    # chance with a planted key — at this alphabet/seed they don't
+    noise = out[out.index >= 18]
+    assert (noise == noise.index).all()
+
+
+def test_docs_weighted_sample_invariants(ray_session):
+    """Systematic PPS accounting: every step-multiple in [1, W_total)
+    lands in exactly one selected doc's interval, so Σ n_hits equals
+    the global multiple count; selection is deterministic."""
+    import duckdb
+
+    from rdfx_ray.pipelines.analytics_r5 import (
+        WEIGHTED_SAMPLE_TARGET,
+        docs_weighted_sample,
+    )
+
+    out = (docs_weighted_sample(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    w_total = con.sql(
+        f"SELECT CAST(SUM(n_chars) AS BIGINT) FROM "
+        f"'{SF}/documents.parquet'").fetchone()[0]
+    step = max(w_total // WEIGHTED_SAMPLE_TARGET, 1)
+    assert (out["n_hits"] >= 1).all()
+    assert out["n_hits"].sum() == (w_total - 1) // step
+    again = (docs_weighted_sample(SF).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert out.equals(again)
+
+
+def test_docs_top_terms_shape(ray_session):
+    """Per-doc ranks are contiguous from 1, scores non-increasing
+    within a doc, never more than k rows per doc."""
+    from rdfx_ray.pipelines.analytics_r5 import (
+        TOP_TERMS_K,
+        docs_top_terms,
+    )
+
+    out = (docs_top_terms(SF).to_pandas()
+           .sort_values(["doc_id", "rk"]).reset_index(drop=True))
+    assert len(out) > 0
+    g = out.groupby("doc_id")
+    assert (g["rk"].max() <= TOP_TERMS_K).all()
+    assert (g["rk"].min() == 1).all()
+    assert g.apply(
+        lambda x: (x["rk"].to_numpy()
+                   == np.arange(1, len(x) + 1)).all()).all()
+    assert g.apply(
+        lambda x: (np.diff(x["score"].to_numpy()) <= 0).all()).all()
