@@ -892,6 +892,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _r5().docs_weighted_sample(sf),
         # per-document TF-IDF top terms (integer idf)
         "docs_top_terms": lambda sf: _r5().docs_top_terms(sf),
+        # semi-structured JSON column extraction + aggregate
+        "events_props_stats":
+            lambda sf: _r5().events_props_stats(sf),
         # PERCENT_RANK / CUME_DIST (full-table window, integer-scaled)
         "orders_percent_rank": _orders_percent_rank,
         # iterative frontier BFS (min-hop depth to chain roots)
@@ -1272,6 +1275,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_fuzzy_clusters": _R5.DOCS_FUZZY_CLUSTERS_SQL,
         "docs_weighted_sample": _R5._weighted_sample_sql(),
         "docs_top_terms": _R5.DOCS_TOP_TERMS_SQL,
+        "events_props_stats": _R5.EVENTS_PROPS_STATS_SQL,
         "orders_percent_rank": _PRANK_SQL,
         "citation_bfs_depth": _BFS_SQL,
         "citation_components": _CC_SQL,

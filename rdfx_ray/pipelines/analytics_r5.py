@@ -972,3 +972,66 @@ r AS (SELECT doc_id, term, score,
 SELECT doc_id, term, score, CAST(rk AS BIGINT) AS rk
 FROM r WHERE rk <= {TOP_TERMS_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# semi-structured (JSON) column extraction
+# ---------------------------------------------------------------------------
+
+
+def events_props_stats(sf_dir: str):
+    """Parse the semi-structured ``props`` JSON column and aggregate
+    the extracted field per event_type → (event_type, n, sum_k,
+    n_distinct_k). The JSON-plane shape (log/telemetry payloads) the
+    registry didn't cover: extraction is one vectorized polars
+    ``json_path_match`` per batch (no per-row json.loads), and the
+    distinct count folds exactly through a two-level exchange —
+    per-batch (type, k, cnt) partials → global (type, k) sum (the
+    value domain, not the event stream) → per-type final where
+    ``n_distinct_k`` is just the surviving row count."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        d = pl.from_arrow(batch.select(["event_type", "props"]))
+        d = d.with_columns(
+            pl.col("props").str.json_path_match("$.k")
+            .cast(pl.Int64).alias("k")).drop("props")
+        g = (d.group_by(["event_type", "k"])
+             .agg(cnt=pl.len().cast(pl.Int64)))
+        return g.to_arrow().cast(pa.schema([
+            ("event_type", pa.string()), ("k", pa.int64()),
+            ("cnt", pa.int64())]))
+
+    per_value = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["event_type", "props"])
+                 .map_batches(partial, batch_format="pyarrow")
+                 .groupby(["event_type", "k"])
+                 .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        c = batch.column("cnt").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n": batch.column("cnt"),
+            "sum_k": pa.array((k * c).astype(np.int64), pa.int64()),
+            "one": pa.array(np.ones(len(k), np.int64), pa.int64())})
+
+    return (per_value.map_batches(widen, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_k", alias_name="sum_k"),
+                       Sum("one", alias_name="n_distinct_k")))
+
+
+EVENTS_PROPS_STATS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+            AS BIGINT) AS n_distinct_k
+FROM events GROUP BY event_type
+"""

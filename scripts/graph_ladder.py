@@ -147,9 +147,12 @@ def main() -> None:
                              broadcast_cutoff_rows=0,
                              pinned_nodes_cutoff=0,
                              large_route=route)
+            n_rows = (ranks.count() if hasattr(ranks, "count")
+                      and not isinstance(ranks, pa.Table)
+                      else ranks.num_rows)
             dt = round(time.time() - t0, 2)
             out["runs"].append({"route": route, "seconds": dt,
-                                "rows": ranks.num_rows})
+                                "rows": n_rows})
             print(json.dumps(out["runs"][-1]), flush=True)
         out["join_best"] = min(r["seconds"] for r in out["runs"]
                                if r["route"] == "join")
