@@ -45,7 +45,7 @@ ISLAND_BUCKETS = 32
 
 
 def events_user_islands(sf_dir: str,
-                        num_buckets: int = ISLAND_BUCKETS):
+                        num_buckets: "int | None" = None):
     """Merge each user's event intervals ``[t, t + dur)`` into maximal
     overlapping islands → (user_id, island_start, island_end,
     n_events), all epoch-µs BIGINT.
@@ -62,9 +62,19 @@ def events_user_islands(sf_dir: str,
     under timestamp ties, the same tiebreak the SQL twin orders by —
     shifted cumulative max end over the user window, flag → cumsum →
     island ids, one group_by). Per-round state is O(bucket rows);
-    nothing is collected on the driver.
+    nothing is collected on the driver. ``num_buckets=None`` derives
+    B from the exact event count (one bucket is one in-memory sweep
+    frame, so its rows must stay ~2^17 at any stream size — the
+    components ``_auto_buckets`` rule).
     """
     import ray.data as rd
+
+    from ..functions.components import _auto_buckets
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    B = (num_buckets if num_buckets is not None
+         else max(ISLAND_BUCKETS, _auto_buckets(ds.count())))
 
     def keyed(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
@@ -76,8 +86,7 @@ def events_user_islands(sf_dir: str,
             "t": ts,
             "dur": pa.array(dur.astype(np.int64), pa.int64()),
             "event_id": batch.column("event_id"),
-            "_jb": pa.array((uid % num_buckets).astype(np.int64),
-                            pa.int64()),
+            "_jb": pa.array((uid % B).astype(np.int64), pa.int64()),
         })
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -105,9 +114,7 @@ def events_user_islands(sf_dir: str,
     schema = pa.schema([
         ("user_id", pa.int64()), ("island_start", pa.int64()),
         ("island_end", pa.int64()), ("n_events", pa.int64())])
-    return (rd.read_parquet(f"{sf_dir}/events.parquet",
-                            columns=["event_id", "ts", "user_id"])
-            .map_batches(keyed, batch_format="pyarrow")
+    return (ds.map_batches(keyed, batch_format="pyarrow")
             .groupby("_jb")
             .map_groups(merge_bucket, batch_format="pandas")
             .map_batches(lambda b: b.cast(schema),
@@ -670,8 +677,12 @@ WHERE levenshtein(a.key, b.key) <= {EDIT_K}
 # ---------------------------------------------------------------------------
 
 
+FUZZY_PAIRS_DRIVER_CUTOFF = 2_000_000
+
+
 def docs_fuzzy_clusters(sf_dir: str, k: int = EDIT_K,
-                        key_len: int = EDIT_KEY_LEN):
+                        key_len: int = EDIT_KEY_LEN,
+                        driver_cutoff: int = FUZZY_PAIRS_DRIVER_CUTOFF):
     """End-to-end fuzzy dedup / entity resolution: blocking →
     pairwise edit-distance scoring → connected components → every
     document labelled with its cluster id (min doc_id reachable
@@ -681,19 +692,53 @@ def docs_fuzzy_clusters(sf_dir: str, k: int = EDIT_K,
     The composition the similarity-join exists FOR: the pair table
     from :func:`docs_edit_distance_pairs` is dup-bounded (orders of
     magnitude below the corpus), so the component fold runs on the
-    candidate-pair scale (`connected_components`' documented operating
-    point) and the final label attach is one broadcast searchsorted
-    over the streaming doc table."""
+    candidate-pair scale — count-gated like ``dedup_corpus``: below
+    ``driver_cutoff`` pairs the broadcast-label
+    ``connected_components`` (its documented operating point), above
+    it the pinned-bucket ``connected_components_ds`` round plan over
+    the SAME pair Dataset. The final label attach is one broadcast
+    searchsorted over the streaming doc table (cluster tables are
+    dup-bounded, not corpus-bounded)."""
     import ray
     import ray.data as rd
 
-    from ..functions.components import connected_components
+    from ..functions.components import (
+        connected_components,
+        connected_components_ds,
+    )
 
-    pairs = docs_edit_distance_pairs(sf_dir, k=k, key_len=key_len)
-    pair_tbl = pa.concat_tables(list(pairs.iter_batches(
-        batch_size=1 << 20, batch_format="pyarrow")))
-    labels, _stats = connected_components(pair_tbl.select(
-        ["doc_a", "doc_b"]))
+    pairs = docs_edit_distance_pairs(sf_dir, k=k, key_len=key_len) \
+        .materialize()
+    n_pairs = pairs.count()
+    if n_pairs > driver_cutoff:
+        e64 = pairs.map_batches(
+            lambda b: pa.table({"src": b.column("doc_a"),
+                                "dst": b.column("doc_b")}),
+            batch_format="pyarrow")
+        from ray.data.aggregate import Count
+
+        def endpoints_unique(b: pa.Table) -> pa.Table:
+            ids = np.concatenate([
+                b.column("doc_a").to_numpy(zero_copy_only=False),
+                b.column("doc_b").to_numpy(zero_copy_only=False)])
+            return pa.table({"node": pa.array(
+                np.unique(ids).astype(np.int64), pa.int64())})
+
+        nodes64 = (pairs.map_batches(endpoints_unique,
+                                     batch_format="pyarrow")
+                   .groupby("node")
+                   .aggregate(Count(alias_name="c"))
+                   .map_batches(lambda b: b.select(["node"]),
+                                batch_format="pyarrow"))
+        labels = pa.concat_tables(list(
+            connected_components_ds(e64, nodes64, n_edges=n_pairs)
+            .iter_batches(batch_size=1 << 20,
+                          batch_format="pyarrow")))
+    else:
+        pair_tbl = pa.concat_tables(list(pairs.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")))
+        labels, _stats = connected_components(pair_tbl.select(
+            ["doc_a", "doc_b"]))
     nodes = labels.column("node").to_numpy(zero_copy_only=False)
     labs = labels.column("label").to_numpy(zero_copy_only=False)
     o = np.argsort(nodes)
@@ -882,17 +927,22 @@ TOP_TERMS_IDF_SCALE = 1000
 TOP_TERMS_BROADCAST_CUTOFF = 5_000_000
 
 
-def docs_top_terms(sf_dir: str, k: int = TOP_TERMS_K):
+def docs_top_terms(sf_dir: str, k: int = TOP_TERMS_K,
+                   broadcast_cutoff: int = TOP_TERMS_BROADCAST_CUTOFF):
     """Each document's ``k`` most characteristic terms by integer
     TF-IDF (score = tf × ((N × {scale}) // df), ties broken by term)
     → (doc_id, term, score, rk).
 
     Plan: the corpus df table folds once (the ``doc_frequency``
-    exchange, O(distinct × blocks) count rows) and broadcasts; the
-    scoring pass is then per-batch-exact with ZERO further exchange —
-    one document is one input row, so its term counts, scores and
-    top-k all complete inside its own batch (the one-doc-one-row
-    argument)."""
+    exchange, O(distinct × blocks) count rows). Scoring is
+    count-gated on the EXACT vocabulary size: below the cutoff the df
+    table broadcasts and the pass is per-batch-exact with ZERO
+    further exchange — one document is one input row, so its term
+    counts, scores and top-k all complete inside its own batch (the
+    one-doc-one-row argument). Above it (vocabularies that exceed one
+    machine), per-batch (doc, term, tf) partials hash-join the df
+    Dataset on term and the top-k folds through one doc_id exchange —
+    the docs_familiarity join-route shape, never a raise."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
@@ -913,11 +963,60 @@ def docs_top_terms(sf_dir: str, k: int = TOP_TERMS_K):
         return g.rename({"w": "term"}).to_arrow().cast(pa.schema([
             ("term", pa.string()), ("df", pa.int64())]))
 
-    df_tbl = pa.concat_tables(list(
-        (docs.map_batches(df_partial, batch_format="pyarrow",
-                          batch_size=8192)
-         .groupby("term").aggregate(Sum("df", alias_name="df")))
-        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    df_ds = (docs.map_batches(df_partial, batch_format="pyarrow",
+                              batch_size=8192)
+             .groupby("term").aggregate(Sum("df", alias_name="df"))
+             .materialize())
+    n_vocab = df_ds.count()
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("term", pa.string()),
+        ("score", pa.int64()), ("rk", pa.int64())])
+
+    if n_vocab > broadcast_cutoff:
+        def tf_partial(batch: pa.Table) -> pa.Table:
+            import polars as pl
+            d = pl.from_arrow(batch.select(["doc_id", "text"]))
+            d = d.with_columns(
+                pl.col("text").fill_null("")
+                .str.extract_all(r"[A-Za-z]+").alias("w")).drop("text")
+            d = (d.explode("w").drop_nulls("w")
+                 .with_columns(pl.col("w").str.to_lowercase()))
+            g = d.group_by(["doc_id", "w"]).len(name="tf") \
+                .rename({"w": "term"})
+            return g.to_arrow().cast(pa.schema([
+                ("doc_id", pa.int64()), ("term", pa.string()),
+                ("tf", pa.int64())]))
+
+        pairs = docs.map_batches(tf_partial, batch_format="pyarrow",
+                                 batch_size=8192)
+        joined = pairs.join(df_ds, join_type="inner", on=("term",),
+                            num_partitions=16)
+
+        def scored(batch: pa.Table) -> pa.Table:
+            tf = batch.column("tf").to_numpy(zero_copy_only=False)
+            df = batch.column("df").to_numpy(zero_copy_only=False)
+            score = tf * ((n_docs * TOP_TERMS_IDF_SCALE) // df)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "term": batch.column("term"),
+                "score": pa.array(score.astype(np.int64),
+                                  pa.int64())})
+
+        def doc_topk(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["score", "term"],
+                              ascending=[False, True]).head(k)
+            g = g.reset_index(drop=True)
+            g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+            return g[["doc_id", "term", "score", "rk"]]
+
+        return (joined.map_batches(scored, batch_format="pyarrow")
+                .groupby("doc_id")
+                .map_groups(doc_topk, batch_format="pandas")
+                .map_batches(lambda b: b.cast(out_schema),
+                             batch_format="pyarrow"))
+
+    df_tbl = pa.concat_tables(list(df_ds.iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow")))
     ref = ray.put(df_tbl)
 
     def score(batch: pa.Table) -> pa.Table:

@@ -360,3 +360,46 @@ def test_docs_top_terms_shape(ray_session):
                    == np.arange(1, len(x) + 1)).all()).all()
     assert g.apply(
         lambda x: (np.diff(x["score"].to_numpy()) <= 0).all()).all()
+
+
+def test_docs_top_terms_routes_agree(ray_session):
+    """The forced vocab-join route (broadcast_cutoff=0) emits the
+    identical per-doc top-k as the broadcast route."""
+    from rdfx_ray.pipelines.analytics_r5 import docs_top_terms
+
+    cols = ["doc_id", "rk"]
+    a = (docs_top_terms(SF).to_pandas()
+         .sort_values(cols).reset_index(drop=True))
+    b = (docs_top_terms(SF, broadcast_cutoff=0).to_pandas()
+         .sort_values(cols).reset_index(drop=True))
+    assert len(a) == len(b) > 0
+    for c in ["doc_id", "term", "score", "rk"]:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
+def test_docs_fuzzy_clusters_routes_agree(ray_session, tmp_path):
+    """The forced Dataset-native component route (driver_cutoff=0)
+    labels every document identically to the broadcast-label route on
+    the planted corpus."""
+    import pyarrow.parquet as pq
+
+    from rdfx_ray.pipelines.analytics_r5 import docs_fuzzy_clusters
+
+    rng = np.random.default_rng(13)
+    alpha = np.array(list("abcdefgh"))
+    texts, langs = [], []
+    for c in range(8):
+        b = "".join(rng.choice(alpha, size=24))
+        texts += [b, b[:5] + "z" + b[6:], b[:23]]
+        langs += ["en"] * 3
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string())})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    a = (docs_fuzzy_clusters(str(tmp_path)).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (docs_fuzzy_clusters(str(tmp_path), driver_cutoff=0)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(a) == len(b) > 0
+    assert (a["cluster"].to_numpy() == b["cluster"].to_numpy()).all()
