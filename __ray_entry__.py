@@ -954,6 +954,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: similarity.label_centroids(sf),
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf),
         "ann_lsh_topk": lambda sf: similarity.lsh_topk(sf),
+        # compressed-index ANN (product quantization, ADC code scan)
+        "ann_pq_topk": lambda sf: similarity.pq_topk(sf),
         # distributed Lloyd's k-means (iterative; integer folds make
         # the fit bit-deterministic under any partitioning)
         "embedding_kmeans": lambda sf: similarity.kmeans_fit(sf),

@@ -10,6 +10,8 @@ ROWS_ONLY = {
     "ann_brute_topk": "float32 ranking (quantized twin is oracled)",
     "ann_ivf_topk": "approximate (recall + full-probe==brute pinned)",
     "ann_lsh_topk": "approximate (full-ball==brute pinned)",
+    "ann_pq_topk": "approximate (compressed-index ADC; recall floor "
+                   "pinned vs brute)",
     "corpus_decontaminate_hashed": "uint64 rolling hash (string twin oracled)",
     "corpus_decontaminate_winnow":
         "winnowing fingerprint subset (flag parity test-pinned)",
