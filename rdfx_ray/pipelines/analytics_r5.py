@@ -564,33 +564,17 @@ FROM r WHERE rk <= {NGRAM_TOPK}
 
 EDIT_K = 2
 EDIT_KEY_LEN = 24
-# blocking-group pair budget: groups stay all-pairs-verified while
-# below it (the pair_sim_histogram adjudication: bounded quadratic
-# verify is the DIAGNOSTIC path; production fuzzy dedup at corpus
-# scale is the minhash/LSH family)
-EDIT_GROUP_WARN_PAIRS = 50_000_000
+# above this many rows in ONE (lang, length-bucket) blocking group the
+# all-pairs route's map_groups frame stops fitting a worker — switch
+# to the PassJoin segment-pigeonhole candidate join (exact, no group
+# materialization)
+EDIT_BLOCK_GROUP_CUTOFF = 200_000
 
 
-def docs_edit_distance_pairs(sf_dir: str, k: int = EDIT_K,
-                             key_len: int = EDIT_KEY_LEN):
-    """Fuzzy-key self-join: pairs of documents whose normalized key
-    (lowercased first ``key_len`` characters) is within edit distance
-    ``k``, same language → (doc_a, doc_b, dist), doc_a < doc_b.
-
-    The similarity-join shape exact dedup can't cover (OCR noise,
-    near-identical titles). Blocking: (lang, ⌊len/(k+1)⌋) — strings
-    within distance k differ in length by ≤ k, so each row replicates
-    to its own and the NEXT length bucket and every qualifying pair
-    meets exactly once (same-bucket pairs in their own group,
-    adjacent-bucket pairs in the higher group via the replica side).
-    Verification is one vectorized C ``levenshtein`` call (embedded
-    single-threaded DuckDB — the md5keys pattern) over each group's
-    length-filtered candidate pairs; keys are ALSO computed by that
-    engine so ``lower``/``substr`` unicode semantics are identical to
-    the oracle's by construction. Group cost is Θ(group²) pairs —
-    bounded, logged, and acceptable for the diagnostic path per the
-    ``pair_sim_histogram`` adjudication (production near-dup is
-    minhash/LSH)."""
+def _edit_keys(sf_dir: str, key_len: int):
+    """(doc_id, lang, key, klen) Dataset — keys computed by embedded
+    DuckDB so lower/substr unicode semantics match the oracle's by
+    construction."""
     import ray.data as rd
 
     from ..functions.md5keys import _con
@@ -598,26 +582,99 @@ def docs_edit_distance_pairs(sf_dir: str, k: int = EDIT_K,
     def keyed(batch: pa.Table) -> pa.Table:
         con = _con()
         tbl = batch.select(["doc_id", "lang", "text"])  # noqa: F841
-        out = con.execute(
+        return con.execute(
             f"SELECT doc_id, lang,"
             f" lower(substr(COALESCE(text, ''), 1, {int(key_len)}))"
             f" AS key, length(lower(substr(COALESCE(text, ''), 1,"
             f" {int(key_len)}))) AS klen FROM tbl").arrow()
-        klen = out.column("klen").to_numpy(zero_copy_only=False) \
+
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "text"])
+            .map_batches(keyed, batch_format="pyarrow",
+                         batch_size=8192))
+
+
+def docs_edit_distance_pairs(sf_dir: str, k: int = EDIT_K,
+                             key_len: int = EDIT_KEY_LEN,
+                             route: str = "auto",
+                             block_group_cutoff: int =
+                             EDIT_BLOCK_GROUP_CUTOFF):
+    """Fuzzy-key self-join: pairs of documents whose normalized key
+    (lowercased first ``key_len`` characters) is within edit distance
+    ``k``, same language → (doc_a, doc_b, dist), doc_a < doc_b.
+
+    The similarity-join shape exact dedup can't cover (OCR noise,
+    near-identical titles). Two exact routes, count-gated on the
+    EXACT blocking-group sizes (one tiny fold):
+
+    - ``block`` (small groups): (lang, ⌊len/(k+1)⌋) length blocking —
+      strings within distance k differ in length by ≤ k, so each row
+      replicates to its own and the NEXT bucket and every qualifying
+      pair meets exactly once; one vectorized C ``levenshtein``
+      (embedded single-thread DuckDB, the md5keys pattern) verifies
+      each group's length-filtered candidate pairs. Θ(group²) pairs
+      AND the whole group materializes in one ``map_groups`` frame —
+      fine until a language's keys collapse into one length bucket at
+      corpus scale.
+    - ``passjoin`` (any group above the cutoff): the segment
+      pigeonhole — k edits touch ≤ k of the shorter key's k+1
+      segments, so one segment survives VERBATIM with position shift
+      ≤ k. Index rows carry each key's k+1 exact segments; probe rows
+      carry each key's substrings at every (target-length, segment,
+      ±k shift) window; ONE hash join on (lang, L, seg_idx, content)
+      yields a candidate superset that dedupes and verifies per
+      batch. No group ever materializes; the exchange is keyed by
+      8-char segment content (high entropy), and candidates are
+      dup-bounded × O(k³) windows. Pairs whose SHORTER key has ≤ k
+      chars (where empty segments would void the pigeonhole) verify
+      in one tiny ≤2k-length all-pairs group — disjoint from the
+      passjoin set by the min-length split, so nothing double-counts.
+
+    Both routes return identical rows (forced-route test) and
+    hash-match the quadratic SQL oracle."""
+    keys = _edit_keys(sf_dir, key_len).materialize()
+
+    if route == "auto":
+        import polars as pl
+        counts = pa.concat_tables(list(
+            keys.map_batches(
+                lambda b: pl.from_arrow(b)
+                .with_columns((pl.col("klen") // (k + 1)).alias("grp"))
+                .group_by(["lang", "grp"]).len(name="n").to_arrow()
+                .cast(pa.schema([("lang", pa.string()),
+                                 ("grp", pa.int64()),
+                                 ("n", pa.int64())])),
+                batch_format="pyarrow")
+            .iter_batches(batch_size=1 << 20,
+                          batch_format="pyarrow")))
+        per_group = (pd.DataFrame(counts.to_pydict())
+                     .groupby(["lang", "grp"])["n"].sum())
+        route = ("passjoin" if len(per_group) and
+                 per_group.max() > block_group_cutoff else "block")
+
+    if route == "passjoin":
+        return _edit_pairs_passjoin(keys, k)
+    return _edit_pairs_block(keys, k)
+
+
+def _edit_pairs_block(keys, k: int):
+    """The small-group route: next-bucket replication + per-group
+    all-pairs verify (see docs_edit_distance_pairs)."""
+    from ..functions.md5keys import _con
+
+    def tag(batch: pa.Table) -> pa.Table:
+        klen = batch.column("klen").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         bkt = klen // (k + 1)
-        base = pa.table({
-            "doc_id": out.column("doc_id"),
-            "lang": out.column("lang"),
-            "key": out.column("key"),
-            "klen": pa.array(klen, pa.int64())})
-        orig = base.append_column(
+        orig = batch.append_column(
             "grp", pa.array(bkt, pa.int64())).append_column(
             "is_repl", pa.array(np.zeros(len(klen), np.int8)))
-        repl = base.append_column(
+        repl = batch.append_column(
             "grp", pa.array(bkt + 1, pa.int64())).append_column(
             "is_repl", pa.array(np.ones(len(klen), np.int8)))
         return pa.concat_tables([orig, repl])
+
+    keys = keys.map_batches(tag, batch_format="pyarrow")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         con = _con()
@@ -646,16 +703,191 @@ def docs_edit_distance_pairs(sf_dir: str, k: int = EDIT_K,
             f" FROM ({sql_pairs}) WHERE dist <= {int(k)}").df()
         return out
 
-    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                        ("dist", pa.int64())])
-    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id", "lang", "text"])
-            .map_batches(keyed, batch_format="pyarrow",
-                         batch_size=8192)
-            .groupby(["lang", "grp"])
+    return (keys.groupby(["lang", "grp"])
             .map_groups(verify, batch_format="pandas")
-            .map_batches(lambda b: b.cast(schema),
+            .map_batches(lambda b: b.cast(_EDIT_PAIRS_SCHEMA),
                          batch_format="pyarrow"))
+
+
+_EDIT_PAIRS_SCHEMA = pa.schema([
+    ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+    ("dist", pa.int64())])
+
+
+def _edit_pairs_passjoin(keys, k: int):
+    """The scale route: exact PassJoin-style segment-pigeonhole
+    candidate generation (see docs_edit_distance_pairs). ``keys`` is
+    the materialized (doc_id, lang, key, klen) Dataset."""
+    import polars as pl
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..functions.md5keys import _con
+
+    P = k + 1
+
+    def _geom(L: np.ndarray, i: int):
+        """Segment i's (position, length) for keys of length L —
+        near-equal split, first L%P segments one char longer."""
+        base, rem = L // P, L % P
+        ln = base + (i < rem)
+        pos = i * base + np.minimum(i, rem)
+        return pos, ln
+
+    # --- short side: pairs whose shorter key has ≤ k chars (empty
+    # segments void the pigeonhole there); both sides then have ≤ 2k
+    # chars, so one per-lang all-pairs group covers them exactly,
+    # restricted to min(len) ≤ k so it is DISJOINT from the passjoin
+    # candidate set (which only ever pairs keys of length ≥ k+1)
+    def short_filter(b: pa.Table) -> pa.Table:
+        klen = b.column("klen").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(klen <= 2 * k))
+
+    def short_verify(g: pd.DataFrame) -> pd.DataFrame:
+        con = _con()
+        s_tbl = pa.Table.from_pandas(  # noqa: F841
+            g[["doc_id", "key", "klen"]], preserve_index=False)
+        return con.execute(
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            f" CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist"
+            f" FROM s_tbl a JOIN s_tbl b ON a.doc_id < b.doc_id"
+            f" AND LEAST(a.klen, b.klen) <= {int(k)}"
+            f" AND abs(a.klen - b.klen) <= {int(k)}"
+            f" WHERE levenshtein(a.key, b.key) <= {int(k)}").df()
+
+    short_pairs = (keys.map_batches(short_filter,
+                                    batch_format="pyarrow")
+                   .groupby("lang")
+                   .map_groups(short_verify, batch_format="pandas")
+                   .map_batches(lambda b: b.cast(_EDIT_PAIRS_SCHEMA),
+                                batch_format="pyarrow"))
+
+    # --- index side: each key's k+1 exact segments
+    def index_rows(b: pa.Table) -> pa.Table:
+        d = pl.from_arrow(b)
+        d = d.filter(pl.col("klen") >= P)
+        if not len(d):
+            return _PJ_SCHEMA.empty_table()
+        klen = d["klen"].to_numpy()
+        outs = []
+        for i in range(P):
+            pos, ln = _geom(klen, i)
+            outs.append(d.with_columns(
+                pl.Series("_pos", pos), pl.Series("_ln", ln))
+                .with_columns(
+                    pl.lit(np.int64(i)).alias("si"),
+                    pl.col("key").str.slice(
+                        pl.col("_pos"), pl.col("_ln")).alias("seg"),
+                    pl.col("klen").alias("L")))
+        out = pl.concat(outs).select(
+            ["lang", "L", "si", "seg", "doc_id", "key"])
+        return out.rename({"doc_id": "doc_i", "key": "key_i"}) \
+            .to_arrow().cast(_PJ_INDEX_SCHEMA)
+
+    # --- probe side: substrings at every (target length, segment,
+    # ±k shift) window, deduped per key before the exchange
+    def probe_rows(b: pa.Table) -> pa.Table:
+        d = pl.from_arrow(b)
+        d = d.filter(pl.col("klen") >= P)
+        if not len(d):
+            return _PJ_PROBE_SCHEMA.empty_table()
+        outs = []
+        for off in range(k + 1):
+            dl = d.with_columns((pl.col("klen") - off).alias("L")) \
+                .filter(pl.col("L") >= P)
+            if not len(dl):
+                continue
+            L = dl["L"].to_numpy()
+            la = dl["klen"].to_numpy()
+            for i in range(P):
+                pos0, ln = _geom(L, i)
+                for delta in range(-k, k + 1):
+                    pos = pos0 + delta
+                    valid = (pos >= 0) & (pos + ln <= la)
+                    if not valid.any():
+                        continue
+                    dv = dl.filter(pl.Series(valid))
+                    outs.append(dv.with_columns(
+                        pl.Series("_pos", pos[valid]),
+                        pl.Series("_ln", ln[valid]))
+                        .with_columns(
+                            pl.lit(np.int64(i)).alias("si"),
+                            pl.col("key").str.slice(
+                                pl.col("_pos"), pl.col("_ln"))
+                            .alias("seg")))
+        if not outs:
+            return _PJ_PROBE_SCHEMA.empty_table()
+        out = (pl.concat(outs)
+               .select(["lang", "L", "si", "seg", "doc_id", "key"])
+               .unique())
+        return out.rename({"doc_id": "doc_p", "key": "key_p"}) \
+            .to_arrow().cast(_PJ_PROBE_SCHEMA)
+
+    probes = keys.map_batches(probe_rows,
+                              batch_format="pyarrow").materialize()
+    index = keys.map_batches(index_rows,
+                             batch_format="pyarrow").materialize()
+    # partition clamp: empty right-side partitions crash Ray's hash
+    # join (the local_clustering lesson, CLAUDE.md)
+    parts = max(1, min(16,
+                       min(probes.count(), index.count()) // 4096 + 1))
+    cand = probes.join(index, join_type="inner",
+                       on=("lang", "L", "si", "seg"),
+                       num_partitions=parts)
+
+    # orient + locally dedupe, then ONE aggregate exchange makes the
+    # pair set globally distinct (a pair can match several windows)
+    def orient(b: pa.Table) -> pa.Table:
+        dp = b.column("doc_p").to_numpy(zero_copy_only=False)
+        di = b.column("doc_i").to_numpy(zero_copy_only=False)
+        keep = dp != di
+        d = pl.from_arrow(b.filter(pa.array(keep)))
+        if not len(d):
+            return _PJ_CAND_SCHEMA.empty_table()
+        d = d.with_columns(
+            pl.min_horizontal("doc_p", "doc_i").alias("doc_a"),
+            pl.max_horizontal("doc_p", "doc_i").alias("doc_b"),
+            pl.when(pl.col("doc_p") < pl.col("doc_i"))
+            .then(pl.col("key_p")).otherwise(pl.col("key_i"))
+            .alias("key_a"),
+            pl.when(pl.col("doc_p") < pl.col("doc_i"))
+            .then(pl.col("key_i")).otherwise(pl.col("key_p"))
+            .alias("key_b"))
+        return (d.select(["doc_a", "doc_b", "key_a", "key_b"])
+                .unique().to_arrow().cast(_PJ_CAND_SCHEMA))
+
+    distinct = (cand.map_batches(orient, batch_format="pyarrow")
+                .groupby(["doc_a", "doc_b", "key_a", "key_b"])
+                .aggregate(Count(alias_name="_c")))
+
+    def verify_batch(b: pa.Table) -> pa.Table:
+        con = _con()
+        c_tbl = b.select(  # noqa: F841
+            ["doc_a", "doc_b", "key_a", "key_b"])
+        return con.execute(
+            f"SELECT doc_a, doc_b,"
+            f" CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist"
+            f" FROM c_tbl"
+            f" WHERE levenshtein(key_a, key_b) <= {int(k)}").arrow() \
+            .cast(_EDIT_PAIRS_SCHEMA)
+
+    long_pairs = distinct.map_batches(verify_batch,
+                                      batch_format="pyarrow")
+    return long_pairs.union(short_pairs)
+
+
+_PJ_INDEX_SCHEMA = pa.schema([
+    ("lang", pa.string()), ("L", pa.int64()), ("si", pa.int64()),
+    ("seg", pa.string()), ("doc_i", pa.int64()),
+    ("key_i", pa.string())])
+_PJ_PROBE_SCHEMA = pa.schema([
+    ("lang", pa.string()), ("L", pa.int64()), ("si", pa.int64()),
+    ("seg", pa.string()), ("doc_p", pa.int64()),
+    ("key_p", pa.string())])
+_PJ_CAND_SCHEMA = pa.schema([
+    ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+    ("key_a", pa.string()), ("key_b", pa.string())])
+_PJ_SCHEMA = _PJ_INDEX_SCHEMA
 
 
 DOCS_EDIT_PAIRS_SQL = f"""

@@ -420,3 +420,55 @@ def test_pq_topk_recall_and_determinism(ray_session):
         assert len(want & got) / len(want) >= 0.6, q
     again = pq_topk(SF).to_pandas()
     assert pq.equals(again)
+
+
+def test_edit_pairs_passjoin_route_exact(ray_session, tmp_path):
+    """The PassJoin scale route (segment pigeonhole + candidate join)
+    returns EXACTLY the quadratic oracle's pairs — including
+    length-straddling variants, short keys (≤ k chars, where the
+    pigeonhole is void and the dedicated tiny-length group takes
+    over), and keys spanning the short/long boundary."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rdfx_ray.pipelines.analytics_r5 import (
+        DOCS_EDIT_PAIRS_SQL,
+        docs_edit_distance_pairs,
+    )
+
+    rng = np.random.default_rng(23)
+    alpha = np.array(list("abcdefgh"))
+    texts, langs = [], []
+    for c in range(10):
+        b = "".join(rng.choice(alpha, size=24))
+        texts += [b, b[:5] + "z" + b[6:], b[:3] + b[4:] + "q",
+                  b[:23], b[:22]]
+        langs += ["en"] * 5
+    # short keys: pairs with min length ≤ k, plus boundary lengths
+    texts += ["ab", "ab", "abq", "a", "", "abcd", "abce", "abcdef"]
+    langs += ["en"] * 8
+    for _ in range(30):
+        texts.append("".join(rng.choice(alpha, size=24)))
+        langs.append("en")
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string())})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet'")
+    want = (con.sql(DOCS_EDIT_PAIRS_SQL).df()
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert len(want) > 0
+    for route in ("passjoin", "block"):
+        got = (docs_edit_distance_pairs(str(tmp_path), route=route)
+               .to_pandas()
+               .sort_values(["doc_a", "doc_b"])
+               .reset_index(drop=True))
+        assert not got.duplicated(["doc_a", "doc_b"]).any(), route
+        assert len(got) == len(want), (route, len(got), len(want))
+        for c in ("doc_a", "doc_b", "dist"):
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), \
+                (route, c)
