@@ -175,6 +175,13 @@ def _r5():
     return analytics_r5
 
 
+def _r5b():
+    """Round-5 analytics part 2 (transition matrix / TPC-H Q3-Q10-Q14
+    join chains / cohort retention / exact-integer anomaly filter)."""
+    from rdfx_ray.pipelines import analytics_r5b
+    return analytics_r5b
+
+
 def _orders_percent_rank(sf_dir: str):
     """PERCENT_RANK / CUME_DIST for every order within its priority —
     the same value-bucket co-location machinery as orders_price_rank,
@@ -895,6 +902,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semi-structured JSON column extraction + aggregate
         "events_props_stats":
             lambda sf: _r5().events_props_stats(sf),
+        # per-user Markov transition matrix (LAG over (ts, event_id))
+        "events_user_transitions":
+            lambda sf: _r5b().events_user_transitions(sf),
+        # TPC-H Q3 shape: segment/date join chain → revenue top-k
+        "orders_shipping_priority":
+            lambda sf: _r5b().orders_shipping_priority(sf),
+        # TPC-H Q10 shape: returned-item revenue per customer, top-k
+        "customer_returns_topn":
+            lambda sf: _r5b().customer_returns_topn(sf),
+        # TPC-H Q14 shape: conditional-aggregate ratio, one row
+        "promo_revenue_share":
+            lambda sf: _r5b().promo_revenue_share(sf),
+        # cohort retention matrix (first-month × months-since)
+        "orders_cohort_retention":
+            lambda sf: _r5b().orders_cohort_retention(sf),
+        # exact-integer 3-sigma anomaly counts per event type
+        "events_anomaly_zscore":
+            lambda sf: _r5b().events_anomaly_zscore(sf),
+        # distributed PCA (quantize-then-sum covariance, driver eigh)
+        "embedding_pca": lambda sf: similarity.pca_fit(sf),
         # PERCENT_RANK / CUME_DIST (full-table window, integer-scaled)
         "orders_percent_rank": _orders_percent_rank,
         # iterative frontier BFS (min-hop depth to chain roots)
@@ -995,6 +1022,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from rdfx_ray.pipelines import analytics_r4 as _R4
     from rdfx_ray.pipelines import analytics_r5 as _R5
+    from rdfx_ray.pipelines import analytics_r5b as _R5B
     from rdfx_ray.functions.components import (
         _citation_bfs_sql,
         _citation_components_sql,
@@ -1278,6 +1306,15 @@ def oracle_sql() -> dict[str, str]:
         "docs_weighted_sample": _R5._weighted_sample_sql(),
         "docs_top_terms": _R5.DOCS_TOP_TERMS_SQL,
         "events_props_stats": _R5.EVENTS_PROPS_STATS_SQL,
+        "events_user_transitions":
+            _R5B.EVENTS_USER_TRANSITIONS_SQL,
+        "orders_shipping_priority":
+            _R5B.ORDERS_SHIPPING_PRIORITY_SQL,
+        "customer_returns_topn": _R5B.CUSTOMER_RETURNS_TOPN_SQL,
+        "promo_revenue_share": _R5B.PROMO_REVENUE_SHARE_SQL,
+        "orders_cohort_retention":
+            _R5B.ORDERS_COHORT_RETENTION_SQL,
+        "events_anomaly_zscore": _R5B.EVENTS_ANOMALY_ZSCORE_SQL,
         "orders_percent_rank": _PRANK_SQL,
         "citation_bfs_depth": _BFS_SQL,
         "citation_components": _CC_SQL,

@@ -1285,3 +1285,91 @@ def pq_topk(sf_dir: str, queries: "np.ndarray | None" = None,
     partials = codes_ds.map_batches(adc_topk, batch_format="pyarrow",
                                     batch_size=8192)
     return _merge_partial_topk(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA over the embedding column
+# ---------------------------------------------------------------------------
+
+def pca_fit(sf_dir: str, n_components: int = 8,
+            scale: int = 1_000_000):
+    """Distributed PCA over the embedding column — the
+    dimensionality-reduction / whitening step a training-data
+    pipeline runs before clustering or indexing → a long-form table
+    (component, dim, loading_1e9, eigval_1e9) for the top
+    ``n_components`` principal axes.
+
+    Plan (the k-means quantize-then-sum discipline): ONE pass folds
+    each batch to exact-integer sufficient statistics — n, Σq (d),
+    Σ qqᵀ (d×d, packed int64 bytes) with q = floor(x·scale + 0.5) —
+    so the driver fold is O(blocks × d²) integers and the covariance
+    C = E[xxᵀ] − μμᵀ is BIT-DETERMINISTIC under any partitioning /
+    block order (float partial sums would not be). The d×d eigh runs
+    once on the driver (d is the embedding width, 64 here — at 100 TB
+    the stats shrink, never the data). Sign convention: each
+    eigenvector's largest-|loading| entry (first index on ties) is
+    made positive, so the output is unique.
+
+    Rows-only query: eigendecomposition is not SQL-expressible; tests
+    pin eigenvalues against full-data numpy PCA, loading
+    orthonormality, and bit-determinism across repartitioning."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _list_matrix(batch.column("embedding"), dtype=np.float64)
+        q = np.floor(m * scale + 0.5).astype(np.int64)
+        ssum = q.sum(axis=0)
+        outer = q.T @ q  # (d, d) int64 — exact at this scale/width
+        return pa.table({
+            "n": pa.array([q.shape[0]], pa.int64()),
+            "d": pa.array([q.shape[1]], pa.int64()),
+            "qsum": pa.array([ssum.tobytes()], pa.binary()),
+            "qouter": pa.array([outer.tobytes()], pa.binary())})
+
+    parts = pa.concat_tables(list(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=8192)
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    if parts.num_rows == 0:
+        return pa.table({"component": pa.array([], pa.int64()),
+                         "dim": pa.array([], pa.int64()),
+                         "loading_1e9": pa.array([], pa.int64()),
+                         "eigval_1e9": pa.array([], pa.int64())})
+    d = int(parts.column("d")[0].as_py())
+    n = int(pa.compute.sum(parts.column("n")).as_py())
+    ssum = np.zeros(d, dtype=np.int64)
+    outer = np.zeros((d, d), dtype=np.int64)
+    for i in range(parts.num_rows):
+        ssum += np.frombuffer(parts.column("qsum")[i].as_py(),
+                              np.int64)
+        outer += np.frombuffer(parts.column("qouter")[i].as_py(),
+                               np.int64).reshape(d, d)
+
+    mean = ssum.astype(np.float64) / (n * scale)
+    exx = outer.astype(np.float64) / (n * scale * scale)
+    cov = exx - np.outer(mean, mean)
+    eigval, eigvec = np.linalg.eigh(cov)  # ascending
+    k = min(n_components, d)
+    sel = np.arange(d - 1, d - 1 - k, -1)  # top-k, descending
+    rows = {"component": [], "dim": [], "loading_1e9": [],
+            "eigval_1e9": []}
+    for ci, ei in enumerate(sel):
+        v = eigvec[:, ei]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        ev9 = int(np.floor(float(eigval[ei]) * 1e9 + 0.5))
+        for di in range(d):
+            rows["component"].append(ci)
+            rows["dim"].append(di)
+            rows["loading_1e9"].append(
+                int(np.floor(float(v[di]) * 1e9 + 0.5)))
+            rows["eigval_1e9"].append(ev9)
+    return pa.table({
+        "component": pa.array(rows["component"], pa.int64()),
+        "dim": pa.array(rows["dim"], pa.int64()),
+        "loading_1e9": pa.array(rows["loading_1e9"], pa.int64()),
+        "eigval_1e9": pa.array(rows["eigval_1e9"], pa.int64())})

@@ -1,0 +1,931 @@
+"""Round-5 analytics additions, part 2 — decision-support join
+chains, sequence/behaviour analytics and exact statistical filtering,
+every one SQL-oracled:
+
+- ``events_user_transitions``: the per-user Markov transition matrix
+  (LAG over (ts, event_id) order inside each user) — the
+  behaviour-sequence shape recommendation / funnel models train on.
+- ``orders_shipping_priority``: the TPC-H Q3 join chain (customer
+  segment filter → orders date filter → lineitem revenue fold →
+  top-k) expressed as pre-aggregation + count-gated dimension attach.
+- ``customer_returns_topn``: the TPC-H Q10 shape — returned-item
+  revenue folded per order, joined through orders to customers,
+  nation name attached, global top-k.
+- ``promo_revenue_share``: the TPC-H Q14 shape — a conditional
+  aggregate ratio over one month of lineitem with the promo part set
+  broadcast, emitted as exact integer numerator/denominator.
+- ``orders_cohort_retention``: the cohort-retention matrix (first
+  order month × months-since, distinct customers per cell).
+- ``events_anomaly_zscore``: per-type 3-sigma outlier counts with the
+  z-score test done in EXACT integer arithmetic ((n·v−S)² > 9(nQ−S²))
+  so the Ray and DuckDB row sets match bit-for-bit — no float
+  boundary hazards.
+
+Reference scope note: the reference (surroundaustralia/rdfx) has no
+analytics plane at all — these extend the engine's training-data /
+decision-support surface (SURVEY.md beyond-§2 family), like the
+siblings in ``analytics_r4.py`` / ``analytics_r5.py``.
+"""
+
+from __future__ import annotations
+
+from math import isqrt
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# one money-quantization convention across the file: revenue cents =
+# floor(extendedprice · (1 − discount) · 100 + 0.5), the identical
+# float64 expression on both engines (the house oracle discipline)
+_REV_SQL = ("CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 "
+            "+ 0.5) AS BIGINT)")
+
+
+def _rev_cents(batch: pa.Table) -> np.ndarray:
+    ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+    disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+    return np.floor(ep * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+
+
+def _epoch_us(col: pa.ChunkedArray) -> np.ndarray:
+    return col.to_numpy(zero_copy_only=False) \
+        .astype("datetime64[us]").astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# per-user event-type transition matrix (Markov counts)
+# ---------------------------------------------------------------------------
+
+TRANSITION_BUCKETS = 32
+
+
+def events_user_transitions(sf_dir: str,
+                            n_buckets: int = TRANSITION_BUCKETS):
+    """Markov transition counts over per-user event sequences —
+    ``LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)`` → count per (prev_type, event_type) pair.
+
+    The sessionize partitioning applies: users hash into
+    ``n_buckets`` groups; each bucket sorts ONCE by (user_id, ts,
+    event_id) — the event_id tiebreak makes equal-timestamp order
+    identical across engines — and a vectorized shift emits pair
+    counts. Each bucket folds to ≤ |types|² rows before the final
+    O(types²) groupby, so the only fact-sized exchange is the single
+    user-bucket co-location (exactly events_sessionize's cost)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        jb = (uid.astype(np.int64) % n_buckets).astype(np.int32)
+        return batch.append_column("_jb", pa.array(jb, pa.int32()))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"prev_type": str, "event_type": str, "n": np.int64}
+        if len(g) == 0:
+            return pd.DataFrame({"prev_type": pd.Series([], dtype=str),
+                                 "event_type": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        user = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = user[1:] == user[:-1]
+        prev, curr = et[:-1][same], et[1:][same]
+        if len(prev) == 0:
+            return pd.DataFrame({"prev_type": pd.Series([], dtype=str),
+                                 "event_type": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        out = (pd.DataFrame({"prev_type": prev, "event_type": curr})
+               .groupby(["prev_type", "event_type"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        return out.astype({"n": np.int64})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("_jb").map_groups(bucket_pairs,
+                                       batch_format="pandas")
+            .groupby(["prev_type", "event_type"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+EVENTS_USER_TRANSITIONS_SQL = """
+WITH seq AS (
+    SELECT event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events)
+SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: shipping-priority top-k
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01"
+Q3_K = 10
+
+# dimension tables whose EXACT footer row count is under this ride a
+# ray.put broadcast; above it the attach runs as a native hash join
+# (the house count-gate — never guess, count)
+DIM_BROADCAST_CUTOFF = 2_000_000
+
+
+def _topk_rows(ds, sort_cols, descending, k: int, schema: pa.Schema):
+    """Distributed top-k: per-batch polars partial top-k bounds the
+    sort exchange to ≤ k × blocks rows (the order_limit_bgp
+    discipline), then the tiny global sort takes the first k."""
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        if batch.num_rows == 0:
+            return batch.cast(schema)
+        return (pl.from_arrow(batch)
+                .sort(sort_cols, descending=descending)
+                .head(k).to_arrow().cast(schema))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .sort(sort_cols, descending=descending)
+            .limit(k))
+
+
+def orders_shipping_priority(sf_dir: str, segment: str = Q3_SEGMENT,
+                             cutoff: str = Q3_CUTOFF, k: int = Q3_K,
+                             dim_cutoff: int = DIM_BROADCAST_CUTOFF):
+    """TPC-H Q3 shape: revenue of not-yet-shipped lineitems of orders
+    from one market segment placed before ``cutoff`` → top-k orders
+    by revenue → (l_orderkey, revenue_c, o_orderdate_us,
+    o_orderpriority).
+
+    Plan (pre-aggregate first, join post-aggregate tables): lineitem
+    is folded per batch to (l_orderkey, revenue cents) partials before
+    its groupby, so the only fact-sized exchange carries ≤ #orders
+    rows. The orders side filters by the count-gated broadcast of the
+    segment's custkeys (customer is a dimension; above the gate the
+    custkey filter runs as a native hash join), then the filtered
+    orders metadata attaches to the revenue table the same gated way.
+    The top-k is per-batch partial → k·blocks-row sort, never a full
+    sort. Dates cross the oracle as epoch-µs BIGINT."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.broadcast import cached_get
+
+    cutoff_us = np.datetime64(cutoff, "us").astype(np.int64)
+
+    # lineitem: filter shipdate > cutoff, fold revenue per orderkey
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        keep = _epoch_us(batch.column("l_shipdate")) > cutoff_us
+        batch = batch.filter(pa.array(keep))
+        if batch.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "revenue_c": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            "l_orderkey": batch.column("l_orderkey")
+            .to_numpy(zero_copy_only=False),
+            "revenue_c": _rev_cents(batch)})
+        g = df.groupby("l_orderkey", as_index=False)["revenue_c"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = (li.map_batches(li_partial, batch_format="pyarrow")
+           .groupby("l_orderkey")
+           .aggregate(Sum("revenue_c", alias_name="revenue_c")))
+
+    # orders: date filter + segment custkey filter (count-gated)
+    n_cust = pq.ParquetFile(
+        f"{sf_dir}/customer.parquet").metadata.num_rows
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate",
+                                      "o_orderpriority"])
+    if n_cust <= dim_cutoff:
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"])
+        keys = cust.filter(pc.equal(cust.column("c_mktsegment"),
+                                    segment)) \
+            .column("c_custkey").to_numpy(zero_copy_only=False)
+        keys_ref = ray.put(np.sort(keys.astype(np.int64)))
+
+        def ord_filter(batch: pa.Table) -> pa.Table:
+            ks = cached_get(keys_ref)
+            dt = _epoch_us(batch.column("o_orderdate"))
+            ck = batch.column("o_custkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ks):
+                pos = np.searchsorted(ks, ck)
+                pos[pos == len(ks)] = 0
+                keep = (dt < cutoff_us) & (ks[pos] == ck)
+            else:
+                keep = np.zeros(len(ck), bool)
+            out = batch.filter(pa.array(keep))
+            return pa.table({
+                "o_orderkey": out.column("o_orderkey"),
+                "o_orderdate_us": pa.array(
+                    _epoch_us(out.column("o_orderdate")), pa.int64()),
+                "o_orderpriority": out.column("o_orderpriority")})
+
+        ord_f = orders.map_batches(ord_filter, batch_format="pyarrow")
+    else:
+        # fact-scale customer: native hash join on the filtered side
+        cust_ds = (rd.read_parquet(f"{sf_dir}/customer.parquet",
+                                   columns=["c_custkey",
+                                            "c_mktsegment"])
+                   .filter(expr=f"c_mktsegment == '{segment}'")
+                   .select_columns(["c_custkey"]))
+
+        def ord_date(batch: pa.Table) -> pa.Table:
+            dt = _epoch_us(batch.column("o_orderdate"))
+            out = batch.filter(pa.array(dt < cutoff_us))
+            return pa.table({
+                "o_orderkey": out.column("o_orderkey"),
+                "o_custkey": out.column("o_custkey"),
+                "o_orderdate_us": pa.array(
+                    _epoch_us(out.column("o_orderdate")), pa.int64()),
+                "o_orderpriority": out.column("o_orderpriority")})
+
+        ord_f = (orders.map_batches(ord_date, batch_format="pyarrow")
+                 .join(cust_ds, "inner", 16, on=("o_custkey",),
+                       right_on=("c_custkey",))
+                 .select_columns(["o_orderkey", "o_orderdate_us",
+                                  "o_orderpriority"]))
+
+    # attach the filtered orders metadata to the post-aggregate
+    # revenue table, count-gated on the EXACT filtered count: the
+    # segment+date slice is usually dimension-sized (broadcast); above
+    # the gate it is one native hash join between two post-aggregate
+    # tables (a sparse right side at small partition counts trips
+    # Ray's hash join on empty partitions — the gate also keeps the
+    # small case off that path)
+    out_schema = pa.schema([("l_orderkey", pa.int64()),
+                            ("revenue_c", pa.int64()),
+                            ("o_orderdate_us", pa.int64()),
+                            ("o_orderpriority", pa.string())])
+    ord_m = ord_f.materialize()
+    if ord_m.count() <= dim_cutoff:
+        ot = pa.concat_tables(list(
+            ord_m.iter_batches(batch_size=1 << 20,
+                               batch_format="pyarrow")))
+        ok = ot.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        attach_ref = ray.put((
+            ok[order],
+            ot.column("o_orderdate_us")
+            .to_numpy(zero_copy_only=False)[order],
+            np.asarray(ot.column("o_orderpriority")
+                       .to_pylist(), dtype=object)[order]))
+
+        def project(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return out_schema.empty_table()
+            ks, dts, prios = cached_get(attach_ref)
+            lk = batch.column("l_orderkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ks):
+                pos = np.searchsorted(ks, lk)
+                pos[pos == len(ks)] = 0
+                hit = ks[pos] == lk
+            else:
+                hit = np.zeros(len(lk), bool)
+            pos = pos[hit] if len(ks) else np.zeros(0, np.int64)
+            return pa.table({
+                "l_orderkey": pa.array(lk[hit], pa.int64()),
+                "revenue_c": batch.column("revenue_c")
+                .filter(pa.array(hit)),
+                "o_orderdate_us": pa.array(dts[pos], pa.int64()),
+                "o_orderpriority": pa.array(list(prios[pos]),
+                                            pa.string())}) \
+                .cast(out_schema)
+
+        projected = rev.map_batches(project, batch_format="pyarrow")
+    else:
+        joined = rev.join(ord_m, "inner", 16, on=("l_orderkey",),
+                          right_on=("o_orderkey",))
+
+        def project_join(batch: pa.Table) -> pa.Table:
+            return batch.select(["l_orderkey", "revenue_c",
+                                 "o_orderdate_us",
+                                 "o_orderpriority"]).cast(out_schema)
+
+        projected = joined.map_batches(project_join,
+                                       batch_format="pyarrow")
+
+    return _topk_rows(projected, ["revenue_c", "l_orderkey"],
+                      [True, False], k, out_schema)
+
+
+ORDERS_SHIPPING_PRIORITY_SQL = f"""
+SELECT l_orderkey,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_c,
+       epoch_us(o_orderdate) AS o_orderdate_us,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_c DESC, l_orderkey
+LIMIT {Q3_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue per customer, top-k
+# ---------------------------------------------------------------------------
+
+Q10_START = "1998-01-01"
+Q10_END = "1998-07-01"
+Q10_K = 20
+
+
+def customer_returns_topn(sf_dir: str, start: str = Q10_START,
+                          end: str = Q10_END, k: int = Q10_K,
+                          dim_cutoff: int = DIM_BROADCAST_CUTOFF):
+    """TPC-H Q10 shape: revenue lost to returned items
+    (l_returnflag = 'R') per customer over one order-date window, the
+    customer's nation attached, top-k by revenue → (c_custkey,
+    c_name, nation_name, revenue_c).
+
+    Plan: lineitem folds to (orderkey, revenue) partials (returned
+    rows only) before its groupby; the orders side carries just
+    (orderkey, custkey) for the window; one native hash join between
+    the two post-filter tables, then a second per-batch fold +
+    groupby lands (custkey, revenue). The customer/nation dimension
+    chain is count-gated: under the gate one custkey→(name, nation)
+    frame broadcasts; above it the attach is a second hash join.
+    Top-k is the partial-then-tiny-sort shape, never a full sort."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.broadcast import cached_get
+
+    lo = np.datetime64(start, "us").astype(np.int64)
+    hi = np.datetime64(end, "us").astype(np.int64)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_returnflag"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.equal(batch.column("l_returnflag"), "R"))
+        if batch.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "revenue_c": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            "l_orderkey": batch.column("l_orderkey")
+            .to_numpy(zero_copy_only=False),
+            "revenue_c": _rev_cents(batch)})
+        g = df.groupby("l_orderkey", as_index=False)["revenue_c"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = (li.map_batches(li_partial, batch_format="pyarrow")
+           .groupby("l_orderkey")
+           .aggregate(Sum("revenue_c", alias_name="revenue_c")))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def ord_window(batch: pa.Table) -> pa.Table:
+        dt = _epoch_us(batch.column("o_orderdate"))
+        out = batch.filter(pa.array((dt >= lo) & (dt < hi)))
+        return out.select(["o_orderkey", "o_custkey"])
+
+    # orderkey → custkey attach, count-gated on the EXACT size of the
+    # date-window slice: broadcast under the gate (also keeps small
+    # runs off Ray's sparse-right-partition hash-join hazard), native
+    # hash join between the two post-filter tables above it
+    ord_m = orders.map_batches(ord_window,
+                               batch_format="pyarrow").materialize()
+    if ord_m.count() <= dim_cutoff:
+        ot = pa.concat_tables(list(
+            ord_m.iter_batches(batch_size=1 << 20,
+                               batch_format="pyarrow")))
+        ok = ot.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        omap_ref = ray.put((ok[order],
+                            ot.column("o_custkey")
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64)[order]))
+
+        def cust_partial(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"c_custkey": pa.array([], pa.int64()),
+                                 "revenue_c": pa.array([], pa.int64())})
+            ks, cks = cached_get(omap_ref)
+            lk = batch.column("l_orderkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ks):
+                pos = np.searchsorted(ks, lk)
+                pos[pos == len(ks)] = 0
+                hit = ks[pos] == lk
+            else:
+                hit = np.zeros(len(lk), bool)
+            df = pd.DataFrame({
+                "c_custkey": cks[pos[hit]] if len(ks)
+                else np.zeros(0, np.int64),
+                "revenue_c": batch.column("revenue_c")
+                .to_numpy(zero_copy_only=False)[hit]})
+            g = df.groupby("c_custkey",
+                           as_index=False)["revenue_c"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        cust_parts = rev.map_batches(cust_partial,
+                                     batch_format="pyarrow")
+    else:
+        per_order = rev.join(ord_m, "inner", 16, on=("l_orderkey",),
+                             right_on=("o_orderkey",))
+
+        def cust_partial_join(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "c_custkey": batch.column("o_custkey")
+                .to_numpy(zero_copy_only=False).astype(np.int64),
+                "revenue_c": batch.column("revenue_c")
+                .to_numpy(zero_copy_only=False)})
+            g = df.groupby("c_custkey",
+                           as_index=False)["revenue_c"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        cust_parts = per_order.map_batches(cust_partial_join,
+                                           batch_format="pyarrow")
+
+    per_cust = (cust_parts.groupby("c_custkey")
+                .aggregate(Sum("revenue_c", alias_name="revenue_c")))
+
+    out_schema = pa.schema([("c_custkey", pa.int64()),
+                            ("c_name", pa.string()),
+                            ("nation_name", pa.string()),
+                            ("revenue_c", pa.int64())])
+
+    n_cust = pq.ParquetFile(
+        f"{sf_dir}/customer.parquet").metadata.num_rows
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]) \
+        .to_pandas()
+    if n_cust <= dim_cutoff:
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_name",
+                                      "c_nationkey"]).to_pandas()
+        attach = (cust.merge(nation, left_on="c_nationkey",
+                             right_on="n_nationkey")
+                  [["c_custkey", "c_name", "n_name"]]
+                  .rename(columns={"n_name": "nation_name"}))
+        attach_ref = ray.put(attach)
+
+        def with_names(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            if df.empty:
+                return out_schema.empty_table()
+            df = df.merge(cached_get(attach_ref), on="c_custkey")
+            return pa.Table.from_pandas(
+                df[["c_custkey", "c_name", "nation_name",
+                    "revenue_c"]], preserve_index=False) \
+                .cast(out_schema)
+
+        named = per_cust.map_batches(with_names,
+                                     batch_format="pyarrow")
+    else:
+        # fact-scale customer: hash join; nation stays a tiny
+        # driver-side frame folded into a per-batch map afterwards
+        cust_ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                                  columns=["c_custkey", "c_name",
+                                           "c_nationkey"])
+        nat_ref = ray.put(nation)
+
+        def attach_nation(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            if df.empty:
+                return out_schema.empty_table()
+            df = df.merge(cached_get(nat_ref), left_on="c_nationkey",
+                          right_on="n_nationkey") \
+                .rename(columns={"n_name": "nation_name"})
+            return pa.Table.from_pandas(
+                df[["c_custkey", "c_name", "nation_name",
+                    "revenue_c"]], preserve_index=False) \
+                .cast(out_schema)
+
+        named = (per_cust.materialize()
+                 .join(cust_ds, "inner", 16, on=("c_custkey",))
+                 .map_batches(attach_nation, batch_format="pyarrow"))
+
+    return _topk_rows(named, ["revenue_c", "c_custkey"],
+                      [True, False], k, out_schema)
+
+
+CUSTOMER_RETURNS_TOPN_SQL = f"""
+SELECT c_custkey, c_name, n_name AS nation_name,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_c
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{Q10_START}'
+  AND o_orderdate < TIMESTAMP '{Q10_END}'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_c DESC, c_custkey
+LIMIT {Q10_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share (conditional-aggregate ratio)
+# ---------------------------------------------------------------------------
+
+Q14_START = "1998-01-01"
+Q14_END = "1998-02-01"
+
+
+def promo_revenue_share(sf_dir: str, start: str = Q14_START,
+                        end: str = Q14_END,
+                        dim_cutoff: int = DIM_BROADCAST_CUTOFF):
+    """TPC-H Q14 shape: the share of one month's lineitem revenue
+    from promo parts → ONE row (promo_revenue_c, total_revenue_c,
+    n_items) in exact integer cents (the ratio itself is a trivial
+    read-side division — floats never hash-match).
+
+    Plan: the promo partkey set is a dimension broadcast (count-gated
+    to a hash join past the gate); lineitem makes a SINGLE pruned pass
+    emitting one 3-field partial row per batch; a constant-key groupby
+    folds them. Nothing fact-sized is exchanged at all."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.broadcast import cached_get
+
+    lo = np.datetime64(start, "us").astype(np.int64)
+    hi = np.datetime64(end, "us").astype(np.int64)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    n_part = pq.ParquetFile(f"{sf_dir}/part.parquet") \
+        .metadata.num_rows
+    if n_part <= dim_cutoff:
+        part = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_type"])
+        promo = part.filter(pc.equal(part.column("p_type"), "PROMO")) \
+            .column("p_partkey").to_numpy(zero_copy_only=False)
+        promo_ref = ray.put(np.sort(promo.astype(np.int64)))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            dt = _epoch_us(batch.column("l_shipdate"))
+            batch = batch.filter(pa.array((dt >= lo) & (dt < hi)))
+            ks = cached_get(promo_ref)
+            rev = _rev_cents(batch) if batch.num_rows else \
+                np.zeros(0, np.int64)
+            pk = batch.column("l_partkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ks) and len(pk):
+                pos = np.searchsorted(ks, pk)
+                pos[pos == len(ks)] = 0
+                is_promo = ks[pos] == pk
+            else:
+                is_promo = np.zeros(len(pk), bool)
+            return pa.table({
+                "_k": pa.array([0], pa.int64()),
+                "promo_revenue_c": pa.array(
+                    [int(rev[is_promo].sum())], pa.int64()),
+                "total_revenue_c": pa.array(
+                    [int(rev.sum())], pa.int64()),
+                "n_items": pa.array([len(rev)], pa.int64())})
+
+        folded = (li.map_batches(partial, batch_format="pyarrow")
+                  .groupby("_k")
+                  .aggregate(Sum("promo_revenue_c",
+                                 alias_name="promo_revenue_c"),
+                             Sum("total_revenue_c",
+                                 alias_name="total_revenue_c"),
+                             Sum("n_items", alias_name="n_items")))
+        return folded.select_columns(["promo_revenue_c",
+                                      "total_revenue_c", "n_items"])
+
+    # fact-scale part table: hash join the month's lineitem slice
+    # against (p_partkey, is_promo), then the same constant-key fold
+    part_ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_type"])
+
+    def month_slice(batch: pa.Table) -> pa.Table:
+        dt = _epoch_us(batch.column("l_shipdate"))
+        out = batch.filter(pa.array((dt >= lo) & (dt < hi)))
+        return pa.table({
+            "l_partkey": out.column("l_partkey"),
+            "revenue_c": pa.array(_rev_cents(out), pa.int64())})
+
+    joined = (li.map_batches(month_slice, batch_format="pyarrow")
+              .join(part_ds, "inner", 16, on=("l_partkey",),
+                    right_on=("p_partkey",)))
+
+    def partial2(batch: pa.Table) -> pa.Table:
+        rev = batch.column("revenue_c").to_numpy(zero_copy_only=False)
+        is_promo = pc.equal(batch.column("p_type"), "PROMO") \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_k": pa.array([0], pa.int64()),
+            "promo_revenue_c": pa.array(
+                [int(rev[is_promo].sum())], pa.int64()),
+            "total_revenue_c": pa.array([int(rev.sum())], pa.int64()),
+            "n_items": pa.array([len(rev)], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    return (joined.map_batches(partial2, batch_format="pyarrow")
+            .groupby("_k")
+            .aggregate(Sum("promo_revenue_c",
+                           alias_name="promo_revenue_c"),
+                       Sum("total_revenue_c",
+                           alias_name="total_revenue_c"),
+                       Sum("n_items", alias_name="n_items"))
+            .select_columns(["promo_revenue_c", "total_revenue_c",
+                             "n_items"]))
+
+
+PROMO_REVENUE_SHARE_SQL = f"""
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}
+                     ELSE 0 END) AS BIGINT) AS promo_revenue_c,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS total_revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_START}'
+  AND l_shipdate < TIMESTAMP '{Q14_END}'
+"""
+
+
+# ---------------------------------------------------------------------------
+# cohort retention matrix
+# ---------------------------------------------------------------------------
+
+def orders_cohort_retention(sf_dir: str,
+                            dim_cutoff: int = DIM_BROADCAST_CUTOFF):
+    """Cohort retention over the orders fact: cohort = a customer's
+    first order month (year·12 + month, an integer both engines
+    compute identically from the timestamp), cell (cohort_month,
+    months_since) = distinct customers who ordered again that many
+    months later → (cohort_month, months_since, n_customers).
+
+    Plan: ONE pass over orders feeds two partial folds — per-batch
+    min month per custkey (→ groupby Min = the cohort table) and
+    per-batch distinct (custkey, month) pairs (→ groupby count =
+    the activity table, bounded by customers × months). The cohort
+    attach is count-gated on the EXACT customer count: a broadcast
+    custkey→first-month array under the gate, a native hash join
+    above it. The final groupby is O(months²) cells."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        dt = batch.column("o_orderdate") \
+            .to_numpy(zero_copy_only=False).astype("datetime64[M]")
+        # months since epoch → year·12 + month, both engines exact
+        m = dt.astype(np.int64) + 1970 * 12 + 1
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "m": pa.array(m, pa.int64())})
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow",
+                              batch_size=65536).materialize()
+
+    def min_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_custkey": batch.column("o_custkey")
+            .to_numpy(zero_copy_only=False),
+            "m": batch.column("m").to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.groupby("o_custkey", as_index=False)["m"].min()
+            .rename(columns={"m": "fm"}), preserve_index=False)
+
+    first_m = (keyed_ds.map_batches(min_partial,
+                                    batch_format="pyarrow")
+               .groupby("o_custkey")
+               .aggregate(Min("fm", alias_name="fm")))
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_custkey": batch.column("o_custkey")
+            .to_numpy(zero_copy_only=False),
+            "m": batch.column("m").to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.drop_duplicates(), preserve_index=False)
+
+    pairs = (keyed_ds.map_batches(pair_partial,
+                                  batch_format="pyarrow")
+             .groupby(["o_custkey", "m"])
+             .aggregate(Count(alias_name="_n"))
+             .select_columns(["o_custkey", "m"]))
+
+    out_schema = pa.schema([("cohort_month", pa.int64()),
+                            ("months_since", pa.int64()),
+                            ("n_customers", pa.int64())])
+
+    n_cust = pq.ParquetFile(
+        f"{sf_dir}/customer.parquet").metadata.num_rows
+    if n_cust <= dim_cutoff:
+        from ..functions.broadcast import cached_get
+        fm_tbl = pa.concat_tables(list(
+            first_m.iter_batches(batch_size=1 << 20,
+                                 batch_format="pyarrow")))
+        ck = fm_tbl.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        fm = fm_tbl.column("fm").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(ck, kind="stable")
+        fm_ref = ray.put((ck[order], fm[order]))
+
+        def cell_partial(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"cohort_month": pa.array([], pa.int64()),
+                                 "months_since": pa.array([], pa.int64()),
+                                 "n_customers": pa.array([], pa.int64())})
+            ks, fms = cached_get(fm_ref)
+            ckb = batch.column("o_custkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            m = batch.column("m").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ks, ckb)
+            cohort = fms[pos]  # every custkey has a first month
+            df = (pd.DataFrame({"cohort_month": cohort,
+                                "months_since": m - cohort})
+                  .groupby(["cohort_month", "months_since"],
+                           as_index=False)
+                  .size().rename(columns={"size": "n_customers"}))
+            return pa.Table.from_pandas(df, preserve_index=False) \
+                .cast(out_schema)
+
+        cells = pairs.map_batches(cell_partial,
+                                  batch_format="pyarrow")
+    else:
+        # fact-scale customers: hash join pairs ⋈ first-month (both
+        # post-aggregate, ≤ customers×months vs customers rows)
+        joined = pairs.materialize().join(
+            first_m.materialize(), "inner", 16, on=("o_custkey",))
+
+        def cell_from_join(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return out_schema.empty_table()
+            m = batch.column("m").to_numpy(zero_copy_only=False)
+            fmv = batch.column("fm").to_numpy(zero_copy_only=False)
+            df = (pd.DataFrame({"cohort_month": fmv,
+                                "months_since": m - fmv})
+                  .groupby(["cohort_month", "months_since"],
+                           as_index=False)
+                  .size().rename(columns={"size": "n_customers"}))
+            return pa.Table.from_pandas(df, preserve_index=False) \
+                .cast(out_schema)
+
+        cells = joined.map_batches(cell_from_join,
+                                   batch_format="pyarrow")
+
+    return (cells.groupby(["cohort_month", "months_since"])
+            .aggregate(Sum("n_customers", alias_name="n_customers")))
+
+
+ORDERS_COHORT_RETENTION_SQL = """
+WITH act AS (
+    SELECT DISTINCT o_custkey,
+           year(o_orderdate) * 12 + month(o_orderdate) AS m
+    FROM orders),
+fm AS (
+    SELECT o_custkey, MIN(m) AS fm FROM act GROUP BY o_custkey)
+SELECT CAST(fm.fm AS BIGINT) AS cohort_month,
+       CAST(act.m - fm.fm AS BIGINT) AS months_since,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM act JOIN fm USING (o_custkey)
+GROUP BY fm.fm, act.m - fm.fm
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact-integer 3-sigma anomaly counts
+# ---------------------------------------------------------------------------
+
+ZSCORE_SCALE = 1_000
+ZSCORE_SIGMAS = 3
+
+
+def events_anomaly_zscore(sf_dir: str, scale: int = ZSCORE_SCALE,
+                          sigmas: int = ZSCORE_SIGMAS):
+    """Per-type 3-sigma outlier counts over events.value with the
+    z-score test in EXACT integer arithmetic → (event_type, n_events,
+    n_anomalies).
+
+    |v − μ| > 3σ multiplies through by n² to (n·vq − S)² > 9(nQ − S²)
+    with vq = floor(value·scale + 0.5), S = Σvq, Q = Σvq² — all
+    integers, so the Ray and DuckDB row sets agree bit-for-bit (a
+    float mean/std boundary never would). Two passes: a per-type
+    (n, S, Q) partial fold (O(types) rows to the driver), then the
+    driver turns each type's quadratic into integer CUT POINTS via
+    isqrt — (n·vq − S)² > T ⇔ n·vq ≥ S+isqrt(T)+1 or ≤ S−isqrt(T)−1
+    — and a second pruned pass counts per batch against the broadcast
+    cut table. Headroom: Σvq² stays in int64 to ~10¹¹ rows per type
+    at this value range (the comoments discipline); `scale` is the
+    knob beyond."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.broadcast import cached_get
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        vq = np.floor(batch.column("value")
+                      .to_numpy(zero_copy_only=False) * float(scale)
+                      + 0.5).astype(np.int64)
+        df = pd.DataFrame({"event_type": batch.column("event_type")
+                           .to_pandas(), "vq": vq, "vq2": vq * vq})
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("vq", "size"), s=("vq", "sum"), q=("vq2", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = pa.concat_tables(list(
+        ds.map_batches(stat_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("s", alias_name="s"),
+                   Sum("q", alias_name="q"))
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+
+    # exact integer cut points per type (Python bigints — no overflow)
+    cuts = {}
+    for i in range(stats.num_rows):
+        et = stats.column("event_type")[i].as_py()
+        n = int(stats.column("n")[i].as_py())
+        s = int(stats.column("s")[i].as_py())
+        q = int(stats.column("q")[i].as_py())
+        t = sigmas * sigmas * (n * q - s * s)  # ≥ 0 (Cauchy–Schwarz)
+        r = isqrt(t)
+        cuts[et] = (n, s - r - 1, s + r + 1)  # n·vq ≤ lo | ≥ hi
+
+    cuts_ref = ray.put(cuts)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        cts = cached_get(cuts_ref)
+        vq = np.floor(batch.column("value")
+                      .to_numpy(zero_copy_only=False) * float(scale)
+                      + 0.5).astype(np.int64)
+        et = batch.column("event_type").to_pandas().to_numpy()
+        rows = {"event_type": [], "n_events": [], "n_anomalies": []}
+        for typ in pd.unique(et):
+            n, lo, hi = cts[typ]
+            v = vq[et == typ] * n
+            rows["event_type"].append(typ)
+            rows["n_events"].append(len(v))
+            rows["n_anomalies"].append(int(((v <= lo)
+                                            | (v >= hi)).sum()))
+        return pa.table({
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "n_events": pa.array(rows["n_events"], pa.int64()),
+            "n_anomalies": pa.array(rows["n_anomalies"], pa.int64())})
+
+    return (ds.map_batches(count_partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("n_anomalies", alias_name="n_anomalies")))
+
+
+EVENTS_ANOMALY_ZSCORE_SQL = f"""
+WITH q AS (
+    SELECT event_type,
+           CAST(FLOOR(value * {ZSCORE_SCALE} + 0.5) AS BIGINT) AS vq
+    FROM events),
+st AS (
+    SELECT event_type, COUNT(*) AS n, SUM(vq) AS s,
+           SUM(vq * vq) AS qq
+    FROM q GROUP BY event_type)
+SELECT q.event_type, CAST(st.n AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN (st.n * q.vq - st.s) * (st.n * q.vq - st.s)
+                          > {ZSCORE_SIGMAS * ZSCORE_SIGMAS}
+                            * (st.n * st.qq - st.s * st.s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM q JOIN st USING (event_type)
+GROUP BY q.event_type, st.n
+"""

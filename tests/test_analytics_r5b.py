@@ -1,0 +1,103 @@
+"""Round-5 part-2 operator tests: TPC-H join-chain forced large
+routes, exact-integer anomaly cut points, distributed PCA parity."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(x) -> pd.DataFrame:
+    return x.to_pandas() if hasattr(x, "to_pandas") else pd.DataFrame(x)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_forced_large_routes_agree(ray_session):
+    """dim_cutoff=0 forces every count-gated dimension attach onto
+    its native-hash-join large route; the row sets must match the
+    broadcast route bit-for-bit (the house count-gated-plans-agree
+    pattern)."""
+    from rdfx_ray.pipelines import analytics_r5b as R
+
+    for fn in (R.orders_shipping_priority, R.customer_returns_topn,
+               R.promo_revenue_share, R.orders_cohort_retention):
+        small = _canon(_df(fn(SF)))
+        large = _canon(_df(fn(SF, dim_cutoff=0)))
+        assert len(small) > 0
+        pd.testing.assert_frame_equal(small, large, check_dtype=False)
+
+
+def test_anomaly_cut_points_equal_quadratic_test():
+    """The driver's isqrt cut points (n·vq ≥ S+isqrt(T)+1 or ≤
+    S−isqrt(T)−1) must select exactly the rows with
+    (n·vq − S)² > 9(nQ − S²) — including perfect-square T edge
+    cases — on adversarial small integer sets."""
+    from math import isqrt
+
+    rng = np.random.RandomState(7)
+    cases = [np.array(v, dtype=np.int64) for v in (
+        [0, 0, 0], [1, 1, 1, 10], [5], [0, 3], [2, 2, 2, 2, 14],
+        [-4, 0, 4], [1, 2, 3, 4, 100])]
+    cases += [rng.randint(-50, 50, size=n).astype(np.int64)
+              for n in (2, 5, 17, 101)]
+    for vq in cases:
+        n, s, q = len(vq), int(vq.sum()), int((vq * vq).sum())
+        t = 9 * (n * q - s * s)
+        assert t >= 0
+        r = isqrt(t)
+        lo, hi = s - r - 1, s + r + 1
+        via_cuts = (vq * n <= lo) | (vq * n >= hi)
+        d = vq.astype(object) * n - s  # exact bigint arithmetic
+        via_quadratic = np.array([dd * dd > t for dd in d])
+        assert (via_cuts == via_quadratic).all()
+
+
+def test_pca_matches_fulldata_numpy(ray_session):
+    """Distributed quantize-then-sum covariance + driver eigh equals
+    full-data numpy PCA under the same quantization (eigenvalues to
+    1e-9), loadings are orthonormal, and a second run is
+    bit-identical (integer folds are partitioning-invariant)."""
+    from rdfx_ray.functions.similarity import _list_matrix, pca_fit
+
+    out = pca_fit(SF, n_components=4)
+    df = out.to_pandas()
+    assert set(df.columns) == {"component", "dim", "loading_1e9",
+                               "eigval_1e9"}
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["embedding"])
+    m = _list_matrix(t.column("embedding"), dtype=np.float64)
+    q = np.floor(m * 1e6 + 0.5)
+    mean = q.mean(axis=0) / 1e6
+    exx = (q.T @ q) / (len(q) * 1e12)
+    cov = exx - np.outer(mean, mean)
+    ref_vals = np.linalg.eigh(cov)[0][::-1][:4]
+    got_vals = (df.groupby("component")["eigval_1e9"].first()
+                .to_numpy() / 1e9)
+    assert np.allclose(ref_vals, got_vals, rtol=1e-6, atol=1e-9)
+
+    L = df.pivot(index="component", columns="dim",
+                 values="loading_1e9").to_numpy() / 1e9
+    assert np.abs(L @ L.T - np.eye(4)).max() < 1e-6
+    assert pca_fit(SF, n_components=4).equals(out)
+
+
+def test_transitions_row_conservation(ray_session):
+    """Σ transition counts = Σ (per-user events − 1): every event
+    except each user's first is exactly one transition's target."""
+    import duckdb
+
+    from rdfx_ray.pipelines import analytics_r5b as R
+
+    got = _df(R.events_user_transitions(SF))
+    expected = duckdb.connect().execute(
+        f"SELECT CAST(SUM(c - 1) AS BIGINT) FROM (SELECT COUNT(*) c "
+        f"FROM '{SF}/events.parquet' GROUP BY user_id)"
+    ).fetchone()[0]
+    assert got["n"].sum() == expected

@@ -17,6 +17,9 @@ ROWS_ONLY = {
         "winnowing fingerprint subset (flag parity test-pinned)",
     "embedding_kmeans":
         "iterative refinement has no SQL twin (invariance test-pinned)",
+    "embedding_pca":
+        "eigendecomposition has no SQL twin (numpy parity + "
+        "orthonormality + bit-determinism test-pinned)",
     "dedup_corpus": "composition incl. LSH candidates",
     "dedup_embedding_pairs": "IVF bucketing not SQL-expressible",
     "dedup_minhash_pairs": "minhash signatures not SQL-expressible",
