@@ -922,6 +922,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _r5b().events_anomaly_zscore(sf),
         # distributed PCA (quantize-then-sum covariance, driver eigh)
         "embedding_pca": lambda sf: similarity.pca_fit(sf),
+        # segment-level exact dedup (substring-dedup shape)
+        "docs_segment_dedup":
+            lambda sf: _r5b().docs_segment_dedup(sf),
+        # NTILE revenue-concentration report (80/20 shape)
+        "orders_revenue_deciles":
+            lambda sf: _r5b().orders_revenue_deciles(sf),
+        # session path mining (top-k navigation paths)
+        "events_top_paths": lambda sf: _r5b().events_top_paths(sf),
+        # DAU / rolling-7-day WAU (exact sliding-window distinct)
+        "events_dau_wau": lambda sf: _r5b().events_dau_wau(sf),
         # PERCENT_RANK / CUME_DIST (full-table window, integer-scaled)
         "orders_percent_rank": _orders_percent_rank,
         # iterative frontier BFS (min-hop depth to chain roots)
@@ -1315,6 +1325,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_cohort_retention":
             _R5B.ORDERS_COHORT_RETENTION_SQL,
         "events_anomaly_zscore": _R5B.EVENTS_ANOMALY_ZSCORE_SQL,
+        "docs_segment_dedup": _R5B.DOCS_SEGMENT_DEDUP_SQL,
+        "orders_revenue_deciles": _R5B.ORDERS_REVENUE_DECILES_SQL,
+        "events_top_paths": _R5B.EVENTS_TOP_PATHS_SQL,
+        "events_dau_wau": _R5B.EVENTS_DAU_WAU_SQL,
         "orders_percent_rank": _PRANK_SQL,
         "citation_bfs_depth": _BFS_SQL,
         "citation_components": _CC_SQL,

@@ -929,3 +929,505 @@ SELECT q.event_type, CAST(st.n AS BIGINT) AS n_events,
 FROM q JOIN st USING (event_type)
 GROUP BY q.event_type, st.n
 """
+
+
+# ---------------------------------------------------------------------------
+# paragraph/segment-level exact dedup (Lee-et-al substring-dedup shape)
+# ---------------------------------------------------------------------------
+
+SEG_WORDS = 8
+DUP_BROADCAST_CUTOFF = 5_000_000
+
+
+def docs_segment_dedup(sf_dir: str, seg_words: int = SEG_WORDS,
+                       dup_cutoff: int = DUP_BROADCAST_CUTOFF):
+    """Segment-level exact dedup over the corpus — the
+    deduplicate-text-datasets shape at paragraph granularity: each doc
+    splits into fixed ``seg_words``-word segments, a segment is
+    DUPLICATED when its md5 appears in ≥ 2 distinct docs →
+    (doc_id, n_segments, n_dup_segments) over distinct per-doc
+    segment hashes.
+
+    Plan: pass 1 builds per-batch distinct (h, doc) pairs — one doc =
+    one row, so batch-local distinct is globally exact (the
+    corpus_decontaminate precedent) — and folds them to the dup-hash
+    table (COUNT ≥ 2). The dup SET is usually tiny, so it is
+    count-gated: under ``dup_cutoff`` it broadcasts and pass 2
+    re-segments each doc and scores it with ZERO exchange (re-reading
+    text beats materializing the fact-sized pair table — the
+    events_above_p95 rescan trade); above the gate the pairs
+    left-join the dup table (string-keyed hash join, the honest
+    fact-scale route) and fold per doc. Segmenting and md5 are
+    vectorized (polars explode/groupby + the md5keys DuckDB kernel,
+    byte-identical to the oracle's md5 by construction)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.broadcast import cached_get
+    from ..functions.md5keys import md5_hex_text
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def seg_hashes(batch: pa.Table):
+        """→ polars frame (doc_id, h) of DISTINCT per-doc segment
+        md5s (order not significant)."""
+        import polars as pl
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        ex = (df.with_columns(pl.col("text").str.split(" ")
+                              .alias("w")).drop("text")
+              .explode("w")
+              .with_columns((pl.int_range(pl.len()).over("doc_id")
+                             // seg_words).alias("seg")))
+        segs = (ex.group_by(["doc_id", "seg"], maintain_order=True)
+                .agg(pl.col("w").str.join(" ").alias("p")))
+        h = md5_hex_text(segs.get_column("p").to_arrow())
+        return pl.DataFrame({
+            "doc_id": segs.get_column("doc_id"),
+            "h": pl.from_arrow(h)}).unique()
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        return seg_hashes(batch).to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("h", pa.string())]))
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow")
+    dup = (pairs.groupby("h").aggregate(Count(alias_name="nd"))
+           .filter(lambda r: r["nd"] >= 2)
+           .select_columns(["h"]).materialize())
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_segments", pa.int64()),
+                            ("n_dup_segments", pa.int64())])
+
+    if dup.count() <= dup_cutoff:
+        dup_arr = np.sort(pa.concat_tables(list(
+            dup.iter_batches(batch_size=1 << 20,
+                             batch_format="pyarrow")))
+            .column("h").to_numpy(zero_copy_only=False))
+        dup_ref = ray.put(dup_arr)
+
+        def score(batch: pa.Table) -> pa.Table:
+            hd = seg_hashes(batch)
+            dups = cached_get(dup_ref)
+            h = hd.get_column("h").to_numpy()
+            if len(dups):
+                pos = np.searchsorted(dups, h)
+                pos[pos == len(dups)] = 0
+                is_dup = dups[pos] == h
+            else:
+                is_dup = np.zeros(len(h), bool)
+            import polars as pl
+            g = (hd.with_columns(pl.Series("d", is_dup.astype(
+                np.int64)))
+                 .group_by("doc_id")
+                 .agg(pl.len().alias("n_segments"),
+                      pl.col("d").sum().alias("n_dup_segments")))
+            return g.to_arrow().cast(out_schema)
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # fact-scale dup set: left-join the distinct pairs against it and
+    # fold per doc (one doc's pairs may split across join partitions,
+    # so a groupby Sum finishes the fold). BOTH join inputs are
+    # materialized — a lazy operator feeding a JoinOperator starved
+    # the 4-cpu session into a hang (the two-JoinOperator gotcha's
+    # single-join cousin, reproduced on this exact plan)
+    flag = dup.map_batches(
+        lambda b: b.append_column(
+            "_d", pa.array(np.ones(b.num_rows, np.int64))),
+        batch_format="pyarrow").materialize()
+    flagged = pairs.materialize().join(flag, "left_outer", 16,
+                                       on=("h",))
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "doc_id": batch.column("doc_id")
+            .to_numpy(zero_copy_only=False),
+            "d": batch.column("_d").to_pandas()
+            .fillna(0).astype(np.int64)})
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_segments=("d", "size"), n_dup_segments=("d", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .cast(out_schema)
+
+    return (flagged.map_batches(doc_partial, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("n_segments", alias_name="n_segments"),
+                       Sum("n_dup_segments",
+                           alias_name="n_dup_segments")))
+
+
+DOCS_SEGMENT_DEDUP_SQL = f"""
+WITH w AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents),
+seg AS (
+    SELECT doc_id,
+           md5(string_agg(word, ' ' ORDER BY i)) AS h
+    FROM w GROUP BY doc_id, (i - 1) // {SEG_WORDS}),
+hd AS (SELECT DISTINCT doc_id, h FROM seg),
+dup AS (SELECT h, COUNT(*) AS nd FROM hd GROUP BY h)
+SELECT hd.doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN dup.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_segments
+FROM hd JOIN dup USING (h) GROUP BY hd.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# revenue deciles (NTILE inequality report)
+# ---------------------------------------------------------------------------
+
+DECILES_K = 10
+DECILES_SHIFT = 20
+
+
+def orders_revenue_deciles(sf_dir: str, k: int = DECILES_K,
+                           shift: int = DECILES_SHIFT):
+    """Revenue concentration report: customers ranked by lifetime
+    order value, split into NTILE(k) deciles → (decile, n_customers,
+    revenue_c) — the 80/20 inequality shape.
+
+    Plan: per-custkey revenue folds per batch before its groupby
+    (bounded by customers); ranking reuses the orders_price_rank
+    machinery on the NEGATED cents key (arithmetic >> is monotone on
+    int64, so value-bucket co-location works unchanged for DESC
+    order): tiny bucket-count fold → driver exclusive prefix → one
+    co-location exchange where each bucket ranks locally and folds to
+    ≤ k partial rows. No full sort anywhere."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.broadcast import cached_get
+    from .rank import _ntile_from_rownum
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column("o_totalprice")
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "o_custkey": batch.column("o_custkey")
+            .to_numpy(zero_copy_only=False), "rev": cents})
+        return pa.Table.from_pandas(
+            df.groupby("o_custkey", as_index=False)["rev"].sum(),
+            preserve_index=False)
+
+    cust_rev = (ds.map_batches(rev_partial, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("rev", alias_name="rev")))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        rev = batch.column("rev").to_numpy(zero_copy_only=False)
+        key = -rev  # DESC rank = ASC rank of the negation
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "rev": batch.column("rev"),
+            "key": pa.array(key, pa.int64()),
+            "bucket": pa.array(key >> shift, pa.int64())})
+
+    fact = cust_rev.map_batches(keyed,
+                                batch_format="pyarrow").materialize()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"bucket": batch.column("bucket")
+                           .to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.groupby("bucket", as_index=False).size()
+            .rename(columns={"size": "n"}), preserve_index=False)
+
+    counts = (fact.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+              .to_pandas().sort_values("bucket")
+              .reset_index(drop=True))
+    n_arr = counts["n"].to_numpy(np.int64)
+    base = np.cumsum(n_arr) - n_arr
+    n_total = int(n_arr.sum())
+    base_map = {int(b): int(v) for b, v in
+                zip(counts["bucket"].to_numpy(), base)}
+    state_ref = ray.put((base_map, n_total))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base_map_l, n_tot = cached_get(state_ref)
+        if len(g) == 0:
+            return pd.DataFrame({
+                "decile": pd.Series([], dtype=np.int64),
+                "n_customers": pd.Series([], dtype=np.int64),
+                "revenue_c": pd.Series([], dtype=np.int64)})
+        off = base_map_l[int(g["bucket"].iloc[0])]
+        key = g["key"].to_numpy(np.int64)
+        ck = g["o_custkey"].to_numpy(np.int64)
+        rev = g["rev"].to_numpy(np.int64)
+        order = np.lexsort((ck, key))
+        inv = np.empty(len(order), np.int64)
+        inv[order] = np.arange(len(order))
+        row_num = off + inv + 1
+        tile = _ntile_from_rownum(row_num, n_tot, k)
+        return (pd.DataFrame({"decile": tile, "n": 1, "rev": rev})
+                .groupby("decile", as_index=False)
+                .agg(n_customers=("n", "sum"),
+                     revenue_c=("rev", "sum")))
+
+    return (fact.groupby("bucket")
+            .map_groups(rank_bucket, batch_format="pandas")
+            .groupby("decile")
+            .aggregate(Sum("n_customers", alias_name="n_customers"),
+                       Sum("revenue_c", alias_name="revenue_c")))
+
+
+ORDERS_REVENUE_DECILES_SQL = f"""
+WITH cr AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev
+    FROM orders GROUP BY o_custkey),
+r AS (
+    SELECT rev, NTILE({DECILES_K})
+           OVER (ORDER BY rev DESC, o_custkey) AS decile
+    FROM cr)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(rev) AS BIGINT) AS revenue_c
+FROM r GROUP BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# session path mining (top navigation paths)
+# ---------------------------------------------------------------------------
+
+PATHS_GAP_MINUTES = 30
+PATHS_MAX_LEN = 5
+PATHS_K = 20
+
+
+def events_top_paths(sf_dir: str, gap_minutes: int = PATHS_GAP_MINUTES,
+                     max_len: int = PATHS_MAX_LEN, k: int = PATHS_K,
+                     n_buckets: int = 32):
+    """Top-k session paths: sessions cut at gaps > ``gap_minutes``
+    (the sessionize rule), each session keyed by the '>'-joined
+    event-type sequence of its first ``max_len`` events →
+    (path, n) for the k most frequent paths (ties broken by path).
+
+    Plan: ONE user-bucket co-location exchange; each bucket runs the
+    sessionize numpy assignment (sort by (user, ts, event_id) —
+    event_id makes equal-timestamp order engine-identical), builds
+    path strings with ``max_len`` vectorized np.char.add steps (never
+    a per-session Python join), and folds to its local path counts.
+    A tiny groupby sums buckets; top-k is partial-then-limit."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        jb = (uid.astype(np.int64) % n_buckets).astype(np.int32)
+        return batch.append_column("_jb", pa.array(jb, pa.int32()))
+
+    def bucket_paths(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"path": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        user = g["user_id"].to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        et = g["event_type"].to_numpy(dtype=str)
+        n = len(g)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        delta = np.zeros(n, dtype=np.int64)
+        delta[1:] = ts_us[1:] - ts_us[:-1]
+        new_sess = new_user | (delta > gap_us)
+        bounds = np.flatnonzero(new_sess)
+        lengths = np.diff(np.append(bounds, n))
+        # step-vectorized path build: ≤ max_len np.char.add rounds
+        paths = et[bounds].astype(object)
+        for step in range(1, max_len):
+            has = lengths > step
+            paths[has] = paths[has] + ">" + et[bounds[has] + step]
+        return (pd.DataFrame({"path": paths.astype(str)})
+                .groupby("path", as_index=False).size()
+                .rename(columns={"size": "n"})
+                .astype({"n": np.int64}))
+
+    counted = (ds.map_batches(add_bucket, batch_format="pyarrow")
+               .groupby("_jb")
+               .map_groups(bucket_paths, batch_format="pandas")
+               .groupby("path").aggregate(Sum("n", alias_name="n")))
+
+    out_schema = pa.schema([("path", pa.string()), ("n", pa.int64())])
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        if batch.num_rows == 0:
+            return batch.cast(out_schema)
+        return (pl.from_arrow(batch)
+                .sort(["n", "path"], descending=[True, False])
+                .head(k).to_arrow().cast(out_schema))
+
+    return (counted.map_batches(topk_partial, batch_format="pyarrow")
+            .sort(["n", "path"], descending=[True, False]).limit(k))
+
+
+EVENTS_TOP_PATHS_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                     > {PATHS_GAP_MINUTES * 60 * 1000000}
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+    SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                 ORDER BY ts, event_id) AS rn
+    FROM sess),
+paths AS (
+    SELECT user_id, sid,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM ranked WHERE rn <= {PATHS_MAX_LEN}
+    GROUP BY user_id, sid)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+FROM paths GROUP BY path
+ORDER BY n DESC, path LIMIT {PATHS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU engagement series (rolling exact distinct users)
+# ---------------------------------------------------------------------------
+
+WAU_WINDOW_DAYS = 7
+_US_PER_DAY = 86_400_000_000
+
+
+def events_dau_wau(sf_dir: str, window_days: int = WAU_WINDOW_DAYS):
+    """Daily and rolling-7-day active users — the engagement series
+    every product pipeline computes, with the hard part being EXACT
+    distinct users over a sliding window → (day_i, dau, wau) for each
+    observed day (day_i = days since epoch).
+
+    Plan: the corpus folds ONCE to the distinct (day, user) presence
+    table (per-batch distinct → groupby count — bounded by
+    users × days, never event-sized). DAU is a per-day partial count
+    over it. WAU expands each presence row into its ≤ ``window_days``
+    covering window-ends (vectorized np.repeat — the chunk-overlap
+    discipline), re-distincts (a user active twice in one window
+    counts once), and counts per window end; the observed-day filter
+    is a tiny broadcast. Exchanges are all presence-table-sized; the
+    result is O(days) and returned as one Arrow table."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.broadcast import cached_get
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        d = (_epoch_us(batch.column("ts")) // _US_PER_DAY)
+        df = pd.DataFrame({
+            "d": d,
+            "user_id": batch.column("user_id")
+            .to_numpy(zero_copy_only=False)}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["d", "user_id"])
+             .aggregate(Count(alias_name="_n"))
+             .select_columns(["d", "user_id"]).materialize())
+
+    # DAU: per-day partial fold over the presence table
+    def dau_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"d": batch.column("d")
+                           .to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.groupby("d", as_index=False).size()
+            .rename(columns={"size": "dau"}), preserve_index=False)
+
+    dau = (pairs.map_batches(dau_partial, batch_format="pyarrow")
+           .groupby("d").aggregate(Sum("dau", alias_name="dau"))
+           .to_pandas())
+    days = np.sort(dau["d"].to_numpy(np.int64))
+    days_ref = ray.put(days)
+
+    # WAU: presence → covering window-ends → re-distinct → count
+    def expand(batch: pa.Table) -> pa.Table:
+        obs = cached_get(days_ref)
+        d = batch.column("d").to_numpy(zero_copy_only=False)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        w = (np.repeat(d, window_days)
+             + np.tile(np.arange(window_days, dtype=np.int64),
+                       len(d)))
+        uu = np.repeat(u, window_days)
+        if len(obs):
+            pos = np.searchsorted(obs, w)
+            pos[pos == len(obs)] = 0
+            keep = obs[pos] == w
+        else:
+            keep = np.zeros(len(w), bool)
+        df = pd.DataFrame({"w": w[keep],
+                           "user_id": uu[keep]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    wau_pairs = (pairs.map_batches(expand, batch_format="pyarrow")
+                 .groupby(["w", "user_id"])
+                 .aggregate(Count(alias_name="_n"))
+                 .select_columns(["w"]))
+
+    def wau_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"w": batch.column("w")
+                           .to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.groupby("w", as_index=False).size()
+            .rename(columns={"size": "wau"}), preserve_index=False)
+
+    wau = (wau_pairs.map_batches(wau_partial, batch_format="pyarrow")
+           .groupby("w").aggregate(Sum("wau", alias_name="wau"))
+           .to_pandas())
+
+    out = (dau.rename(columns={"d": "day_i"})
+           .merge(wau.rename(columns={"w": "day_i"}), on="day_i"))
+    out = out.sort_values("day_i").reset_index(drop=True)
+    return pa.table({
+        "day_i": pa.array(out["day_i"].to_numpy(np.int64),
+                          pa.int64()),
+        "dau": pa.array(out["dau"].to_numpy(np.int64), pa.int64()),
+        "wau": pa.array(out["wau"].to_numpy(np.int64), pa.int64())})
+
+
+EVENTS_DAU_WAU_SQL = f"""
+WITH du AS (
+    SELECT DISTINCT
+           CAST(epoch_us(date_trunc('day', ts)) // {_US_PER_DAY}
+                AS BIGINT) AS d,
+           user_id
+    FROM events),
+days AS (SELECT DISTINCT d FROM du)
+SELECT days.d AS day_i,
+       CAST((SELECT COUNT(*) FROM du WHERE du.d = days.d)
+            AS BIGINT) AS dau,
+       CAST((SELECT COUNT(DISTINCT user_id) FROM du
+             WHERE du.d BETWEEN days.d - {WAU_WINDOW_DAYS - 1}
+                            AND days.d)
+            AS BIGINT) AS wau
+FROM days
+"""

@@ -101,3 +101,32 @@ def test_transitions_row_conservation(ray_session):
         f"FROM '{SF}/events.parquet' GROUP BY user_id)"
     ).fetchone()[0]
     assert got["n"].sum() == expected
+
+
+def test_segment_dedup_forced_join_route_agrees(ray_session):
+    """dup_cutoff=0 forces the fact-scale left-join route; it must
+    reproduce the broadcast route's per-doc counts exactly."""
+    from rdfx_ray.pipelines import analytics_r5b as R
+
+    small = _canon(_df(R.docs_segment_dedup(SF)))
+    large = _canon(_df(R.docs_segment_dedup(SF, dup_cutoff=0)))
+    assert len(small) > 0
+    assert small["n_dup_segments"].sum() > 0  # corpus has real dups
+    pd.testing.assert_frame_equal(small, large, check_dtype=False)
+
+
+def test_revenue_deciles_shape(ray_session):
+    """Decile sizes follow NTILE semantics (first n%k tiles one
+    larger) and account for every customer exactly once."""
+    import duckdb
+
+    from rdfx_ray.pipelines import analytics_r5b as R
+
+    got = _df(R.orders_revenue_deciles(SF)).sort_values("decile")
+    n_cust = duckdb.connect().execute(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM "
+        f"'{SF}/orders.parquet'").fetchone()[0]
+    assert got["n_customers"].sum() == n_cust
+    sizes = got["n_customers"].to_numpy()
+    assert sizes.max() - sizes.min() <= 1
+    assert (np.diff(sizes) <= 0).all()  # larger tiles come first
