@@ -932,6 +932,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_paths": lambda sf: _r5b().events_top_paths(sf),
         # DAU / rolling-7-day WAU (exact sliding-window distinct)
         "events_dau_wau": lambda sf: _r5b().events_dau_wau(sf),
+        # vocabulary coverage curve (tokenizer-budget planning)
+        "docs_vocab_coverage":
+            lambda sf: _r5b().docs_vocab_coverage(sf),
+        # RFM segmentation (composite 3× NTILE over one orders fold)
+        "orders_rfm_segments":
+            lambda sf: _r5b().orders_rfm_segments(sf),
         # PERCENT_RANK / CUME_DIST (full-table window, integer-scaled)
         "orders_percent_rank": _orders_percent_rank,
         # iterative frontier BFS (min-hop depth to chain roots)
@@ -1329,6 +1335,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_revenue_deciles": _R5B.ORDERS_REVENUE_DECILES_SQL,
         "events_top_paths": _R5B.EVENTS_TOP_PATHS_SQL,
         "events_dau_wau": _R5B.EVENTS_DAU_WAU_SQL,
+        "docs_vocab_coverage": _R5B.DOCS_VOCAB_COVERAGE_SQL,
+        "orders_rfm_segments": _R5B.ORDERS_RFM_SEGMENTS_SQL,
         "orders_percent_rank": _PRANK_SQL,
         "citation_bfs_depth": _BFS_SQL,
         "citation_components": _CC_SQL,

@@ -1431,3 +1431,318 @@ SELECT days.d AS day_i,
             AS BIGINT) AS wau
 FROM days
 """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve (tokenizer-budget planning)
+# ---------------------------------------------------------------------------
+
+VOCAB_LEVELS = (1, 10, 100, 1000)
+
+
+def docs_vocab_coverage(sf_dir: str,
+                        levels: tuple = VOCAB_LEVELS):
+    """Vocabulary coverage curve — for each vocab budget k, what
+    fraction of all token occurrences the top-k words cover (the
+    question a tokenizer/vocab-size decision starts from) →
+    (k, covered, total_tokens) in exact integers.
+
+    Plan: ONE pass folds per-batch word counts (polars split/explode
+    — the ngram_counts discipline) into the vocab-sized
+    ``groupby(word)`` exchange; per-block partial top-max(k) prunes
+    the ranking exchange to ≤ max(k)·blocks rows, and the driver
+    finishes on max(k) rows. total is a scalar fold. Ties rank by
+    (count DESC, word) on both engines."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    kmax = max(levels)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(batch.select(["text"]))
+        g = (df.with_columns(pl.col("text").str.split(" ")
+                             .alias("w")).drop("text")
+             .explode("w").group_by("w").agg(pl.len().alias("c")))
+        return g.to_arrow().cast(pa.schema([("w", pa.string()),
+                                            ("c", pa.int64())]))
+
+    wc = (ds.map_batches(count_partial, batch_format="pyarrow")
+          .groupby("w").aggregate(Sum("c", alias_name="c"))
+          .materialize())
+
+    total = 0
+    for b in wc.iter_batches(batch_size=1 << 20,
+                             batch_format="pyarrow"):
+        total += int(pc.sum(b.column("c")).as_py() or 0)
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        return (pl.from_arrow(batch)
+                .sort(["c", "w"], descending=[True, False])
+                .head(kmax).to_arrow()
+                .cast(pa.schema([("w", pa.string()),
+                                 ("c", pa.int64())])))
+
+    top = pa.concat_tables(list(
+        wc.map_batches(topk_partial, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    import polars as pl
+    top = (pl.from_arrow(top).sort(["c", "w"],
+                                   descending=[True, False])
+           .head(kmax))
+    c_sorted = top.get_column("c").to_numpy()
+    cum = np.cumsum(c_sorted)
+    rows = {"k": [], "covered": [], "total_tokens": []}
+    for k in levels:
+        rows["k"].append(int(k))
+        rows["covered"].append(
+            int(cum[min(k, len(cum)) - 1]) if len(cum) else 0)
+        rows["total_tokens"].append(total)
+    return pa.table({
+        "k": pa.array(rows["k"], pa.int64()),
+        "covered": pa.array(rows["covered"], pa.int64()),
+        "total_tokens": pa.array(rows["total_tokens"], pa.int64())})
+
+
+DOCS_VOCAB_COVERAGE_SQL = f"""
+WITH wc AS (
+    SELECT word, COUNT(*) AS c
+    FROM (SELECT unnest(string_split(text, ' ')) AS word
+          FROM documents)
+    GROUP BY word),
+ranked AS (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rn
+    FROM wc),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM wc)
+SELECT CAST(k.k AS BIGINT) AS k,
+       CAST((SELECT SUM(c) FROM ranked WHERE rn <= k.k)
+            AS BIGINT) AS covered,
+       tot.t AS total_tokens
+FROM (VALUES {", ".join(f"({k})" for k in VOCAB_LEVELS)}) k(k), tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (composite NTILE)
+# ---------------------------------------------------------------------------
+
+RFM_TILES = 5
+RFM_SHIFTS = {"r": 4, "f": 0, "m": 20}
+
+
+def _ntile_table(fact, value_col: str, k: int, shift: int):
+    """(o_custkey, tile) for NTILE(k) OVER (ORDER BY value DESC,
+    custkey) over a materialized (o_custkey, <value_col>) Dataset —
+    the orders_revenue_deciles bucket machinery emitting PER-ROW
+    tiles instead of aggregates (for composition into multi-measure
+    segments)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.broadcast import cached_get
+    from .rank import _ntile_from_rownum
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        key = -v
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "key": pa.array(key, pa.int64()),
+            "bucket": pa.array(key >> shift, pa.int64())})
+
+    kd = fact.map_batches(keyed,
+                          batch_format="pyarrow").materialize()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"bucket": batch.column("bucket")
+                           .to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.groupby("bucket", as_index=False).size()
+            .rename(columns={"size": "n"}), preserve_index=False)
+
+    counts = (kd.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+              .to_pandas().sort_values("bucket")
+              .reset_index(drop=True))
+    n_arr = counts["n"].to_numpy(np.int64)
+    base = np.cumsum(n_arr) - n_arr
+    n_total = int(n_arr.sum())
+    base_map = {int(b): int(v) for b, v in
+                zip(counts["bucket"].to_numpy(), base)}
+    state_ref = ray.put((base_map, n_total))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base_map_l, n_tot = cached_get(state_ref)
+        if len(g) == 0:
+            return pd.DataFrame({
+                "o_custkey": pd.Series([], dtype=np.int64),
+                "tile": pd.Series([], dtype=np.int64)})
+        off = base_map_l[int(g["bucket"].iloc[0])]
+        key = g["key"].to_numpy(np.int64)
+        ck = g["o_custkey"].to_numpy(np.int64)
+        order = np.lexsort((ck, key))
+        inv = np.empty(len(order), np.int64)
+        inv[order] = np.arange(len(order))
+        row_num = off + inv + 1
+        return pd.DataFrame({
+            "o_custkey": ck,
+            "tile": _ntile_from_rownum(row_num, n_tot, k)})
+
+    return (kd.groupby("bucket")
+            .map_groups(rank_bucket, batch_format="pandas"))
+
+
+def orders_rfm_segments(sf_dir: str, k: int = RFM_TILES,
+                        dim_cutoff: int = DIM_BROADCAST_CUTOFF):
+    """RFM customer segmentation: each customer scored NTILE(k) on
+    Recency (last order day, newest = tile 1), Frequency (order
+    count) and Monetary (lifetime cents), then counted per (r, f, m)
+    segment → (r_tile, f_tile, m_tile, n_customers) — ≤ k³ rows.
+
+    Plan: ONE orders pass folds per-batch (custkey, max day, count,
+    sum cents) partials into a customers-bounded groupby; each
+    measure ranks through the bucket machinery (``_ntile_table``).
+    Combining the three tile tables is count-gated: under the gate
+    two of them collect driver-side (each is (custkey, tile) — tiny
+    next to the fact) and attach via searchsorted; above it they
+    compose as two native hash joins with a ``materialize()`` between
+    (the two-JoinOperator hang rule)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..functions.broadcast import cached_get
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def rfm_partial(batch: pa.Table) -> pa.Table:
+        day = _epoch_us(batch.column("o_orderdate")) // _US_PER_DAY
+        cents = np.floor(batch.column("o_totalprice")
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "o_custkey": batch.column("o_custkey")
+            .to_numpy(zero_copy_only=False),
+            "r": day, "f": 1, "m": cents})
+        g = df.groupby("o_custkey", as_index=False).agg(
+            r=("r", "max"), f=("f", "sum"), m=("m", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rfm = (ds.map_batches(rfm_partial, batch_format="pyarrow")
+           .groupby("o_custkey")
+           .aggregate(Max("r", alias_name="r"),
+                      Sum("f", alias_name="f"),
+                      Sum("m", alias_name="m"))
+           .materialize())
+
+    rt = _ntile_table(rfm, "r", k, RFM_SHIFTS["r"]).materialize()
+    ft = _ntile_table(rfm, "f", k, RFM_SHIFTS["f"]).materialize()
+    mt = _ntile_table(rfm, "m", k, RFM_SHIFTS["m"]).materialize()
+
+    out_schema = pa.schema([("r_tile", pa.int64()),
+                            ("f_tile", pa.int64()),
+                            ("m_tile", pa.int64()),
+                            ("n_customers", pa.int64())])
+
+    if rfm.count() <= dim_cutoff:
+        def collect_map(t):
+            tbl = pa.concat_tables(list(
+                t.iter_batches(batch_size=1 << 20,
+                               batch_format="pyarrow")))
+            ck = tbl.column("o_custkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            tile = tbl.column("tile") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(ck, kind="stable")
+            return ck[order], tile[order]
+
+        f_ref = ray.put(collect_map(ft))
+        m_ref = ray.put(collect_map(mt))
+
+        def seg_partial(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return out_schema.empty_table()
+            fk, fv = cached_get(f_ref)
+            mk, mv = cached_get(m_ref)
+            ck = batch.column("o_custkey") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            r_tile = batch.column("tile") \
+                .to_numpy(zero_copy_only=False)
+            f_tile = fv[np.searchsorted(fk, ck)]
+            m_tile = mv[np.searchsorted(mk, ck)]
+            df = (pd.DataFrame({"r_tile": r_tile, "f_tile": f_tile,
+                                "m_tile": m_tile})
+                  .groupby(["r_tile", "f_tile", "m_tile"],
+                           as_index=False)
+                  .size().rename(columns={"size": "n_customers"}))
+            return pa.Table.from_pandas(df, preserve_index=False) \
+                .cast(out_schema)
+
+        cells = rt.map_batches(seg_partial, batch_format="pyarrow")
+    else:
+        # fact-scale customers: two hash joins, materialized between
+        j1 = rt.join(
+            ft.map_batches(
+                lambda b: b.rename_columns(["o_custkey", "f_tile"]),
+                batch_format="pyarrow").materialize(),
+            "inner", 16, on=("o_custkey",)).materialize()
+        j2 = j1.join(
+            mt.map_batches(
+                lambda b: b.rename_columns(["o_custkey", "m_tile"]),
+                batch_format="pyarrow").materialize(),
+            "inner", 16, on=("o_custkey",))
+
+        def seg_from_join(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return out_schema.empty_table()
+            df = (pd.DataFrame({
+                "r_tile": batch.column("tile")
+                .to_numpy(zero_copy_only=False),
+                "f_tile": batch.column("f_tile")
+                .to_numpy(zero_copy_only=False),
+                "m_tile": batch.column("m_tile")
+                .to_numpy(zero_copy_only=False)})
+                .groupby(["r_tile", "f_tile", "m_tile"],
+                         as_index=False)
+                .size().rename(columns={"size": "n_customers"}))
+            return pa.Table.from_pandas(df, preserve_index=False) \
+                .cast(out_schema)
+
+        cells = j2.map_batches(seg_from_join,
+                               batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum as _Sum
+    return (cells.groupby(["r_tile", "f_tile", "m_tile"])
+            .aggregate(_Sum("n_customers",
+                            alias_name="n_customers")))
+
+
+ORDERS_RFM_SEGMENTS_SQL = f"""
+WITH rfm AS (
+    SELECT o_custkey,
+           MAX(CAST(epoch_us(date_trunc('day', o_orderdate))
+                    // {_US_PER_DAY} AS BIGINT)) AS r,
+           CAST(COUNT(*) AS BIGINT) AS f,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS m
+    FROM orders GROUP BY o_custkey),
+tiles AS (
+    SELECT NTILE({RFM_TILES}) OVER (ORDER BY r DESC, o_custkey)
+               AS r_tile,
+           NTILE({RFM_TILES}) OVER (ORDER BY f DESC, o_custkey)
+               AS f_tile,
+           NTILE({RFM_TILES}) OVER (ORDER BY m DESC, o_custkey)
+               AS m_tile
+    FROM rfm)
+SELECT CAST(r_tile AS BIGINT) AS r_tile,
+       CAST(f_tile AS BIGINT) AS f_tile,
+       CAST(m_tile AS BIGINT) AS m_tile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM tiles GROUP BY r_tile, f_tile, m_tile
+"""

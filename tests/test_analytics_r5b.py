@@ -130,3 +130,39 @@ def test_revenue_deciles_shape(ray_session):
     sizes = got["n_customers"].to_numpy()
     assert sizes.max() - sizes.min() <= 1
     assert (np.diff(sizes) <= 0).all()  # larger tiles come first
+
+
+def test_rfm_forced_two_join_route_agrees(ray_session):
+    """dim_cutoff=0 forces the two-hash-join tile composition (with
+    the materialize() between — the two-JoinOperator hang rule); it
+    must reproduce the broadcast-attach route exactly, and segments
+    must account for every customer."""
+    import duckdb
+
+    from rdfx_ray.pipelines import analytics_r5b as R
+
+    small = _canon(_df(R.orders_rfm_segments(SF)))
+    large = _canon(_df(R.orders_rfm_segments(SF, dim_cutoff=0)))
+    pd.testing.assert_frame_equal(small, large, check_dtype=False)
+    n_cust = duckdb.connect().execute(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM "
+        f"'{SF}/orders.parquet'").fetchone()[0]
+    assert small["n_customers"].sum() == n_cust
+
+
+def test_vocab_coverage_monotone(ray_session):
+    """Coverage is monotone in k and bounded by the total; the k=1
+    level equals the single most frequent word's count."""
+    import duckdb
+
+    from rdfx_ray.pipelines import analytics_r5b as R
+
+    got = _df(R.docs_vocab_coverage(SF)).sort_values("k")
+    cov = got["covered"].to_numpy()
+    assert (np.diff(cov) >= 0).all()
+    assert (cov <= got["total_tokens"].to_numpy()).all()
+    top1 = duckdb.connect().execute(
+        f"SELECT COUNT(*) c FROM (SELECT unnest(string_split(text, "
+        f"' ')) w FROM '{SF}/documents.parquet') GROUP BY w "
+        f"ORDER BY c DESC LIMIT 1").fetchone()[0]
+    assert cov[0] == top1
