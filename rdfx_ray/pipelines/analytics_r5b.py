@@ -711,8 +711,11 @@ def orders_cohort_retention(sf_dir: str,
             "o_custkey": batch.column("o_custkey"),
             "m": pa.array(m, pa.int64())})
 
+    # NOT materialized: the two folds each re-derive the 2-column
+    # keyed scan — two pruned reads beat parking the whole fact in
+    # the object store at 100 TB (the events_above_p95 rescan trade)
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow",
-                              batch_size=65536).materialize()
+                              batch_size=65536)
 
     def min_partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
