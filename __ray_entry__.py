@@ -925,6 +925,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # segment-level exact dedup (substring-dedup shape)
         "docs_segment_dedup":
             lambda sf: _r5b().docs_segment_dedup(sf),
+        # 100-TB mode: deterministic 1/8 fingerprint subsample —
+        # every exchange and the dup set shrink ~8×; zero false
+        # positives, recall bound pinned vs the exact twin
+        "docs_segment_dedup_sampled":
+            lambda sf: _r5b().docs_segment_dedup(sf, sample_hex=2),
         # NTILE revenue-concentration report (80/20 shape)
         "orders_revenue_deciles":
             lambda sf: _r5b().orders_revenue_deciles(sf),

@@ -943,7 +943,8 @@ DUP_BROADCAST_CUTOFF = 5_000_000
 
 
 def docs_segment_dedup(sf_dir: str, seg_words: int = SEG_WORDS,
-                       dup_cutoff: int = DUP_BROADCAST_CUTOFF):
+                       dup_cutoff: int = DUP_BROADCAST_CUTOFF,
+                       sample_hex: "Optional[int]" = None):
     """Segment-level exact dedup over the corpus — the
     deduplicate-text-datasets shape at paragraph granularity: each doc
     splits into fixed ``seg_words``-word segments, a segment is
@@ -962,7 +963,17 @@ def docs_segment_dedup(sf_dir: str, seg_words: int = SEG_WORDS,
     left-join the dup table (string-keyed hash join, the honest
     fact-scale route) and fold per doc. Segmenting and md5 are
     vectorized (polars explode/groupby + the md5keys DuckDB kernel,
-    byte-identical to the oracle's md5 by construction)."""
+    byte-identical to the oracle's md5 by construction).
+
+    100-TB mode: ``sample_hex=d`` keeps only segment hashes whose
+    first hex digit is < d (a deterministic d/16 subsample of the
+    fingerprint stream — the corpus_decontaminate_winnow discipline),
+    cutting every exchange and the dup set ~16/d× at a documented
+    recall bound: a flagged segment is ALWAYS a true cross-doc dup
+    (zero false positives — the same hashes are compared, just fewer
+    of them), and n_segments counts only sampled segments. Exact mode
+    (None) is the SQL-oracled contract; the sampled twin is
+    rows-only with parity pinned by test."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -986,9 +997,16 @@ def docs_segment_dedup(sf_dir: str, seg_words: int = SEG_WORDS,
         segs = (ex.group_by(["doc_id", "seg"], maintain_order=True)
                 .agg(pl.col("w").str.join(" ").alias("p")))
         h = md5_hex_text(segs.get_column("p").to_arrow())
-        return pl.DataFrame({
+        out = pl.DataFrame({
             "doc_id": segs.get_column("doc_id"),
             "h": pl.from_arrow(h)}).unique()
+        if sample_hex is not None:
+            # first-hex-digit gate: uniform d/16 deterministic sample
+            # (vectorized — a set test on the leading character)
+            allowed = list("0123456789abcdef"[:sample_hex])
+            out = out.filter(
+                pl.col("h").str.slice(0, 1).is_in(allowed))
+        return out
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         return seg_hashes(batch).to_arrow().cast(

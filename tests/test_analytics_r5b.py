@@ -166,3 +166,25 @@ def test_vocab_coverage_monotone(ray_session):
         f"' ')) w FROM '{SF}/documents.parquet') GROUP BY w "
         f"ORDER BY c DESC LIMIT 1").fetchone()[0]
     assert cov[0] == top1
+
+
+def test_segment_dedup_sampled_parity(ray_session):
+    """The 1/8 fingerprint subsample never invents a duplicate
+    (every sampled-dup doc is an exact-dup doc), counts only sampled
+    segments, and keeps a useful recall on this corpus."""
+    from rdfx_ray.pipelines import analytics_r5b as R
+
+    exact = _df(R.docs_segment_dedup(SF)).set_index("doc_id")
+    samp = _df(R.docs_segment_dedup(SF, sample_hex=2)) \
+        .set_index("doc_id")
+    assert len(samp) > 0
+    # sampled segments are a subset per doc
+    joined = samp.join(exact, lsuffix="_s", rsuffix="_e")
+    assert (joined["n_segments_s"]
+            <= joined["n_segments_e"]).all()
+    # zero false positives: sampled dup ⇒ exact dup
+    flagged_s = set(joined[joined["n_dup_segments_s"] > 0].index)
+    flagged_e = set(exact[exact["n_dup_segments"] > 0].index)
+    assert flagged_s <= flagged_e
+    # deterministic corpus: pin a recall floor on the flagged set
+    assert len(flagged_s) >= 0.3 * len(flagged_e)

@@ -21,6 +21,9 @@ ROWS_ONLY = {
         "eigendecomposition has no SQL twin (numpy parity + "
         "orthonormality + bit-determinism test-pinned)",
     "dedup_corpus": "composition incl. LSH candidates",
+    "docs_segment_dedup_sampled":
+        "subsampled fingerprint stream (exact twin oracled; zero-FP "
+        "+ recall floor test-pinned)",
     "dedup_embedding_pairs": "IVF bucketing not SQL-expressible",
     "dedup_minhash_pairs": "minhash signatures not SQL-expressible",
     "dedup_simhash_pairs": "siphash bit folds not SQL-expressible",
