@@ -227,6 +227,12 @@ def run_suite() -> dict:
     queries["window_rank"] = timed(orders_price_rank, SF_DIR)
     queries["pair_sim_histogram"] = timed(similarity.pair_sim_histogram,
                                           SF_DIR)
+    from rdfx_ray.pipelines.analytics_r5b import (
+        docs_segment_dedup,
+        events_dau_wau,
+    )
+    queries["segment_dedup"] = timed(docs_segment_dedup, SF_DIR)
+    queries["dau_wau"] = timed(events_dau_wau, SF_DIR)
 
     result = {
         "metric": "kg_extract_wall_seconds",
